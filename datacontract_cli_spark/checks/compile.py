@@ -1,0 +1,690 @@
+"""Contract → CheckSpec compiler.
+
+Walks the contract's schema objects and produces the flat check list. The
+stable ``key``/``type``/``name`` strings follow the reference compiler
+(datacontract/engines/checks/create_checks.py:175-897) exactly — they are the
+byte-match surface users' dashboards key on. Implementation is original.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Dict, List, Optional
+
+from datacontract_cli_spark.checks.spec import CheckSpec, MetricType, Op, Threshold
+from datacontract_cli_spark.model.contract import (
+    DataContract,
+    Property,
+    QualityRule,
+    SchemaObject,
+    Server,
+)
+
+logger = logging.getLogger(__name__)
+
+# Default quality dimension per built-in check type (reference:
+# datacontract/engines/checks/dimensions.py:18-53). Author-declared
+# quality.dimension always wins.
+DEFAULT_DIMENSIONS: Dict[str, str] = {
+    "field_required": "completeness",
+    "field_primary_key_required": "completeness",
+    "field_unique": "uniqueness",
+    "field_primary_key_unique": "uniqueness",
+    "primary_key_unique": "uniqueness",
+    "field_is_present": "conformity",
+    "field_type": "conformity",
+    "field_physical_type": "conformity",
+    "field_nested_type": "conformity",
+    "field_nested_physical_type": "conformity",
+    "field_regex": "conformity",
+    "field_enum": "conformity",
+    "field_min_length": "conformity",
+    "field_max_length": "conformity",
+    "field_minimum": "conformity",
+    "field_maximum": "conformity",
+    "field_not_equal": "conformity",
+    "schema": "conformity",
+    "servicelevel_retention": "conformity",
+    "servicelevel_freshness": "timeliness",
+    # beyond-reference
+    "referential_integrity": "consistency",
+    "freq_drift_psi": "consistency",
+    "quantile_drift_ks": "consistency",
+}
+
+_PERCENT_UNITS = {"percent", "percentage", "%"}
+
+
+def default_dimension(check_type: Optional[str]) -> Optional[str]:
+    return DEFAULT_DIMENSIONS.get(check_type) if check_type else None
+
+
+def to_threshold(q: QualityRule) -> Optional[Threshold]:
+    if q.must_be is not None:
+        return Threshold(Op.EQ, q.must_be)
+    if q.must_not_be is not None:
+        return Threshold(Op.NE, q.must_not_be)
+    if q.must_be_gt is not None:
+        return Threshold(Op.GT, q.must_be_gt)
+    if q.must_be_ge is not None:
+        return Threshold(Op.GE, q.must_be_ge)
+    if q.must_be_lt is not None:
+        return Threshold(Op.LT, q.must_be_lt)
+    if q.must_be_le is not None:
+        return Threshold(Op.LE, q.must_be_le)
+    if q.must_be_between is not None:
+        if len(q.must_be_between) != 2:
+            logger.warning("mustBeBetween needs exactly 2 values: %s", q.must_be_between)
+            return None
+        return Threshold(Op.BETWEEN, q.must_be_between[0], q.must_be_between[1])
+    if q.must_not_be_between is not None:
+        if len(q.must_not_be_between) != 2:
+            logger.warning("mustNotBeBetween needs exactly 2 values: %s", q.must_not_be_between)
+            return None
+        return Threshold(Op.NOT_BETWEEN, q.must_not_be_between[0], q.must_not_be_between[1])
+    return None
+
+
+def is_percent_unit(q: QualityRule) -> bool:
+    return q.unit is not None and str(q.unit).strip().lower() in _PERCENT_UNITS
+
+
+def prepare_query(
+    q: QualityRule, model: str, field: Optional[str], server: Optional[Server]
+) -> Optional[str]:
+    """Substitute {model}/{table}/{object}/{schema}/{field}/{column}/{property}
+    (and ``${…}``, optionally quoted) placeholders in a user SQL query
+    (reference semantics: create_checks.py:144-169)."""
+    if not q.query:
+        return None
+    text = q.query
+    for token in ("model", "table", "object"):
+        text = re.sub(r'["\']?\$?\{%s}["\']?' % token, model, text)
+    schema_sub = server.schema_ if server and server.schema_ else model
+    text = re.sub(r'["\']?\$?\{schema}["\']?', schema_sub, text)
+    if field is not None:
+        for token in ("field", "column", "property"):
+            text = re.sub(r'["\']?\$?\{%s}["\']?' % token, field, text)
+    return text
+
+
+# ---------------------------------------------------------------------------
+# helpers that build one spec each
+# ---------------------------------------------------------------------------
+
+def _missing(model, field, ctype, threshold, name, *, category="schema", missing_values=None,
+             percent=False, severity=None, dimension=None) -> CheckSpec:
+    return CheckSpec(
+        key=f"{model}__{field}__{ctype}",
+        category=category,
+        type=ctype,
+        name=name,
+        model=model,
+        field=field,
+        metric=MetricType.MISSING_COUNT,
+        threshold=threshold,
+        missing_values=missing_values,
+        threshold_is_percent=percent,
+        severity=severity,
+        dimension=dimension or default_dimension(ctype),
+    )
+
+
+def _duplicate(model, field, ctype, threshold, name, *, category="schema",
+               severity=None, dimension=None) -> CheckSpec:
+    return CheckSpec(
+        key=f"{model}__{field}__{ctype}",
+        category=category,
+        type=ctype,
+        name=name,
+        model=model,
+        field=field,
+        metric=MetricType.DUPLICATE_COUNT,
+        threshold=threshold,
+        severity=severity,
+        dimension=dimension or default_dimension(ctype),
+    )
+
+
+def _invalid(model, field, ctype, name, *, threshold=None, category="schema",
+             valid_values=None, valid_regex=None, valid_min=None, valid_max=None,
+             valid_min_length=None, valid_max_length=None, invalid_values=None,
+             percent=False, severity=None, dimension=None) -> CheckSpec:
+    return CheckSpec(
+        key=f"{model}__{field}__{ctype}",
+        category=category,
+        type=ctype,
+        name=name,
+        model=model,
+        field=field,
+        metric=MetricType.INVALID_COUNT,
+        threshold=threshold or Threshold(Op.EQ, 0),
+        valid_values=valid_values,
+        valid_regex=valid_regex,
+        valid_min=valid_min,
+        valid_max=valid_max,
+        valid_min_length=valid_min_length,
+        valid_max_length=valid_max_length,
+        invalid_values=invalid_values,
+        threshold_is_percent=percent,
+        severity=severity,
+        dimension=dimension or default_dimension(ctype),
+    )
+
+
+def _row_count(model, threshold, severity=None, dimension=None) -> CheckSpec:
+    return CheckSpec(
+        key=f"{model}__row_count",
+        category="quality",
+        type="row_count",
+        name=f"Check that model {model} has row_count {threshold.describe()}",
+        model=model,
+        metric=MetricType.ROW_COUNT,
+        threshold=threshold,
+        severity=severity,
+        dimension=dimension,
+    )
+
+
+def _declared_type_label(prop: Property, physical: bool = False) -> str:
+    base = (prop.physical_type if physical else prop.logical_type) or "any"
+    if prop.logical_type == "array" and prop.items is not None:
+        return f"{base}({_declared_type_label(prop.items, physical)})"
+    if prop.logical_type == "object" and prop.properties:
+        inner = ", ".join(f"{c.name} {_declared_type_label(c, physical)}" for c in prop.properties)
+        return f"{base}({inner})"
+    return base
+
+
+# ---------------------------------------------------------------------------
+# quality rules
+# ---------------------------------------------------------------------------
+
+def _quality_rule(model: str, field: Optional[str], q: QualityRule, idx: int,
+                  server: Optional[Server]) -> List[CheckSpec]:
+    if q.type == "custom" and q.engine == "soda" and q.implementation:
+        return [
+            CheckSpec(
+                key=f"{model}__quality_custom_{idx}",
+                category="quality",
+                type="quality_custom_soda",
+                name=q.description or "Custom SodaCL Check",
+                model=model,
+                field=field,
+                metric=MetricType.UNSUPPORTED,
+                dimension=q.dimension,
+                preset_result="warning",
+                preset_reason=(
+                    "Raw SodaCL custom checks (quality.type: custom, engine: soda) are no longer "
+                    "supported since soda-core was removed. Migrate this check to quality.type: sql."
+                ),
+            )
+        ]
+
+    if q.type == "sql":
+        if field is None:
+            key, ctype = f"{model}__quality_sql_{idx}", "model_quality_sql"
+        else:
+            key, ctype = f"{model}__{field}__quality_sql_{idx}", "field_quality_sql"
+        threshold = to_threshold(q)
+        query = prepare_query(q, model, field, server)
+        if query is None:
+            logger.warning("Quality check %s has no query", key)
+            return []
+        if threshold is None:
+            logger.warning("Quality check %s has no valid threshold", key)
+            return []
+        return [
+            CheckSpec(
+                key=key,
+                category="quality",
+                type=ctype,
+                name=q.description or "Quality Check",
+                model=model,
+                field=field,
+                metric=MetricType.CUSTOM_SQL,
+                threshold=threshold,
+                query=query,
+                dialect=q.dialect,
+                severity=q.severity,
+                dimension=q.dimension,
+            )
+        ]
+
+    if q.metric is None:
+        return []
+    threshold = to_threshold(q)
+    if threshold is None:
+        logger.warning("Quality metric %s has no valid threshold", q.metric)
+        return []
+    return _library_metric(model, field, q, threshold)
+
+
+def _library_metric(model: str, field: Optional[str], q: QualityRule,
+                    threshold: Threshold) -> List[CheckSpec]:
+    metric, severity, dimension = q.metric, q.severity, q.dimension
+    percent = is_percent_unit(q)
+    if percent and metric not in ("nullValues", "missingValues", "invalidValues"):
+        logger.warning("Quality metric %s does not support unit: percent; comparing absolute count", metric)
+        percent = False
+
+    if metric == "rowCount":
+        return [_row_count(model, threshold, severity=severity, dimension=dimension)]
+
+    if metric == "duplicateValues":
+        if field is None:
+            cols = (q.arguments or {}).get("properties")
+            joined = ", ".join(cols or [])
+            return [
+                CheckSpec(
+                    key=f"{model}__model_duplicate_values",
+                    category="quality",
+                    type="model_duplicate_values",
+                    name=f"Check that model {model} has duplicate_count {threshold.describe()} for columns {joined}",
+                    model=model,
+                    metric=MetricType.DUPLICATE_COUNT,
+                    threshold=threshold,
+                    columns=cols,
+                    severity=severity,
+                    dimension=dimension,
+                )
+            ]
+        return [
+            _duplicate(model, field, "field_duplicate_values", threshold,
+                       f"Check that field {field} has duplicate_count {threshold.describe()}",
+                       category="quality", severity=severity, dimension=dimension)
+        ]
+
+    if metric == "nullValues":
+        if field is None:
+            logger.warning("Quality check nullValues is only supported at field level")
+            return []
+        return [
+            _missing(model, field, "field_null_values", threshold,
+                     f"Check that field {field} has missing_count {threshold.describe()}",
+                     category="quality", percent=percent, severity=severity, dimension=dimension)
+        ]
+
+    if metric == "missingValues":
+        if field is None:
+            logger.warning("Quality check missingValues is only supported at field level")
+            return []
+        vals = (q.arguments or {}).get("missingValues")
+        if vals is not None:
+            vals = [v for v in vals if v is not None]
+        return [
+            _missing(model, field, "field_missing_values", threshold,
+                     f"Check that field {field} has missing_count {threshold.describe()}",
+                     category="quality", missing_values=vals or None, percent=percent,
+                     severity=severity, dimension=dimension)
+        ]
+
+    if metric == "invalidValues":
+        if field is None:
+            logger.warning("Quality check invalidValues is only supported at field level")
+            return []
+        args = q.arguments or {}
+        valid_values, pattern = args.get("validValues"), args.get("pattern")
+        if valid_values is None and pattern is None:
+            logger.warning("invalidValues on field %s has no validValues or pattern argument; skipping", field)
+            return []
+        return [
+            _invalid(model, field, "field_invalid_values",
+                     f"Check that field {field} has invalid_count {threshold.describe()}",
+                     threshold=threshold, category="quality", valid_values=valid_values,
+                     valid_regex=pattern, percent=percent, severity=severity, dimension=dimension)
+        ]
+
+    # --- beyond-reference library metrics (north rule) ----------------------
+    if metric == "referentialIntegrity":
+        args = q.arguments or {}
+        ref = args.get("ref") or ""
+        ref_model, _, ref_field = ref.partition(".")
+        if field is None or not ref_model or not ref_field:
+            logger.warning("referentialIntegrity needs a field and arguments.ref='model.field'")
+            return []
+        return [
+            CheckSpec(
+                key=f"{model}__{field}__referential_integrity",
+                category="quality",
+                type="referential_integrity",
+                name=f"Check that {model}.{field} values exist in {ref_model}.{ref_field}",
+                model=model,
+                field=field,
+                metric=MetricType.REFERENTIAL_INTEGRITY,
+                threshold=threshold,
+                ref_model=ref_model,
+                ref_field=ref_field,
+                severity=severity,
+                dimension=dimension or default_dimension("referential_integrity"),
+            )
+        ]
+
+    if metric == "freqDriftPsi":
+        if field is None:
+            logger.warning("freqDriftPsi is only supported at field level")
+            return []
+        baseline = (q.arguments or {}).get("baseline")
+        if not baseline:
+            logger.warning("freqDriftPsi on field %s needs arguments.baseline {value: fraction}", field)
+            return []
+        return [
+            CheckSpec(
+                key=f"{model}__{field}__freq_drift_psi",
+                category="quality",
+                type="freq_drift_psi",
+                name=f"Check that PSI of {field} frequency distribution vs baseline is {threshold.describe()}",
+                model=model,
+                field=field,
+                metric=MetricType.FREQ_DRIFT_PSI,
+                threshold=threshold,
+                baseline=baseline,
+                severity=severity,
+                dimension=dimension or default_dimension("freq_drift_psi"),
+            )
+        ]
+
+    if metric == "quantileDriftKs":
+        if field is None:
+            logger.warning("quantileDriftKs is only supported at field level")
+            return []
+        baseline = (q.arguments or {}).get("baseline")
+        if not baseline:
+            logger.warning("quantileDriftKs on field %s needs arguments.baseline {quantiles/cdf}", field)
+            return []
+        return [
+            CheckSpec(
+                key=f"{model}__{field}__quantile_drift_ks",
+                category="quality",
+                type="quantile_drift_ks",
+                name=f"Check that KS statistic of {field} distribution vs baseline is {threshold.describe()}",
+                model=model,
+                field=field,
+                metric=MetricType.QUANTILE_DRIFT_KS,
+                threshold=threshold,
+                baseline=baseline,
+                severity=severity,
+                dimension=dimension or default_dimension("quantile_drift_ks"),
+                extra=dict((q.arguments or {})),
+            )
+        ]
+
+    logger.warning("Quality check %s is not yet supported", metric)
+    return []
+
+
+def _quality_list(model: str, field: Optional[str], rules: List[QualityRule],
+                  server: Optional[Server]) -> List[CheckSpec]:
+    out: List[CheckSpec] = []
+    for idx, q in enumerate(rules):
+        specs = _quality_rule(model, field, q, idx, server)
+        for s in specs:
+            s.quality_id = q.id
+            s.tags = list(q.tags) if q.tags else None
+        out.extend(specs)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# schema object walk
+# ---------------------------------------------------------------------------
+
+def _nested_checkable(prop: Property) -> bool:
+    cat = prop.logical_type
+    if cat == "object":
+        return bool(prop.properties)
+    if cat == "array":
+        return prop.items is not None
+    return False
+
+
+def _schema_object_checks(model: str, obj: SchemaObject, server: Optional[Server]) -> List[CheckSpec]:
+    checks: List[CheckSpec] = []
+
+    pk_props = sorted(
+        [p for p in obj.properties if p.primary_key],
+        key=lambda p: p.primary_key_position if p.primary_key_position is not None else 0,
+    )
+    composite_pk = len(pk_props) > 1
+
+    for prop in obj.properties:
+        field = prop.column
+
+        checks.append(
+            CheckSpec(
+                key=f"{model}__{field}__field_is_present",
+                category="schema",
+                type="field_is_present",
+                name=f"Check that field '{field}' is present",
+                model=model,
+                field=field,
+                metric=MetricType.FIELD_PRESENT,
+                uses_raw_view=True,
+                dimension=default_dimension("field_is_present"),
+            )
+        )
+
+        if prop.physical_type:
+            checks.append(
+                CheckSpec(
+                    key=f"{model}__{field}__field_physical_type",
+                    category="schema",
+                    type="field_physical_type",
+                    name=f"Check that field {field} has physical type {prop.physical_type}",
+                    model=model,
+                    field=field,
+                    metric=MetricType.FIELD_PHYSICAL_TYPE,
+                    expected_physical_type=prop.physical_type,
+                    expected_property=prop,
+                    dimension=default_dimension("field_physical_type"),
+                )
+            )
+        elif prop.logical_type:
+            label = _declared_type_label(prop)
+            checks.append(
+                CheckSpec(
+                    key=f"{model}__{field}__field_type",
+                    category="schema",
+                    type="field_type",
+                    name=f"Check that field {field} has type {label}",
+                    model=model,
+                    field=field,
+                    metric=MetricType.FIELD_TYPE,
+                    expected_category=prop.logical_type,
+                    expected_type_label=label,
+                    expected_property=prop,
+                    dimension=default_dimension("field_type"),
+                )
+            )
+
+        if _nested_checkable(prop):
+            checks.append(
+                CheckSpec(
+                    key=f"{model}__{field}__field_nested_type",
+                    category="schema",
+                    type="field_nested_type",
+                    name=f"Check that nested types of {field} are correct",
+                    model=model,
+                    field=field,
+                    metric=MetricType.FIELD_NESTED_TYPE,
+                    expected_property=prop,
+                    dimension=default_dimension("field_nested_type"),
+                )
+            )
+
+        if prop.required:
+            checks.append(
+                _missing(model, field, "field_required", Threshold(Op.EQ, 0),
+                         f"Check that field {field} has no missing values")
+            )
+        if prop.unique:
+            checks.append(
+                _duplicate(model, field, "field_unique", Threshold(Op.EQ, 0),
+                           f"Check that unique field {field} has no duplicate values")
+            )
+        if prop.primary_key:
+            # don't duplicate what required/unique already emitted
+            if not prop.required:
+                checks.append(
+                    _missing(model, field, "field_primary_key_required", Threshold(Op.EQ, 0),
+                             f"Check that primary key field {field} has no missing values")
+                )
+            if not composite_pk and not prop.unique:
+                checks.append(
+                    _duplicate(model, field, "field_primary_key_unique", Threshold(Op.EQ, 0),
+                               f"Check that primary key field {field} has no duplicate values")
+                )
+
+        opts = prop.options
+        if opts.get("minLength") is not None:
+            v = opts["minLength"]
+            checks.append(_invalid(model, field, "field_min_length",
+                                   f"Check that field {field} has a min length of {v}",
+                                   valid_min_length=v))
+        if opts.get("maxLength") is not None:
+            v = opts["maxLength"]
+            checks.append(_invalid(model, field, "field_max_length",
+                                   f"Check that field {field} has a max length of {v}",
+                                   valid_max_length=v))
+        if opts.get("minimum") is not None:
+            v = opts["minimum"]
+            checks.append(_invalid(model, field, "field_minimum",
+                                   f"Check that field {field} has a minimum of {v}",
+                                   valid_min=v))
+        if opts.get("maximum") is not None:
+            v = opts["maximum"]
+            checks.append(_invalid(model, field, "field_maximum",
+                                   f"Check that field {field} has a maximum of {v}",
+                                   valid_max=v))
+        if opts.get("exclusiveMinimum") is not None:
+            v = opts["exclusiveMinimum"]
+            checks.append(_invalid(model, field, "field_minimum",
+                                   f"Check that field {field} has a minimum of {v}",
+                                   valid_min=v))
+            checks.append(_invalid(model, field, "field_not_equal",
+                                   f"Check that field {field} is not equal to {v}",
+                                   invalid_values=[v]))
+        if opts.get("exclusiveMaximum") is not None:
+            v = opts["exclusiveMaximum"]
+            checks.append(_invalid(model, field, "field_maximum",
+                                   f"Check that field {field} has a maximum of {v}",
+                                   valid_max=v))
+            checks.append(_invalid(model, field, "field_not_equal",
+                                   f"Check that field {field} is not equal to {v}",
+                                   invalid_values=[v]))
+        if opts.get("pattern") is not None:
+            v = opts["pattern"]
+            checks.append(_invalid(model, field, "field_regex",
+                                   f"Check that field {field} matches regex pattern {v}",
+                                   valid_regex=v))
+        if opts.get("enum"):
+            vals = list(opts["enum"])
+            checks.append(_invalid(model, field, "field_enum",
+                                   f"Check that field {field} only contains enum values {vals}",
+                                   valid_values=vals))
+
+        if prop.quality:
+            checks.extend(_quality_list(model, field, prop.quality, server))
+
+    if composite_pk:
+        cols = [p.column for p in pk_props]
+        checks.append(
+            CheckSpec(
+                key=f"{model}__primary_key_unique",
+                category="schema",
+                type="primary_key_unique",
+                name=f"Check that primary key ({', '.join(cols)}) has no duplicate values",
+                model=model,
+                metric=MetricType.DUPLICATE_COUNT,
+                threshold=Threshold(Op.EQ, 0),
+                columns=cols,
+                dimension=default_dimension("primary_key_unique"),
+            )
+        )
+
+    if obj.quality:
+        checks.extend(_quality_list(model, None, obj.quality, server))
+
+    return checks
+
+
+# ---------------------------------------------------------------------------
+# service levels
+# ---------------------------------------------------------------------------
+
+_FRESHNESS_UNIT_SECONDS = {
+    "s": 1, "sec": 1, "second": 1, "seconds": 1,
+    "m": 60, "min": 60, "minute": 60, "minutes": 60,
+    "h": 3600, "hour": 3600, "hours": 3600,
+    "d": 86400, "day": 86400, "days": 86400,
+    "w": 604800, "week": 604800, "weeks": 604800,
+    "y": 31536000, "year": 31536000, "years": 31536000,
+}
+
+
+def _sla_checks(contract: DataContract) -> List[CheckSpec]:
+    checks: List[CheckSpec] = []
+    for sla in contract.sla_properties:
+        if sla.property not in ("freshness", "retention") or not sla.element:
+            continue
+        model, _, field = sla.element.partition(".")
+        if not model or not field:
+            continue
+        unit = (sla.unit or "d").strip().lower()
+        mult = _FRESHNESS_UNIT_SECONDS.get(unit)
+        if mult is None:
+            logger.info("Unsupported %s unit %s", sla.property, unit)
+            continue
+        try:
+            seconds = int(float(sla.value) * mult)
+        except (TypeError, ValueError):
+            continue
+        if sla.property == "freshness":
+            checks.append(
+                CheckSpec(
+                    key="servicelevel_freshness",
+                    category="servicelevel",
+                    type="servicelevel_freshness",
+                    name=f"Freshness of {model}.{field} < {sla.value}{unit[0]}",
+                    model=model,
+                    field=field,
+                    metric=MetricType.FRESHNESS,
+                    seconds=seconds,
+                    dimension=default_dimension("servicelevel_freshness"),
+                )
+            )
+        else:
+            checks.append(
+                CheckSpec(
+                    key="servicelevel_retention",
+                    category="servicelevel",
+                    type="servicelevel_retention",
+                    name=f"Retention of {model}.{field} < {seconds}s",
+                    model=model,
+                    field=field,
+                    metric=MetricType.RETENTION,
+                    seconds=seconds,
+                    dimension=default_dimension("servicelevel_retention"),
+                )
+            )
+    return checks
+
+
+# ---------------------------------------------------------------------------
+# entry point
+# ---------------------------------------------------------------------------
+
+def compile_checks(contract: DataContract, server: Optional[Server] = None,
+                   schema_name: str = "all") -> List[CheckSpec]:
+    checks: List[CheckSpec] = []
+    for obj in contract.schema_objects:
+        if schema_name != "all" and obj.name != schema_name:
+            continue
+        if obj.logical_type == "blob":
+            logger.warning("blob schema objects are not supported by the Spark engine; skipping %s", obj.name)
+            continue
+        checks.extend(_schema_object_checks(obj.table, obj, server))
+    if schema_name == "all":
+        checks.extend(_sla_checks(contract))
+    return checks

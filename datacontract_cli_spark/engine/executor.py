@@ -1,0 +1,630 @@
+"""The Spark check executor.
+
+Execution model (Spark-first, scale-aware):
+
+- **One batched aggregation per model.** Every ROW_COUNT / MISSING_COUNT /
+  INVALID_COUNT / FRESHNESS / RETENTION metric of a model compiles into a
+  named aggregate expression and they all run as a single ``df.agg(*exprs)``
+  job (the reference batches the count metrics the same way:
+  datacontract/engines/ibis/ibis_check_execute.py:254-327; we additionally
+  fold freshness/retention MAX/MIN into the same pass). Catalyst executes it
+  as one partial+final hash aggregate: the raw data is scanned once, only
+  one scalar row crosses to the driver, and column pruning means the scan
+  reads only referenced columns.
+
+- **Schema checks never scan data** — they walk ``df.schema``.
+
+- **Duplicate counts** are dedicated two-phase jobs
+  (``groupBy(keys).count().filter(n>1).count()``), which Spark runs with
+  map-side partial aggregation; AQE handles skewed keys.
+
+- **Custom SQL** runs through ``spark.sql`` against temp views registered
+  for every bound model.
+
+Only aggregated scalars and ≤ sample_limit violation rows ever reach the
+driver.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import logging
+import math
+from typing import Any, Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datacontract_cli_spark.checks.compile import compile_checks
+from datacontract_cli_spark.checks.physical import physical_types_match
+from datacontract_cli_spark.checks.spec import CheckSpec, MetricType, Op, Threshold
+from datacontract_cli_spark.checks.types import (
+    normalize_type_name,
+    property_matches,
+    spark_type_to_property,
+)
+from datacontract_cli_spark.engine.predicates import (
+    count_if,
+    describe_condition,
+    invalid_condition,
+    missing_condition,
+    resolve_column,
+)
+from datacontract_cli_spark.model.contract import DataContract, SchemaObject, Server
+from datacontract_cli_spark.model.run import Check, ResultEnum, Run
+
+logger = logging.getLogger(__name__)
+
+_WARNING_SEVERITIES = {"info", "warning", "warn", "low", "minor", "trivial"}
+
+_SENSITIVE_CLASSIFICATIONS = {"sensitive", "pii", "restricted", "confidential", "secret"}
+
+_AGG_METRICS = (
+    MetricType.ROW_COUNT,
+    MetricType.MISSING_COUNT,
+    MetricType.INVALID_COUNT,
+    MetricType.FRESHNESS,
+    MetricType.RETENTION,
+)
+
+_ROW_COUNT_ALIAS = "__dc_row_count__"
+
+
+def _fail_result(spec: CheckSpec) -> ResultEnum:
+    severity = (spec.severity or "").strip().lower()
+    return ResultEnum.warning if severity in _WARNING_SEVERITIES else ResultEnum.failed
+
+
+class SparkContractEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        include_failed_samples: bool = False,
+        sample_limit: int = 5,
+    ):
+        self.spark = spark
+        self.include_failed_samples = include_failed_samples
+        self.sample_limit = sample_limit
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def test(
+        self,
+        contract: DataContract,
+        tables: Optional[Dict[str, DataFrame]] = None,
+        server: Optional[str] = None,
+        schema_name: str = "all",
+        filters: Optional[List[str]] = None,
+        checks_category: Optional[str] = None,
+        dimension: Optional[str] = None,
+        quality_id: Optional[str] = None,
+        tag: Optional[str] = None,
+    ) -> Run:
+        run = Run(dataContractId=contract.id, dataContractVersion=contract.version,
+                  server=server, filters=list(filters) if filters else None)
+
+        srv = contract.server(server)
+        specs = compile_checks(contract, srv, schema_name=schema_name)
+        specs = self._filter_specs(run, specs, checks_category, dimension, quality_id, tag)
+
+        # pre-register every check as a stub so ordering/filtering is stable
+        # even if execution dies mid-way (reference ibis_check_execute.py:57-92)
+        for spec in specs:
+            run.checks.append(
+                Check(
+                    key=spec.key,
+                    category=spec.category,
+                    type=spec.type,
+                    name=spec.name,
+                    model=spec.model,
+                    field=spec.field,
+                    language="introspection"
+                    if spec.metric in (MetricType.FIELD_PRESENT, MetricType.FIELD_TYPE,
+                                       MetricType.FIELD_PHYSICAL_TYPE, MetricType.FIELD_NESTED_TYPE)
+                    else "spark-sql",
+                    qualityId=spec.quality_id,
+                    tags=spec.tags,
+                    dimension=spec.dimension,
+                )
+            )
+
+        if tables is None:
+            from datacontract_cli_spark.sources.readers import bind_server
+            try:
+                tables = bind_server(self.spark, contract, srv)
+            except Exception as e:  # binding failure: all checks error
+                for spec in specs:
+                    run.set_result(spec.key, ResultEnum.error, f"Could not bind server: {e}")
+                return run.finish()
+
+        lowered_tables = {k.lower(): v for k, v in tables.items()}
+        objects = {o.table.lower(): o for o in contract.schema_objects}
+
+        # register temp views once for custom SQL / referential integrity
+        for name, df in tables.items():
+            df.createOrReplaceTempView(name)
+
+        by_model: Dict[str, List[CheckSpec]] = {}
+        for spec in specs:
+            by_model.setdefault(spec.model, []).append(spec)
+
+        for model, model_specs in by_model.items():
+            df = lowered_tables.get(model.lower())
+            if df is None:
+                for spec in model_specs:
+                    run.set_result(spec.key, ResultEnum.error, f"Model '{model}' not found in server")
+                continue
+            self._run_model(run, model, model_specs, df, lowered_tables,
+                            objects.get(model.lower()), filters)
+
+        return run.finish()
+
+    # ------------------------------------------------------------------
+    # filtering
+    # ------------------------------------------------------------------
+    def _filter_specs(self, run: Run, specs: List[CheckSpec], category, dimension,
+                      quality_id, tag) -> List[CheckSpec]:
+        out = specs
+        if category:
+            out = [s for s in out if s.category == category]
+        if dimension:
+            out = [s for s in out if (s.dimension or "").lower() == dimension.lower()]
+        if quality_id:
+            matching = [s for s in out if s.quality_id == quality_id]
+            if not matching:
+                run.log_warn(f"No check with quality id '{quality_id}' found")
+            out = matching
+        if tag:
+            out = [s for s in out if s.tags and tag in s.tags]
+        return out
+
+    # ------------------------------------------------------------------
+    # per-model execution
+    # ------------------------------------------------------------------
+    def _run_model(
+        self,
+        run: Run,
+        model: str,
+        specs: List[CheckSpec],
+        df: DataFrame,
+        tables: Dict[str, DataFrame],
+        obj: Optional[SchemaObject],
+        filters: Optional[List[str]],
+    ) -> None:
+        raw_df = df  # presence checks look at the un-projected source schema
+
+        # preset (unsupported) checks
+        runnable: List[CheckSpec] = []
+        for spec in specs:
+            if spec.preset_result is not None:
+                run.set_result(spec.key, ResultEnum(spec.preset_result), spec.preset_reason)
+            else:
+                runnable.append(spec)
+
+        # schema checks: no scan, run before the row filter (filters never
+        # apply to schema checks — reference ibis_check_execute.py:1117-1130)
+        scan_specs: List[CheckSpec] = []
+        for spec in runnable:
+            if spec.metric is MetricType.FIELD_PRESENT:
+                self._check_present(run, spec, raw_df)
+            elif spec.metric is MetricType.FIELD_TYPE:
+                self._check_type(run, spec, df)
+            elif spec.metric is MetricType.FIELD_PHYSICAL_TYPE:
+                self._check_physical_type(run, spec, df)
+            elif spec.metric is MetricType.FIELD_NESTED_TYPE:
+                self._check_nested_type(run, spec, df)
+            else:
+                scan_specs.append(spec)
+
+        # row filter (bad predicate ⇒ error, not failed)
+        if filters:
+            try:
+                for pred in filters:
+                    df = df.filter(F.expr(pred))
+                df.schema  # force analysis so a bad predicate surfaces here
+            except Exception as e:
+                for spec in scan_specs:
+                    run.set_result(spec.key, ResultEnum.error, f"Invalid row filter: {e}")
+                return
+
+        agg_specs = [s for s in scan_specs if s.metric in _AGG_METRICS]
+        dup_specs = [s for s in scan_specs if s.metric is MetricType.DUPLICATE_COUNT]
+        sql_specs = [s for s in scan_specs if s.metric is MetricType.CUSTOM_SQL]
+        ri_specs = [s for s in scan_specs if s.metric is MetricType.REFERENTIAL_INTEGRITY]
+        drift_specs = [s for s in scan_specs if s.metric in
+                       (MetricType.FREQ_DRIFT_PSI, MetricType.QUANTILE_DRIFT_KS)]
+        other = [s for s in scan_specs
+                 if s not in agg_specs and s not in dup_specs and s not in sql_specs
+                 and s not in ri_specs and s not in drift_specs]
+        for spec in other:
+            run.set_result(spec.key, ResultEnum.warning, f"Unsupported metric {spec.metric}")
+
+        self._run_agg_batch(run, model, agg_specs, df, obj)
+        for spec in dup_specs:
+            self._check_duplicates(run, spec, df, obj)
+        for spec in sql_specs:
+            self._check_custom_sql(run, spec)
+        for spec in ri_specs:
+            self._check_referential_integrity(run, spec, df, tables)
+        for spec in drift_specs:
+            self._check_drift(run, spec, df)
+
+    # ------------------------------------------------------------------
+    # the batched aggregation
+    # ------------------------------------------------------------------
+    def _run_agg_batch(self, run: Run, model: str, specs: List[CheckSpec],
+                       df: DataFrame, obj: Optional[SchemaObject]) -> None:
+        if not specs:
+            return
+
+        exprs = [F.count(F.lit(1)).alias(_ROW_COUNT_ALIAS)]
+        evaluators: List[Tuple[CheckSpec, str]] = []  # (spec, result column alias)
+        constant_zero: List[CheckSpec] = []
+        sample_conds: Dict[str, Any] = {}
+
+        used_aliases = {_ROW_COUNT_ALIAS}
+        for i, spec in enumerate(specs):
+            alias = f"__dc_m{i}__"
+            used_aliases.add(alias)
+            if spec.metric is MetricType.ROW_COUNT:
+                evaluators.append((spec, _ROW_COUNT_ALIAS))
+                continue
+            column = resolve_column(df, spec.field) if spec.field else None
+            if spec.field and column is None:
+                run.set_result(spec.key, _fail_result(spec),
+                               f"Column '{spec.field}' not found in model {model}")
+                continue
+            if spec.metric is MetricType.MISSING_COUNT:
+                cond = missing_condition(df, column, spec)
+                exprs.append(count_if(cond, alias))
+                evaluators.append((spec, alias))
+                sample_conds[spec.key] = (column, cond)
+            elif spec.metric is MetricType.INVALID_COUNT:
+                cond = invalid_condition(df, column, spec)
+                if cond is None:
+                    constant_zero.append(spec)  # no constraints ⇒ 0 without querying
+                else:
+                    exprs.append(count_if(cond, alias))
+                    evaluators.append((spec, alias))
+                    sample_conds[spec.key] = (column, cond)
+            elif spec.metric is MetricType.FRESHNESS:
+                exprs.append(F.max(F.col(column)).alias(alias))
+                evaluators.append((spec, alias))
+            elif spec.metric is MetricType.RETENTION:
+                exprs.append(F.min(F.col(column)).alias(alias))
+                evaluators.append((spec, alias))
+
+        row = df.agg(*exprs).collect()[0].asDict()
+        row_count = int(row[_ROW_COUNT_ALIAS])
+
+        for spec in constant_zero:
+            self._evaluate(run, spec, 0, row_count)
+
+        failed_sample_keys = []
+        for spec, alias in evaluators:
+            value = row[alias]
+            if spec.metric in (MetricType.FRESHNESS, MetricType.RETENTION):
+                self._evaluate_timestamp_sla(run, spec, value)
+                continue
+            value = int(value) if value is not None else None
+            self._evaluate(run, spec, value, row_count)
+            check = run.check(spec.key)
+            if (self.include_failed_samples and check is not None
+                    and check.result in (ResultEnum.failed, ResultEnum.warning)
+                    and spec.key in sample_conds):
+                failed_sample_keys.append(spec)
+
+        for spec in failed_sample_keys:
+            column, cond = sample_conds[spec.key]
+            self._collect_samples(run, spec, df, cond, column, obj)
+
+    # ------------------------------------------------------------------
+    # dedicated jobs
+    # ------------------------------------------------------------------
+    def _check_duplicates(self, run: Run, spec: CheckSpec, df: DataFrame,
+                          obj: Optional[SchemaObject]) -> None:
+        cols = spec.columns or ([spec.field] if spec.field else None)
+        if not cols:
+            run.set_result(spec.key, ResultEnum.error, "duplicate check has no columns")
+            return
+        resolved = []
+        for c in cols:
+            r = resolve_column(df, c)
+            if r is None:
+                run.set_result(spec.key, _fail_result(spec),
+                               f"Column '{c}' not found in model {spec.model}")
+                return
+            resolved.append(r)
+        # number of duplicated key GROUPS (not duplicated rows) — two-phase
+        # hash aggregate with map-side combine; AQE rebalances skewed keys.
+        grouped = df.groupBy(*[F.col(c) for c in resolved]).count()
+        value = grouped.filter(F.col("count") > 1).count()
+        self._evaluate(run, spec, int(value), None)
+        check = run.check(spec.key)
+        if (self.include_failed_samples and check is not None
+                and check.result in (ResultEnum.failed, ResultEnum.warning)):
+            sample_df = (
+                grouped.filter(F.col("count") > 1)
+                .orderBy(*[F.col(c) for c in resolved])
+                .limit(self.sample_limit)
+            )
+            keep = self._drop_sensitive(resolved + ["count"], obj)
+            rows = [self._json_safe(r.asDict()) for r in sample_df.select(*keep).collect()]
+            check.failedSamples = rows
+
+    def _check_custom_sql(self, run: Run, spec: CheckSpec) -> None:
+        try:
+            result = self.spark.sql(spec.query)
+            first = result.limit(1).collect()
+            value = first[0][0] if first else None
+        except Exception as e:
+            run.set_result(spec.key, ResultEnum.error, f"Custom SQL failed: {e}")
+            return
+        check = run.check(spec.key)
+        if check is not None:
+            check.implementation = spec.query
+        if isinstance(value, dt.datetime) or isinstance(value, dt.date):
+            value = str(value)
+        self._evaluate(run, spec, value, None, metric_label="custom_sql")
+
+    def _check_referential_integrity(self, run: Run, spec: CheckSpec, df: DataFrame,
+                                     tables: Dict[str, DataFrame]) -> None:
+        parent = tables.get((spec.ref_model or "").lower())
+        if parent is None:
+            run.set_result(spec.key, ResultEnum.error,
+                           f"Referenced model '{spec.ref_model}' not found")
+            return
+        child_col = resolve_column(df, spec.field)
+        parent_col = resolve_column(parent, spec.ref_field)
+        if child_col is None or parent_col is None:
+            run.set_result(spec.key, _fail_result(spec), "Referenced column not found")
+            return
+        from datacontract_cli_spark.operators.refintegrity import orphan_count
+        value = orphan_count(df, child_col, parent, parent_col)
+        self._evaluate(run, spec, int(value), None, metric_label="orphan_count")
+
+    def _check_drift(self, run: Run, spec: CheckSpec, df: DataFrame) -> None:
+        column = resolve_column(df, spec.field)
+        if column is None:
+            run.set_result(spec.key, _fail_result(spec),
+                           f"Column '{spec.field}' not found in model {spec.model}")
+            return
+        from datacontract_cli_spark.operators import drift
+        try:
+            if spec.metric is MetricType.FREQ_DRIFT_PSI:
+                value = drift.psi(df, column, spec.baseline)
+                label = "psi"
+            else:
+                value = drift.ks_statistic(df, column, spec.baseline)
+                label = "ks_statistic"
+        except Exception as e:
+            run.set_result(spec.key, ResultEnum.error, f"Drift check failed: {e}")
+            return
+        self._evaluate(run, spec, round(float(value), 6), None, metric_label=label)
+
+    # ------------------------------------------------------------------
+    # schema checks
+    # ------------------------------------------------------------------
+    def _check_present(self, run: Run, spec: CheckSpec, raw_df: DataFrame) -> None:
+        present = resolve_column(raw_df, spec.field) is not None
+        run.set_diagnostics(run.check(spec.key).key if run.check(spec.key) else spec.key,
+                            {"metric": "field_present", "field": spec.field, "value": present})
+        if present:
+            run.set_result(spec.key, ResultEnum.passed, None)
+        else:
+            run.set_result(spec.key, _fail_result(spec),
+                           f"Field '{spec.field}' is missing in model {spec.model}")
+
+    def _check_type(self, run: Run, spec: CheckSpec, df: DataFrame) -> None:
+        column = resolve_column(df, spec.field)
+        if column is None:
+            run.set_result(spec.key, _fail_result(spec),
+                           f"Column '{spec.field}' not found in model {spec.model}")
+            return
+        actual = spark_type_to_property(column, df.schema[column].dataType)
+        ok, reason = property_matches(spec.expected_property, actual)
+        run.set_diagnostics(spec.key, {
+            "metric": "field_type",
+            "field": spec.field,
+            "expected": spec.expected_type_label,
+            "actual": actual.physical_type,
+        })
+        if ok:
+            run.set_result(spec.key, ResultEnum.passed, None)
+        else:
+            run.set_result(spec.key, _fail_result(spec), reason)
+
+    def _check_physical_type(self, run: Run, spec: CheckSpec, df: DataFrame) -> None:
+        column = resolve_column(df, spec.field)
+        if column is None:
+            run.set_result(spec.key, _fail_result(spec),
+                           f"Column '{spec.field}' not found in model {spec.model}")
+            return
+        actual = df.schema[column].dataType.simpleString()
+        verdict = physical_types_match(spec.expected_physical_type, actual)
+        run.set_diagnostics(spec.key, {
+            "metric": "field_physical_type",
+            "field": spec.field,
+            "expected": spec.expected_physical_type,
+            "actual": actual,
+        })
+        if verdict is True:
+            run.set_result(spec.key, ResultEnum.passed, None)
+        elif verdict is False:
+            # fall back to logical category compatibility before failing
+            exp_cat = normalize_type_name(spec.expected_physical_type)
+            act_cat = normalize_type_name(actual)
+            if exp_cat is not None and exp_cat == act_cat:
+                run.set_result(spec.key, ResultEnum.passed, None)
+            else:
+                run.set_result(spec.key, _fail_result(spec),
+                               f"Field '{spec.field}': expected physical type "
+                               f"{spec.expected_physical_type}, actual {actual}")
+        else:
+            run.set_result(spec.key, ResultEnum.warning,
+                           f"Cannot verify physical type {spec.expected_physical_type} "
+                           f"against {actual}")
+
+    def _check_nested_type(self, run: Run, spec: CheckSpec, df: DataFrame) -> None:
+        column = resolve_column(df, spec.field)
+        if column is None:
+            run.set_result(spec.key, _fail_result(spec),
+                           f"Column '{spec.field}' not found in model {spec.model}")
+            return
+        actual = spark_type_to_property(column, df.schema[column].dataType)
+        ok, reason = property_matches(spec.expected_property, actual)
+        if ok:
+            run.set_result(spec.key, ResultEnum.passed, None)
+        else:
+            run.set_result(spec.key, _fail_result(spec), reason)
+
+    # ------------------------------------------------------------------
+    # evaluation + diagnostics (reference ibis_check_execute.py:943-989)
+    # ------------------------------------------------------------------
+    def _evaluate(self, run: Run, spec: CheckSpec, value: Any,
+                  row_count: Optional[int], metric_label: Optional[str] = None) -> None:
+        is_bad_row = spec.metric in (MetricType.MISSING_COUNT, MetricType.INVALID_COUNT)
+        is_percent = bool(spec.threshold_is_percent) and is_bad_row
+        percent = (round(value / row_count * 100, 6) if row_count else 0.0) if is_percent else None
+        compare_value = percent if is_percent else value
+
+        diag: Dict[str, Any] = {"metric": metric_label or spec.metric.value}
+        if spec.field is not None:
+            diag["field"] = spec.field
+        diag["value"] = value
+        if is_percent:
+            diag["unit"] = "percent"
+        if spec.severity is not None:
+            diag["severity"] = spec.severity
+        if spec.threshold is not None:
+            diag["threshold"] = spec.threshold.describe()
+        if row_count is not None and is_bad_row:
+            diag["row_count"] = row_count
+            diag["failed_fraction"] = round(value / row_count, 6) if row_count else 0.0
+        if percent is not None:
+            diag["percent"] = percent
+        if spec.metric is MetricType.INVALID_COUNT:
+            constraint = self._constraint_info(spec)
+            if constraint:
+                diag["constraint"] = constraint
+        elif spec.metric is MetricType.MISSING_COUNT and spec.missing_values:
+            diag["missing_values"] = spec.missing_values
+        run.set_diagnostics(spec.key, diag)
+
+        if spec.threshold is None:
+            run.set_result(spec.key, ResultEnum.passed, None)
+            return
+        ok = spec.threshold.passes(compare_value)
+        target = spec.field or spec.model
+        label = metric_label or spec.metric.value
+        if ok:
+            reason = None
+        elif is_percent:
+            reason = (f"Actual {label}({target}) was {percent}% ({value} of {row_count} rows), "
+                      f"expected {spec.threshold.describe()}%")
+        else:
+            reason = f"Actual {label}({target}) was {value}, expected {spec.threshold.describe()}"
+        run.set_result(spec.key, ResultEnum.passed if ok else _fail_result(spec), reason)
+
+    def _evaluate_timestamp_sla(self, run: Run, spec: CheckSpec, value: Any) -> None:
+        now = dt.datetime.now(dt.timezone.utc)
+        if value is None:
+            run.set_result(spec.key, ResultEnum.failed,
+                           f"No {spec.metric.value} timestamp found (empty table or all NULL)")
+            return
+        if isinstance(value, dt.datetime):
+            ts = value if value.tzinfo else value.replace(tzinfo=dt.timezone.utc)
+        elif isinstance(value, dt.date):
+            ts = dt.datetime(value.year, value.month, value.day, tzinfo=dt.timezone.utc)
+        else:
+            run.set_result(spec.key, ResultEnum.error,
+                           f"{spec.metric.value} column is not a timestamp: {value!r}")
+            return
+        age = (now - ts).total_seconds()
+        ok = age < spec.seconds
+        run.set_diagnostics(spec.key, {
+            "metric": spec.metric.value,
+            "field": spec.field,
+            "value": round(age, 3),
+            "threshold": f"< {spec.seconds}",
+            "timestamp": ts.isoformat(),
+        })
+        if ok:
+            run.set_result(spec.key, ResultEnum.passed, None)
+        else:
+            run.set_result(spec.key, ResultEnum.failed,
+                           f"Actual {spec.metric.value} of {spec.model}.{spec.field} was "
+                           f"{round(age)}s, expected < {spec.seconds}s")
+
+    @staticmethod
+    def _constraint_info(spec: CheckSpec) -> Dict[str, Any]:
+        out: Dict[str, Any] = {}
+        if spec.valid_values is not None:
+            out["valid_values"] = spec.valid_values
+        if spec.valid_regex is not None:
+            out["pattern"] = spec.valid_regex
+        if spec.valid_min is not None:
+            out["minimum"] = spec.valid_min
+        if spec.valid_max is not None:
+            out["maximum"] = spec.valid_max
+        if spec.valid_min_length is not None:
+            out["min_length"] = spec.valid_min_length
+        if spec.valid_max_length is not None:
+            out["max_length"] = spec.valid_max_length
+        if spec.invalid_values is not None:
+            out["invalid_values"] = spec.invalid_values
+        return out
+
+    # ------------------------------------------------------------------
+    # failed samples
+    # ------------------------------------------------------------------
+    def _identifier_columns(self, df: DataFrame, obj: Optional[SchemaObject]) -> List[str]:
+        if obj is None:
+            return []
+        ids = []
+        for p in obj.properties:
+            if p.primary_key or p.unique:
+                col = resolve_column(df, p.column)
+                if col:
+                    ids.append(col)
+        return ids
+
+    def _drop_sensitive(self, columns: List[str], obj: Optional[SchemaObject]) -> List[str]:
+        if obj is None:
+            return columns
+        sensitive = {
+            p.column.lower()
+            for p in obj.properties
+            if (p.classification or "").strip().lower() in _SENSITIVE_CLASSIFICATIONS
+        }
+        return [c for c in columns if c.lower() not in sensitive]
+
+    def _collect_samples(self, run: Run, spec: CheckSpec, df: DataFrame, cond,
+                         column: str, obj: Optional[SchemaObject]) -> None:
+        ids = self._identifier_columns(df, obj)
+        cols: List[str] = []
+        for c in ids + [column]:
+            if c not in cols:
+                cols.append(c)
+        cols = self._drop_sensitive(cols, obj)
+        if not cols:
+            return
+        # deterministic sample order (north rule: stable ordering)
+        order = ids if ids else [column]
+        sample_df = df.filter(cond).select(*cols).orderBy(*order).limit(self.sample_limit)
+        check = run.check(spec.key)
+        if check is not None:
+            check.failedSamples = [self._json_safe(r.asDict()) for r in sample_df.collect()]
+
+    @staticmethod
+    def _json_safe(record: Dict[str, Any]) -> Dict[str, Any]:
+        out = {}
+        for k, v in record.items():
+            if isinstance(v, float) and math.isnan(v):
+                out[k] = None
+            elif isinstance(v, (str, int, float, bool)) or v is None:
+                out[k] = v
+            else:
+                out[k] = str(v)
+        return out

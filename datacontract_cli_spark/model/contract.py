@@ -1,0 +1,305 @@
+"""Contract model: a pragmatic ODCS-v3 subset as plain dataclasses.
+
+Covers the parts of the Open Data Contract Standard the test engine consumes
+(reference consumption points: datacontract/engines/checks/create_checks.py
+and datacontract/engines/ibis/connections/connect.py): schema objects with
+property trees + logicalTypeOptions, quality rules (library metric / sql),
+slaProperties (freshness/retention), and servers. Parsed straight from the
+YAML dict — no pydantic on purpose: the contract only lives on the driver and
+a transparent dict-walk keeps the subset honest.
+
+Also accepts the legacy Data Contract Specification (DCS) layout
+(``models:`` mapping with ``fields:``) and converts it to the same
+dataclasses, mirroring the reference's DCS→ODCS conversion
+(datacontract/lint/resolve.py:375-398).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+@dataclass
+class QualityRule:
+    type: Optional[str] = None  # library | sql | custom | text
+    metric: Optional[str] = None  # rowCount | duplicateValues | nullValues | ...
+    arguments: Optional[Dict[str, Any]] = None
+    description: Optional[str] = None
+    query: Optional[str] = None
+    dialect: Optional[str] = None
+    engine: Optional[str] = None
+    implementation: Optional[str] = None
+    must_be: Any = None
+    must_not_be: Any = None
+    must_be_gt: Any = None
+    must_be_ge: Any = None
+    must_be_lt: Any = None
+    must_be_le: Any = None
+    must_be_between: Optional[List[Any]] = None
+    must_not_be_between: Optional[List[Any]] = None
+    unit: Optional[str] = None
+    severity: Optional[str] = None
+    dimension: Optional[str] = None
+    id: Optional[str] = None
+    tags: Optional[List[str]] = None
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "QualityRule":
+        return QualityRule(
+            type=d.get("type"),
+            metric=d.get("metric"),
+            arguments=d.get("arguments"),
+            description=d.get("description"),
+            query=d.get("query"),
+            dialect=d.get("dialect"),
+            engine=d.get("engine"),
+            implementation=d.get("implementation"),
+            must_be=d.get("mustBe"),
+            must_not_be=d.get("mustNotBe"),
+            must_be_gt=d.get("mustBeGreaterThan"),
+            must_be_ge=d.get("mustBeGreaterOrEqualTo"),
+            must_be_lt=d.get("mustBeLessThan"),
+            must_be_le=d.get("mustBeLessOrEqualTo"),
+            must_be_between=d.get("mustBeBetween"),
+            must_not_be_between=d.get("mustNotBeBetween"),
+            unit=d.get("unit"),
+            severity=d.get("severity"),
+            dimension=d.get("dimension"),
+            id=d.get("id"),
+            tags=d.get("tags"),
+        )
+
+
+@dataclass
+class Property:
+    name: str
+    logical_type: Optional[str] = None
+    physical_type: Optional[str] = None
+    physical_name: Optional[str] = None
+    required: bool = False
+    unique: bool = False
+    primary_key: bool = False
+    primary_key_position: Optional[int] = None
+    classification: Optional[str] = None
+    options: Dict[str, Any] = dc_field(default_factory=dict)  # logicalTypeOptions
+    properties: Optional[List["Property"]] = None  # object children
+    items: Optional["Property"] = None  # array element
+    quality: List[QualityRule] = dc_field(default_factory=list)
+
+    @property
+    def column(self) -> str:
+        """The physical column name this property binds to."""
+        return self.physical_name or self.name
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "Property":
+        children = d.get("properties")
+        items = d.get("items")
+        return Property(
+            name=d.get("name") or "",
+            logical_type=d.get("logicalType"),
+            physical_type=d.get("physicalType"),
+            physical_name=d.get("physicalName"),
+            required=bool(d.get("required", False)),
+            unique=bool(d.get("unique", False)),
+            primary_key=bool(d.get("primaryKey", False)),
+            primary_key_position=d.get("primaryKeyPosition"),
+            classification=d.get("classification"),
+            options=dict(d.get("logicalTypeOptions") or {}),
+            properties=[Property.from_dict(c) for c in children] if children else None,
+            items=Property.from_dict(items) if isinstance(items, dict) else None,
+            quality=[QualityRule.from_dict(q) for q in (d.get("quality") or [])],
+        )
+
+
+@dataclass
+class SchemaObject:
+    name: str
+    physical_name: Optional[str] = None
+    logical_type: str = "table"  # table | blob
+    properties: List[Property] = dc_field(default_factory=list)
+    quality: List[QualityRule] = dc_field(default_factory=list)
+
+    @property
+    def table(self) -> str:
+        return self.physical_name or self.name
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "SchemaObject":
+        return SchemaObject(
+            name=d.get("name") or "",
+            physical_name=d.get("physicalName"),
+            logical_type=d.get("logicalType") or "table",
+            properties=[Property.from_dict(p) for p in (d.get("properties") or [])],
+            quality=[QualityRule.from_dict(q) for q in (d.get("quality") or [])],
+        )
+
+
+@dataclass
+class SLAProperty:
+    property: str  # freshness | retention | ...
+    value: Any = None
+    unit: Optional[str] = None
+    element: Optional[str] = None  # "model.field"
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "SLAProperty":
+        return SLAProperty(
+            property=d.get("property") or "",
+            value=d.get("value"),
+            unit=d.get("unit"),
+            element=d.get("element"),
+        )
+
+
+@dataclass
+class Server:
+    server: Optional[str] = None  # name
+    type: Optional[str] = None  # local | s3 | kafka | dataframe | iceberg | ...
+    format: Optional[str] = None  # parquet | csv | json | delta | iceberg
+    path: Optional[str] = None
+    location: Optional[str] = None
+    catalog: Optional[str] = None
+    schema_: Optional[str] = None
+    options: Dict[str, Any] = dc_field(default_factory=dict)
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "Server":
+        known = {"server", "type", "format", "path", "location", "catalog", "schema"}
+        return Server(
+            server=d.get("server"),
+            type=d.get("type"),
+            format=d.get("format"),
+            path=d.get("path"),
+            location=d.get("location"),
+            catalog=d.get("catalog"),
+            schema_=d.get("schema"),
+            options={k: v for k, v in d.items() if k not in known},
+        )
+
+
+@dataclass
+class DataContract:
+    id: Optional[str] = None
+    version: Optional[str] = None
+    name: Optional[str] = None
+    schema_objects: List[SchemaObject] = dc_field(default_factory=list)
+    servers: List[Server] = dc_field(default_factory=list)
+    sla_properties: List[SLAProperty] = dc_field(default_factory=list)
+
+    def schema_object(self, name: str) -> Optional[SchemaObject]:
+        lowered = name.lower()
+        for s in self.schema_objects:
+            if s.name.lower() == lowered or (s.physical_name or "").lower() == lowered:
+                return s
+        return None
+
+    def server(self, name: Optional[str] = None) -> Optional[Server]:
+        if not self.servers:
+            return None
+        if name is None:
+            return self.servers[0]
+        for s in self.servers:
+            if s.server == name:
+                return s
+        return None
+
+
+# ---------------------------------------------------------------------------
+# loaders
+# ---------------------------------------------------------------------------
+
+def _is_legacy_dcs(doc: Dict[str, Any]) -> bool:
+    return "models" in doc and "schema" not in doc
+
+
+def _convert_legacy_field(name: str, f: Dict[str, Any]) -> Property:
+    """Legacy DCS field → ODCS-ish Property (reference: imports/dcs_importer.py)."""
+    options: Dict[str, Any] = {}
+    for src, dst in [
+        ("minLength", "minLength"),
+        ("maxLength", "maxLength"),
+        ("minimum", "minimum"),
+        ("maximum", "maximum"),
+        ("exclusiveMinimum", "exclusiveMinimum"),
+        ("exclusiveMaximum", "exclusiveMaximum"),
+        ("pattern", "pattern"),
+        ("enum", "enum"),
+    ]:
+        if f.get(src) is not None:
+            options[dst] = f[src]
+    nested = f.get("fields")
+    items = f.get("items")
+    return Property(
+        name=name,
+        logical_type=f.get("type"),
+        physical_type=f.get("physicalType") or f.get("config", {}).get("physicalType")
+        if isinstance(f.get("config"), dict)
+        else f.get("physicalType"),
+        required=bool(f.get("required", False)),
+        unique=bool(f.get("unique", False)),
+        primary_key=bool(f.get("primaryKey") or f.get("primary", False)),
+        classification=f.get("classification"),
+        options=options,
+        properties=[_convert_legacy_field(n, c) for n, c in (nested or {}).items()] or None,
+        items=_convert_legacy_field("items", items) if isinstance(items, dict) else None,
+        quality=[QualityRule.from_dict(q) for q in (f.get("quality") or [])],
+    )
+
+
+def _from_legacy(doc: Dict[str, Any]) -> DataContract:
+    schema_objects = []
+    for model_name, m in (doc.get("models") or {}).items():
+        props = [_convert_legacy_field(n, f) for n, f in (m.get("fields") or {}).items()]
+        schema_objects.append(
+            SchemaObject(
+                name=model_name,
+                logical_type=m.get("type") or "table",
+                properties=props,
+                quality=[QualityRule.from_dict(q) for q in (m.get("quality") or [])],
+            )
+        )
+    info = doc.get("info") or {}
+    servers = []
+    for name, s in (doc.get("servers") or {}).items():
+        d = dict(s)
+        d["server"] = name
+        servers.append(Server.from_dict(d))
+    slas = [SLAProperty.from_dict(s) for s in (doc.get("servicelevels") or [])]
+    return DataContract(
+        id=doc.get("id"),
+        version=info.get("version"),
+        name=info.get("title"),
+        schema_objects=schema_objects,
+        servers=servers,
+        sla_properties=slas,
+    )
+
+
+def _from_odcs(doc: Dict[str, Any]) -> DataContract:
+    servers = doc.get("servers") or []
+    return DataContract(
+        id=doc.get("id"),
+        version=doc.get("version"),
+        name=doc.get("name"),
+        schema_objects=[SchemaObject.from_dict(s) for s in (doc.get("schema") or [])],
+        servers=[Server.from_dict(s) for s in servers],
+        sla_properties=[SLAProperty.from_dict(s) for s in (doc.get("slaProperties") or [])],
+    )
+
+
+def load_contract_str(text: str) -> DataContract:
+    doc = yaml.safe_load(text)
+    if not isinstance(doc, dict):
+        raise ValueError("contract YAML must be a mapping")
+    if _is_legacy_dcs(doc):
+        return _from_legacy(doc)
+    return _from_odcs(doc)
+
+
+def load_contract(path: str) -> DataContract:
+    with open(path, "r", encoding="utf-8") as f:
+        return load_contract_str(f.read())

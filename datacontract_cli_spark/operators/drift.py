@@ -1,0 +1,100 @@
+"""Distribution-drift checks: PSI over categorical frequencies and KS over
+numeric distributions.
+
+Beyond-reference operators mandated by the north rule (SURVEY.md §2.9):
+
+- **PSI** (population stability index) compares the observed category
+  frequency vector of a column (one ``groupBy(col).count()`` — a two-phase
+  hash aggregate whose shuffle payload is one row per category) against a
+  baseline {category: expected_fraction}.
+
+- **KS statistic** compares the observed distribution against a baseline CDF.
+  Two paths: ``baseline={"cdf": [[x, p], ...]}`` evaluates the empirical CDF
+  at the baseline's x-points in a single batched aggregation (exact, one
+  scan); ``baseline={"quantiles": {...}, "use_tdigest": true}`` sketches the
+  column with per-partition t-digests (operators/tdigest.py) and compares
+  CDFs at the baseline quantile values — the 100 TB path when the baseline
+  has many evaluation points.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_EPS = 1e-6
+
+
+def frequency_fractions(df: DataFrame, column: str) -> Dict[Any, float]:
+    """Observed category → fraction, computed in one grouped aggregate."""
+    rows = df.groupBy(F.col(column).alias("k")).agg(F.count(F.lit(1)).alias("n")).collect()
+    total = sum(r["n"] for r in rows)
+    if total == 0:
+        return {}
+    return {r["k"]: r["n"] / total for r in rows}
+
+
+def psi_from_fractions(actual: Dict[Any, float], baseline: Dict[Any, float]) -> float:
+    keys = set(actual) | set(baseline)
+    out = 0.0
+    for k in keys:
+        a = max(actual.get(k, 0.0), _EPS)
+        b = max(float(baseline.get(k, 0.0)), _EPS)
+        out += (a - b) * math.log(a / b)
+    return out
+
+
+def psi(df: DataFrame, column: str, baseline: Dict[Any, float]) -> float:
+    return psi_from_fractions(frequency_fractions(df, column), baseline)
+
+
+def ks_statistic(df: DataFrame, column: str, baseline: Dict[str, Any]) -> float:
+    if "cdf" in baseline:
+        points: List[List[float]] = baseline["cdf"]
+        return _ks_exact_at_points(df, column, points)
+    if "quantiles" in baseline:
+        from datacontract_cli_spark.operators.tdigest import sketch_column
+
+        digest = sketch_column(df, column)
+        worst = 0.0
+        for q_str, x in baseline["quantiles"].items():
+            p = float(q_str)
+            worst = max(worst, abs(digest.cdf(float(x)) - p))
+        return worst
+    raise ValueError("KS baseline needs 'cdf': [[x, p], ...] or 'quantiles': {q: x}")
+
+
+def _ks_exact_at_points(df: DataFrame, column: str, points: List[List[float]]) -> float:
+    """max_i |F̂(x_i) − p_i| with F̂ evaluated for every x_i in ONE aggregation
+    pass (all the count-ifs fuse into a single scan)."""
+    col = F.col(column)
+    exprs = [F.count(col).alias("__n__")]
+    for i, (x, _p) in enumerate(points):
+        exprs.append(F.sum(F.when(col <= F.lit(x), 1).otherwise(0)).alias(f"__le_{i}__"))
+    row = df.agg(*exprs).collect()[0]
+    n = row["__n__"]
+    if not n:
+        return float("nan")
+    worst = 0.0
+    for i, (_x, p) in enumerate(points):
+        worst = max(worst, abs(row[f"__le_{i}__"] / n - float(p)))
+    return worst
+
+
+def ks_two_sample(df1: DataFrame, col1: str, df2: DataFrame, col2: str,
+                  compression: float = 200.0) -> float:
+    """Two-sample KS via t-digest sketches of both sides (each side one
+    distributed sketch pass; comparison on the driver over the union of
+    centroid locations)."""
+    from datacontract_cli_spark.operators.tdigest import sketch_column
+
+    d1 = sketch_column(df1, col1, compression)
+    d2 = sketch_column(df2, col2, compression)
+    xs = sorted(set(d1.means.tolist()) | set(d2.means.tolist()))
+    worst = 0.0
+    for x in xs:
+        worst = max(worst, abs(d1.cdf(x) - d2.cdf(x)))
+    return worst

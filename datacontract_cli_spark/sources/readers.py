@@ -1,0 +1,153 @@
+"""Source binding: contract server → {model name: DataFrame}.
+
+Spark-native replacements for the reference's DuckDB view layer
+(datacontract/engines/ibis/connections/duckdb_connection.py:29-206):
+
+- parquet  → ``spark.read.parquet`` (mergeSchema=true gives the reference's
+  ``union_by_name`` schema-evolution tolerance)
+- csv      → ``spark.read.csv(header=True)`` with the contract schema when
+  available, plus a permissive raw read for presence checks
+- json     → ``spark.read.json`` (multiLine for array-shaped files)
+- delta    → ``spark.read.format("delta")`` (needs the delta jar — gated)
+- iceberg  → ``spark.read.table`` through a configured catalog (gated)
+- kafka    → batch read to latest offsets + from_json (needs the kafka jar —
+  gated; the reference drains the topic in Python: connections/kafka.py)
+
+Paths may contain a ``{model}`` placeholder; otherwise ``<path>/<model>.<fmt>``
+and ``<path>/<model>`` (directory) are probed.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from datacontract_cli_spark.model.contract import DataContract, Property, SchemaObject, Server
+
+_LOGICAL_TO_SPARK = {
+    "string": T.StringType(),
+    "integer": T.LongType(),
+    "number": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "timestamp": T.TimestampType(),
+    "date": T.DateType(),
+    "time": T.StringType(),
+}
+
+
+def contract_spark_type(prop: Property) -> T.DataType:
+    """Contract property → Spark type (mapping direction follows the
+    reference's exporter: datacontract/export/spark_exporter.py:269-402)."""
+    lt = (prop.logical_type or "").lower()
+    if lt == "object":
+        return T.StructType(
+            [T.StructField(c.column, contract_spark_type(c), True) for c in (prop.properties or [])]
+        )
+    if lt == "array":
+        elem = contract_spark_type(prop.items) if prop.items else T.StringType()
+        return T.ArrayType(elem)
+    return _LOGICAL_TO_SPARK.get(lt, T.StringType())
+
+
+def contract_schema(obj: SchemaObject) -> T.StructType:
+    return T.StructType([T.StructField(p.column, contract_spark_type(p), True) for p in obj.properties])
+
+
+def _model_path(server: Server, model: str, fmt: str) -> Optional[str]:
+    base = server.path or server.location
+    if not base:
+        return None
+    if "{model}" in base:
+        return base.replace("{model}", model)
+    for candidate in (
+        os.path.join(base, f"{model}.{fmt}"),
+        os.path.join(base, model),
+        base,
+    ):
+        if os.path.exists(candidate.split("*")[0]) or "*" in candidate:
+            return candidate
+    return base
+
+
+def bind_server(spark: SparkSession, contract: DataContract,
+                server: Optional[Server]) -> Dict[str, DataFrame]:
+    if server is None:
+        raise ValueError("contract has no server to bind")
+    fmt = (server.format or "parquet").lower()
+    stype = (server.type or "local").lower()
+
+    tables: Dict[str, DataFrame] = {}
+    for obj in contract.schema_objects:
+        model = obj.table
+        if stype in ("local", "s3", "gcs", "azure", "filesystem"):
+            path = _model_path(server, model, fmt)
+            if path is None:
+                raise ValueError(f"no path for model {model}")
+            tables[model] = _read_file(spark, path, fmt, obj)
+        elif stype == "dataframe":
+            # models must already exist as temp views on the caller's session
+            tables[model] = spark.table(model)
+        elif stype == "iceberg":
+            ident = ".".join(x for x in (server.catalog, server.schema_, model) if x)
+            tables[model] = spark.read.table(ident)
+        elif stype == "delta":
+            path = _model_path(server, model, "delta")
+            tables[model] = spark.read.format("delta").load(path)
+        elif stype == "kafka":
+            tables[model] = _read_kafka(spark, server, obj)
+        else:
+            raise ValueError(f"unsupported server type: {server.type}")
+    return tables
+
+
+def _read_file(spark: SparkSession, path: str, fmt: str, obj: SchemaObject) -> DataFrame:
+    if fmt == "parquet":
+        return spark.read.option("mergeSchema", "true").parquet(path)
+    if fmt == "csv":
+        schema = contract_schema(obj) if obj.properties else None
+        reader = spark.read.option("header", "true")
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", "true")
+        return reader.csv(path)
+    if fmt in ("json", "jsonl", "ndjson"):
+        multiline = fmt == "json" and _looks_like_array(path)
+        return spark.read.option("multiLine", str(multiline).lower()).json(path)
+    if fmt == "delta":
+        return spark.read.format("delta").load(path)
+    raise ValueError(f"unsupported format: {fmt}")
+
+
+def _looks_like_array(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            head = f.read(64).lstrip()
+        return head.startswith(b"[")
+    except OSError:
+        return False
+
+
+def _read_kafka(spark: SparkSession, server: Server, obj: SchemaObject) -> DataFrame:
+    """Batch-consume a topic to its latest offsets and decode JSON values —
+    the design the reference itself used before moving decoding into Python
+    (noted at datacontract/engines/ibis/connections/kafka.py:8-13).
+    Requires the spark-sql-kafka package on the classpath."""
+    from pyspark.sql import functions as F
+
+    topic = server.options.get("topic") or obj.table
+    raw = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", server.options.get("host", "localhost:9092"))
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .load()
+    )
+    schema = contract_schema(obj)
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("v")
+    ).select("v.*")

@@ -1,0 +1,97 @@
+"""Layer-2 end-to-end: run the contract engine against synthetic transcripts."""
+
+import os
+
+import pytest
+
+from datacontract_cli_spark.engine.executor import SparkContractEngine
+from datacontract_cli_spark.model.contract import load_contract
+from datacontract_cli_spark.model.run import ResultEnum
+from datacontract_cli_spark.sources.transcripts import synthesize_transcripts
+
+HERE = os.path.dirname(__file__)
+
+
+@pytest.fixture(scope="module")
+def contract():
+    return load_contract(os.path.join(HERE, "fixtures", "transcripts_contract.yaml"))
+
+
+def test_clean_transcripts_all_pass(spark, contract):
+    df = synthesize_transcripts(spark, n_convs=200, turns_per_conv=8)
+    run = SparkContractEngine(spark).test(contract, tables={"transcripts": df})
+    assert len(run.checks) == 22
+    failed = [c for c in run.checks if c.result not in (ResultEnum.passed,)]
+    assert failed == [], [(c.key, c.result, c.reason) for c in failed]
+    assert run.result is ResultEnum.passed
+
+
+def test_defective_transcripts_fail_expected_checks(spark, contract):
+    df = synthesize_transcripts(spark, n_convs=200, turns_per_conv=8, defect_rate=0.2)
+    engine = SparkContractEngine(spark, include_failed_samples=True)
+    run = engine.test(contract, tables={"transcripts": df})
+    by_key = {c.key: c for c in run.checks}
+
+    role_required = by_key["transcripts__role__field_required"]
+    assert role_required.result is ResultEnum.failed
+    assert role_required.diagnostics["value"] > 0
+    assert role_required.diagnostics["row_count"] == 1600
+    assert 0 < role_required.diagnostics["failed_fraction"] < 1
+
+    role_enum = by_key["transcripts__role__field_enum"]
+    assert role_enum.result is ResultEnum.failed
+    # NULL roles are missing, not invalid: invalid_count counts only 'robot'
+    assert role_enum.diagnostics["constraint"] == {
+        "valid_values": ["system", "user", "assistant", "tool"]
+    }
+
+    pk = by_key["transcripts__primary_key_unique"]
+    assert pk.result is ResultEnum.failed
+    assert pk.diagnostics["value"] > 0
+    assert pk.failedSamples is not None and len(pk.failedSamples) <= 5
+
+    pattern = by_key["transcripts__conv_id__field_regex"]
+    assert pattern.result is ResultEnum.failed  # orphan- prefix breaks the regex
+
+    assert run.result is ResultEnum.failed
+
+
+def test_failed_samples_are_stable_and_capped(spark, contract):
+    df = synthesize_transcripts(spark, n_convs=100, turns_per_conv=8, defect_rate=0.3)
+    engine = SparkContractEngine(spark, include_failed_samples=True)
+    run1 = engine.test(contract, tables={"transcripts": df})
+    run2 = engine.test(contract, tables={"transcripts": df})
+    c1 = run1.check("transcripts__conv_id__field_regex")
+    c2 = run2.check("transcripts__conv_id__field_regex")
+    assert c1.failedSamples == c2.failedSamples  # deterministic ordering
+    assert len(c1.failedSamples) <= 5
+
+
+def test_row_filter_scopes_scan_checks(spark, contract):
+    df = synthesize_transcripts(spark, n_convs=50, turns_per_conv=8, defect_rate=0.3)
+    engine = SparkContractEngine(spark)
+    # restrict to rows whose role is valid → enum check passes under filter
+    run = engine.test(
+        contract,
+        tables={"transcripts": df},
+        filters=["role IS NOT NULL AND role IN ('system','user','assistant','tool')"],
+    )
+    assert run.check("transcripts__role__field_enum").result is ResultEnum.passed
+    assert run.check("transcripts__role__field_required").result is ResultEnum.passed
+
+
+def test_bad_row_filter_errors_not_fails(spark, contract):
+    df = synthesize_transcripts(spark, n_convs=10, turns_per_conv=4)
+    run = SparkContractEngine(spark).test(
+        contract, tables={"transcripts": df}, filters=["no_such_column > 1"]
+    )
+    rc = run.check("transcripts__row_count")
+    assert rc.result is ResultEnum.error
+    # schema checks are not subject to row filters
+    assert run.check("transcripts__conv_id__field_is_present").result is ResultEnum.passed
+    assert run.result is ResultEnum.error
+
+
+def test_missing_model_errors(spark, contract):
+    run = SparkContractEngine(spark).test(contract, tables={"other": synthesize_transcripts(spark, 2, 2)})
+    assert all(c.result is ResultEnum.error for c in run.checks if c.model == "transcripts")
