@@ -1,0 +1,294 @@
+"""Deduplication operators for large-scale text corpora.
+
+All hot-path expressions are JVM-side Column trees (higher-order array
+functions over tokenized text) — no Python executes per row. The pipeline
+shapes follow the standard near-dup literature (MinHash/LSH: Broder 1997;
+SimHash: Charikar 2002) re-expressed as DataFrame ops:
+
+- exact:    hash-groupBy on a normalization fingerprint (two-phase agg)
+- minhash:  shingle → K minhashes (per-row array math, no shuffle) →
+            band buckets (one shuffle on (band, hash)) → candidate pairs
+            within buckets (self-join co-partitioned by bucket) →
+            signature-agreement estimate of Jaccard
+- simhash:  token-hash bit aggregation per row → 4×16-bit words →
+            candidates share a word (pigeonhole: hamming ≤ 3 over 64 bits
+            guarantees one equal word) → exact hamming on candidates
+- n-gram Jaccard: exact verification on candidate pairs (explode + join
+            co-partitioned on doc id)
+- embedding cosine near-dup: see operators/similarity.py
+
+Scale notes: every self-join here is bucket-local (the shuffle key is the
+LSH bucket, not the document), so the quadratic blow-up is bounded by
+bucket size; AQE splits skewed buckets. At 100 TB the band/bucket shuffle
+is the only full-data movement and it carries only (id, band, hash64).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# normalization + exact dedup
+# ---------------------------------------------------------------------------
+
+def normalized_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace — the canonical form for exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def text_fingerprint(col: Column) -> Column:
+    """64-bit content fingerprint of the normalized text."""
+    return F.xxhash64(normalized_text(col))
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (after normalization) documents:
+    fingerprint, n. Two-phase hash aggregate; only (hash, count) shuffles."""
+    return (
+        df.select(text_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id document of every exact-duplicate group."""
+    w = Window.partitionBy(text_fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + minhash
+# ---------------------------------------------------------------------------
+
+def tokens(col: Column) -> Column:
+    return F.split(normalized_text(col), " ")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as an array column (empty-safe)."""
+    toks = tokens(col)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # short docs: fall back to the whole text as one shingle
+    return F.when(count > 0, F.array_distinct(grams)).otherwise(
+        F.array(normalized_text(col))
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """K independent minhashes: min over shingles of xxhash64(shingle, seed_k).
+    Pure per-row array math — no shuffle, no Python."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s, k=k: F.xxhash64(s, F.lit(k))))
+            for k in range(num_hashes)
+        ]
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_size: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH,
+    with the signature-agreement Jaccard estimate attached."""
+    rows_per_band = num_hashes // bands
+    sig = (
+        df.select(F.col(id_col).alias("id"),
+                  minhash_signature(word_shingles(F.col(text_col), shingle_size),
+                                    num_hashes).alias("sig"))
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ])
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return pairs.select(
+        "id_a", "id_b", (agree / F.lit(num_hashes)).alias("est_jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    **kwargs,
+) -> DataFrame:
+    return minhash_candidates(df, id_col, text_col, **kwargs).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for document pairs.
+
+    With ``candidates`` (id_a, id_b — e.g. from minhash_candidates) only
+    those pairs are verified (the 100 TB path). Without, all pairs sharing
+    at least one shingle are scored via an inverted-index join (only viable
+    at small scale, but exact)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+        F.size(word_shingles(F.col(text_col), n)).alias("len"),
+    )
+    if candidates is not None:
+        a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("len").alias("len_a"))
+        b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("len").alias("len_b"))
+        joined = candidates.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        jac = inter / (F.col("len_a") + F.col("len_b") - inter)
+        return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
+            F.col("jaccard") >= threshold
+        )
+    inv = sh.select("id", "len", F.explode("sh").alias("g"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), on=[F.col("a.g") == F.col("b.g"), F.col("a.id") < F.col("b.id")])
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                 F.col("a.len").alias("len_a"), F.col("b.len").alias("len_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("len_a") + F.col("len_b") - F.col("inter"))
+    return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash_words(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash as 4×16-bit words (w0..w3) + the bit array.
+
+    Each token hashes once; its 64 bits vote ±1 per position; the sign of
+    each position's sum is the fingerprint bit. All in one per-row
+    ``aggregate`` over the token array — zero shuffle."""
+    toks = tokens(F.col(text_col))
+    # per-token ±1 votes for each of the 64 bit positions, unrolled at plan
+    # time (shiftright takes a literal bit count)
+    bit_votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (
+                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) * 2 - 1
+                    ).cast("long")
+                    for b in range(64)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    bits = F.transform(bit_votes, lambda v: (v > 0).cast("int"))
+    out = df.select(F.col(id_col).alias("id"), bits.alias("bits"))
+    word = lambda w: F.aggregate(  # noqa: E731
+        F.slice(F.col("bits"), w * 16 + 1, 16),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * 2 + b,
+    )
+    return out.select(
+        "id", "bits",
+        word(0).alias("w0"), word(1).alias("w1"), word(2).alias("w2"), word(3).alias("w3"),
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming (≤3 ⇒ pigeonhole
+    over 4 words is exhaustive). Candidates block on each 16-bit word; the
+    exact hamming distance filters them."""
+    s = simhash_words(df, id_col, text_col)
+    cands = None
+    for w in ("w0", "w1", "w2", "w3"):
+        block = (
+            s.alias("a")
+            .join(s.alias("b"), on=[F.col(f"a.{w}") == F.col(f"b.{w}"), F.col("a.id") < F.col("b.id")])
+            .select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.bits").alias("bits_a"), F.col("b.bits").alias("bits_b"),
+            )
+        )
+        cands = block if cands is None else cands.unionByName(block)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    hamming = F.size(
+        F.filter(F.zip_with("bits_a", "bits_b", lambda x, y: (x != y).cast("int")),
+                 lambda v: v == 1)
+    )
+    return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,100 @@
+"""Per-column profiling: one multi-aggregate pass per table.
+
+Not in the reference (SURVEY.md §2.3); mandated by the north star: null
+fraction, distinct counts via HyperLogLog (approx_count_distinct), min/max,
+and quantiles (percentile_approx — Spark's built-in KLL-style sketch) for
+every column of interest, computed in a SINGLE ``df.agg`` so the table is
+scanned once regardless of how many columns/stats are requested.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+
+_NUMERIC = {"int", "bigint", "smallint", "tinyint", "float", "double", "decimal"}
+
+
+def _is_numeric(dtype: str) -> bool:
+    return dtype.split("(")[0] in _NUMERIC
+
+
+def profile(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    exact_distinct: bool = False,
+) -> Dict[str, dict]:
+    """Column → stats dict, from exactly one aggregation job.
+
+    ``exact_distinct=True`` swaps HLL for exact countDistinct (used when a
+    result must match a SQL oracle bit-for-bit; HLL is the 100 TB default).
+    """
+    dtypes = dict(df.dtypes)
+    cols = list(columns) if columns else df.columns
+    exprs = [F.count(F.lit(1)).alias("__n__")]
+    for c in cols:
+        qc = F.col(f"`{c}`")
+        exprs.append(F.sum(F.when(qc.isNull(), 1).otherwise(0)).alias(f"{c}::nulls"))
+        if exact_distinct:
+            exprs.append(F.countDistinct(qc).alias(f"{c}::distinct"))
+        else:
+            exprs.append(F.approx_count_distinct(qc).alias(f"{c}::distinct"))
+        dtype = dtypes.get(c, "")
+        if _is_numeric(dtype):
+            exprs.append(F.min(qc).alias(f"{c}::min"))
+            exprs.append(F.max(qc).alias(f"{c}::max"))
+            exprs.append(F.avg(qc).alias(f"{c}::avg"))
+            exprs.append(
+                F.percentile_approx(qc, list(quantiles), 10000).alias(f"{c}::quantiles")
+            )
+        elif dtype == "string":
+            exprs.append(F.min(F.length(qc)).alias(f"{c}::min_len"))
+            exprs.append(F.max(F.length(qc)).alias(f"{c}::max_len"))
+            exprs.append(F.avg(F.length(qc)).alias(f"{c}::avg_len"))
+        elif dtype in ("timestamp", "date"):
+            exprs.append(F.min(qc).alias(f"{c}::min"))
+            exprs.append(F.max(qc).alias(f"{c}::max"))
+
+    row: Row = df.agg(*exprs).collect()[0]
+    d = row.asDict()
+    n = d["__n__"]
+    out: Dict[str, dict] = {}
+    for c in cols:
+        stats = {"count": n, "null_count": d[f"{c}::nulls"],
+                 "null_fraction": (d[f"{c}::nulls"] / n) if n else 0.0,
+                 "distinct": d[f"{c}::distinct"]}
+        for suffix in ("min", "max", "avg", "min_len", "max_len", "avg_len"):
+            k = f"{c}::{suffix}"
+            if k in d:
+                stats[suffix] = d[k]
+        qk = f"{c}::quantiles"
+        if qk in d and d[qk] is not None:
+            stats["quantiles"] = dict(zip([str(q) for q in quantiles], d[qk]))
+        out[c] = stats
+    return out
+
+
+def profile_df(df: DataFrame, columns: Optional[Sequence[str]] = None,
+               exact_distinct: bool = False) -> DataFrame:
+    """The same single-pass profile as a small DataFrame
+    (column, count, null_count, distinct, min, max) — handy as a query
+    result / oracle target."""
+    stats = profile(df, columns, exact_distinct=exact_distinct)
+    spark = df.sparkSession
+    rows = [
+        (
+            c,
+            int(s["count"]),
+            int(s["null_count"]),
+            int(s["distinct"]),
+            str(s.get("min")) if s.get("min") is not None else None,
+            str(s.get("max")) if s.get("max") is not None else None,
+        )
+        for c, s in stats.items()
+    ]
+    return spark.createDataFrame(
+        rows, "column string, n_rows bigint, null_count bigint, n_distinct bigint, min_value string, max_value string"
+    )

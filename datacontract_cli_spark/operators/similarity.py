@@ -1,0 +1,148 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k against one query vector. The
+  dot product is a per-row ``aggregate(zip_with(...))`` — JVM-side, one
+  scan, TakeOrderedAndProject for the top-k (no full sort, no shuffle of
+  vectors; each partition ships only its local top-k to the driver).
+- ``RandomHyperplaneLSH``: sign-bit bucketing (Charikar 2002) — the scale
+  path. Vectors hash to a ``nbits``-bit bucket; a query probes its own
+  bucket (+ optional 1-bit-flip neighbors) and only those candidates get
+  exact scoring. Hyperplanes are a seeded numpy matrix embedded as a
+  literal column, so bucketing is still pure Column math.
+- ``embedding_near_duplicates``: all pairs with cosine ≥ τ, LSH-blocked.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _lit_array(values: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity to ``query``.
+    Deterministic tie-break on id."""
+    q = _lit_array(query)
+    vec = F.col(vec_col).cast("array<double>")
+    scored = df.select(
+        F.col(id_col),
+        cosine(vec, q).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+class RandomHyperplaneLSH:
+    """Sign-bit LSH index over an embedding column."""
+
+    def __init__(self, dim: int, nbits: int = 16, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((nbits, dim))
+        self.nbits = nbits
+
+    def bucket_expr(self, vec: Column) -> Column:
+        """The integer bucket id of a vector column."""
+        bucket = F.lit(0).cast("long")
+        for i, plane in enumerate(self.planes):
+            bit = (dot(vec, _lit_array(plane)) > 0).cast("long")
+            bucket = bucket + bit * F.lit(1 << i)
+        return bucket
+
+    def assign(self, df: DataFrame, vec_col: str) -> DataFrame:
+        vec = F.col(vec_col).cast("array<double>")
+        return df.withColumn("__bucket__", self.bucket_expr(vec))
+
+    def query_buckets(self, query: Sequence[float], probe_bits: int = 1) -> List[int]:
+        """The query's bucket plus all buckets within ``probe_bits`` flips."""
+        sig = 0
+        for i, plane in enumerate(self.planes):
+            if float(np.dot(plane, np.asarray(query, dtype=float))) > 0:
+                sig |= 1 << i
+        buckets = [sig]
+        if probe_bits >= 1:
+            buckets += [sig ^ (1 << i) for i in range(self.nbits)]
+        return buckets
+
+    def topk(
+        self,
+        df: DataFrame,
+        vec_col: str,
+        query: Sequence[float],
+        k: int = 10,
+        id_col: str = "vec_id",
+        probe_bits: int = 1,
+    ) -> DataFrame:
+        """Approximate top-k: exact cosine scoring restricted to the probed
+        buckets. The bucket filter prunes the scan before any vector math."""
+        assigned = self.assign(df, vec_col)
+        cands = assigned.filter(
+            F.col("__bucket__").isin(self.query_buckets(query, probe_bits))
+        )
+        return cosine_topk(cands.drop("__bucket__"), vec_col, query, k, id_col)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    nbits: int = 12,
+    seed: int = 42,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine ≥ threshold. LSH-blocked: only pairs
+    landing in the same sign-bucket get exact scoring, so the self-join is
+    bucket-local (near-identical vectors almost surely share all sign bits)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    lsh = RandomHyperplaneLSH(dim, nbits=nbits, seed=seed)
+    assigned = lsh.assign(df, vec_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        "__bucket__",
+    )
+    pairs = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            on=[
+                F.col("a.__bucket__") == F.col("b.__bucket__"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cosine_sim"),
+        )
+    )
+    return pairs.filter(F.col("cosine_sim") >= threshold)

@@ -1,0 +1,123 @@
+"""Text analysis operators: token counts, quality scoring, language ID,
+document fingerprinting.
+
+Everything is built from ``pyspark.sql.functions`` Column expressions —
+whole-stage-codegen'd, zero Python on the executors. Each function returns
+either a Column (composable into any select) or a DataFrame transformer.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A BPE-ish word/punctuation splitter: words, numbers, or single
+# non-space symbols each count as one token.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+_STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "das", "und", "ist", "ich", "nicht", "ein", "mit", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "je", "ne", "un", "une", "des"],
+    "es": ["el", "la", "los", "y", "es", "no", "un", "una", "que", "de"],
+}
+
+
+def whitespace_token_count(col: Column) -> Column:
+    """Number of whitespace-separated tokens (empty text → 0)."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def regex_token_count(col: Column) -> Column:
+    """Token count under the BPE-ish regex (words / numbers / symbols)."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_PATTERN), 0))
+
+
+def punct_ratio(col: Column) -> Column:
+    total = F.length(col)
+    non_punct = F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return F.when(total > 0, (total - non_punct) / total).otherwise(F.lit(0.0))
+
+
+def upper_ratio(col: Column) -> Column:
+    total = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    uppers = F.length(F.regexp_replace(col, r"[^A-Z]", ""))
+    return F.when(total > 0, uppers / total).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = F.split(F.trim(col), r"\s+")
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(toks) > 0, total_len / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    stops = _STOPWORDS.get(lang, _STOPWORDS["en"])
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stops)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic [0,1] quality score: long enough, not punctuation soup,
+    not shouting, some stopwords (natural-language-ness)."""
+    n_tokens = whitespace_token_count(col)
+    length_ok = F.least(n_tokens / F.lit(20.0), F.lit(1.0))
+    punct_pen = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
+    upper_pen = F.lit(1.0) - F.least(upper_ratio(col) * 2, F.lit(1.0))
+    stop_bonus = F.least(stopword_ratio(col) * 5, F.lit(1.0))
+    return (length_ok * 0.4 + punct_pen * 0.25 + upper_pen * 0.15 + stop_bonus * 0.2)
+
+
+def language_scores(col: Column) -> Column:
+    """Per-language stopword-hit fractions as a map<string,double>."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    n = F.greatest(F.size(toks), F.lit(1))
+
+    def membership(words):
+        # factory so each lambda closes over its own stopword list and stays
+        # single-arg (pyspark derives lambda arity from the signature)
+        return lambda t: t.isin(*words)
+
+    entries = []
+    for lang, stops in _STOPWORDS.items():
+        hits = F.size(F.filter(toks, membership(stops)))
+        entries.append(F.struct(F.lit(lang).alias("lang"), (hits / n).alias("score")))
+    return F.array(*entries)
+
+
+def detect_language(col: Column, default: str = "und") -> Column:
+    """Argmax of the stopword scores; 'und' when nothing matches."""
+    scores = language_scores(col)
+    best = F.array_max(F.transform(scores, lambda s: s["score"]))
+    winner = F.filter(scores, lambda s: s["score"] == best)[0]["lang"]
+    return F.when(best > 0, winner).otherwise(F.lit(default))
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """64-bit rolling-hash-style fingerprint of the normalized document."""
+    return F.xxhash64(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All per-document stats in one projection (single scan, codegen'd)."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        F.length(c).alias("n_chars_computed"),
+        whitespace_token_count(c).alias("n_tokens"),
+        regex_token_count(c).alias("n_tokens_bpe"),
+        punct_ratio(c).alias("punct_ratio"),
+        upper_ratio(c).alias("upper_ratio"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        quality_score(c).alias("quality_score"),
+        detect_language(c).alias("lang_pred"),
+        doc_fingerprint(c).alias("fingerprint"),
+    )
