@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full contract validation over sf0.001 tables,
+returning the check results as a DataFrame.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 (+ the beyond-reference operators). Each Spark query routes
+through the engine/operators modules where natural; each oracle is the
+equivalent ANSI SQL for DuckDB over the same parquet views. Column names
+are aliased identically on both sides; float aggregates are rounded the
+same number of digits on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +16,559 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from datacontract_cli_spark.checks.spec import CheckSpec, MetricType
+from datacontract_cli_spark.engine.predicates import invalid_condition, missing_condition
+from datacontract_cli_spark.operators import dedup, drift, similarity, textstats
+from datacontract_cli_spark.operators.refintegrity import orphan_count
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _spec(**kw) -> CheckSpec:
+    base = dict(key="q", category="quality", type="q", name="q", model="m",
+                metric=MetricType.INVALID_COUNT)
+    base.update(kw)
+    return CheckSpec(**base)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Validate a contract over the sf0.001 orders/lineitem tables and
+    return one row per check (stable schema)."""
+    from datacontract_cli_spark.engine.executor import SparkContractEngine
+    from datacontract_cli_spark.model.contract import load_contract_str
+
+    sf_dir = "/root/testdata/sf0.001"
+    contract = load_contract_str(
+        """
+id: tpch-orders
+version: 1.0.0
+schema:
+  - name: orders
+    properties:
+      - name: o_orderkey
+        logicalType: integer
+        required: true
+        primaryKey: true
+      - name: o_custkey
+        logicalType: integer
+        required: true
+      - name: o_orderstatus
+        logicalType: string
+        logicalTypeOptions:
+          enum: [O, F, P]
+      - name: o_totalprice
+        logicalType: number
+        logicalTypeOptions:
+          minimum: 0
+    quality:
+      - type: library
+        metric: rowCount
+        mustBeGreaterThan: 0
+      - type: library
+        metric: referentialIntegrity
+        mustBe: 0
+        arguments:
+          ref: customer.c_custkey
+        # applies at model level via the field below
+  - name: customer
+    properties:
+      - name: c_custkey
+        logicalType: integer
+        required: true
+        primaryKey: true
+"""
+    )
+    # attach the RI rule at field level (YAML above keeps model-level rules simple)
+    orders_obj = contract.schema_object("orders")
+    custkey = next(p for p in orders_obj.properties if p.name == "o_custkey")
+    from datacontract_cli_spark.model.contract import QualityRule
+    custkey.quality.append(QualityRule(
+        metric="referentialIntegrity", must_be=0,
+        arguments={"ref": "customer.c_custkey"},
+    ))
+
+    tables = {
+        "orders": _t(spark, sf_dir, "orders"),
+        "customer": _t(spark, sf_dir, "customer"),
+    }
+    run = SparkContractEngine(spark).test(contract, tables=tables)
+    rows = [
+        (c.key, c.category, c.type, c.model, c.field, c.result.value,
+         str((c.diagnostics or {}).get("value")))
+        for c in run.checks
+    ]
+    return spark.createDataFrame(
+        rows,
+        "check_key string, category string, type string, model string, "
+        "field string, result string, metric_value string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_row_count(spark, sf):
+    return _t(spark, sf, "lineitem").agg(F.count(F.lit(1)).alias("row_count"))
+
+
+def _q_missing_count(spark, sf):
+    ev = _t(spark, sf, "events")
+    spec = _spec(field="event_type", metric=MetricType.MISSING_COUNT,
+                 missing_values=["error"])
+    cond = missing_condition(ev, "event_type", spec)
+    return ev.agg(
+        F.sum(F.when(cond, 1).otherwise(0)).alias("missing_count"),
+        F.count(F.lit(1)).alias("row_count"),
+    )
+
+
+def _q_invalid_enum(spark, sf):
+    orders = _t(spark, sf, "orders")
+    spec = _spec(field="o_orderstatus", valid_values=["O", "F"])
+    cond = invalid_condition(orders, "o_orderstatus", spec)
+    return orders.agg(F.sum(F.when(cond, 1).otherwise(0)).alias("invalid_count"))
+
+
+def _q_invalid_range(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    spec = _spec(field="l_discount", valid_min=0.02, valid_max=0.08)
+    cond = invalid_condition(li, "l_discount", spec)
+    return li.agg(F.sum(F.when(cond, 1).otherwise(0)).alias("invalid_count"))
+
+
+def _q_invalid_regex(spark, sf):
+    cust = _t(spark, sf, "customer")
+    spec = _spec(field="c_name", valid_regex="^Customer#[0-9]{9}$")
+    cond = invalid_condition(cust, "c_name", spec)
+    return cust.agg(F.sum(F.when(cond, 1).otherwise(0)).alias("invalid_count"))
+
+
+def _q_invalid_max_length(spark, sf):
+    docs = _t(spark, sf, "documents")
+    spec = _spec(field="text", valid_max_length=300)
+    cond = invalid_condition(docs, "text", spec)
+    return docs.agg(F.sum(F.when(cond, 1).otherwise(0)).alias("invalid_count"))
+
+
+def _q_duplicate_count(spark, sf):
+    orders = _t(spark, sf, "orders")
+    dup_groups = (
+        orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    return dup_groups.agg(F.count(F.lit(1)).alias("duplicate_count"))
+
+
+def _q_duplicate_composite(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    dup_groups = (
+        li.groupBy("l_orderkey", "l_linenumber").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    return dup_groups.agg(F.count(F.lit(1)).alias("duplicate_count"))
+
+
+def _q_freshness_retention(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+    )
+
+
+def _q_row_filter(spark, sf):
+    orders = _t(spark, sf, "orders").filter(F.expr("o_totalprice <= 1000"))
+    return orders.agg(F.count(F.lit(1)).alias("row_count"))
+
+
+def _q_violation_samples(spark, sf):
+    orders = _t(spark, sf, "orders")
+    spec = _spec(field="o_totalprice", valid_max=1000.0)
+    cond = invalid_condition(orders, "o_totalprice", spec)
+    return (
+        orders.filter(cond)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy("o_orderkey")
+        .limit(5)
+    )
+
+
+def _q_percent_failed(spark, sf):
+    ev = _t(spark, sf, "events")
+    bad = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return ev.agg(
+        F.round(bad * 100.0 / F.count(F.lit(1)), 6).alias("failed_percent")
+    )
+
+
+def _q_profile_orders(spark, sf):
+    from datacontract_cli_spark.operators.profile import profile_df
+    return profile_df(
+        _t(spark, sf, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        exact_distinct=True,
+    )
+
+
+def _q_referential_integrity(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    ev = _t(spark, sf, "events")
+    cust = _t(spark, sf, "customer")
+    return spark.createDataFrame(
+        [(orphan_count(li, "l_orderkey", orders, "o_orderkey"),
+          orphan_count(ev, "user_id", cust, "c_custkey"))],
+        "lineitem_orphans bigint, event_user_orphans bigint",
+    )
+
+
+def _q_psi_event_type(spark, sf):
+    baseline = {"click": 0.2, "error": 0.2, "purchase": 0.2, "signup": 0.2, "view": 0.2}
+    value = drift.psi(_t(spark, sf, "events"), "event_type", baseline)
+    return spark.createDataFrame([(round(value, 6),)], "psi double")
+
+
+def _q_ks_value(spark, sf):
+    points = [[10.0, 0.1], [35.0, 0.5], [100.0, 0.9], [300.0, 0.99]]
+    value = drift.ks_statistic(_t(spark, sf, "events"), "value", {"cdf": points})
+    return spark.createDataFrame([(round(value, 6),)], "ks double")
+
+
+def _q_window_top3(spark, sf):
+    from pyspark.sql import Window
+    orders = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+def _q_tpch_q1(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_join_revenue_by_nation(spark, sf):
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    nation = _t(spark, sf, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+def _q_topk_parts(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .orderBy(F.desc("total_qty"), F.col("l_partkey"))
+        .limit(10)
+    )
+
+
+def _q_sessionization(spark, sf):
+    from pyspark.sql import Window
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    # parquet TIMESTAMP_NTZ → cast to session-UTC timestamp for unix_millis
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    prev_ms = F.unix_millis(F.lag(F.col("ts").cast("timestamp")).over(w))
+    gap = ms - prev_ms
+    marked = ev.withColumn("new_session",
+                           F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0))
+    return marked.agg(F.sum("new_session").alias("n_sessions"))
+
+
+# --- training-data ops -------------------------------------------------------
+
+def _q_dedup_exact(spark, sf):
+    docs = _t(spark, sf, "documents")
+    norm = dedup.normalized_text(F.col("text"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(norm).alias("n_unique"),
+    )
+
+
+def _q_token_stats(spark, sf):
+    docs = _t(spark, sf, "documents")
+    n_tok = textstats.whitespace_token_count(F.col("text"))
+    return docs.agg(
+        F.sum(n_tok).alias("total_tokens"),
+        F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+
+
+def _q_lang_freq(spark, sf):
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(textstats.whitespace_token_count(F.col("text"))), 4).alias("avg_tokens"),
+        )
+    )
+
+
+def _q_text_quality(spark, sf):
+    docs = _t(spark, sf, "documents")
+    n_tok = textstats.whitespace_token_count(F.col("text"))
+    keep = (n_tok >= 20) & (n_tok <= 60) & (F.col("lang") == "en")
+    return docs.agg(
+        F.sum(F.when(keep, 1).otherwise(0)).alias("kept"),
+        F.count(F.lit(1)).alias("total"),
+    )
+
+
+def _q_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = similarity.cosine_topk(emb.filter(F.col("vec_id") != 0), "embedding", qv, 5)
+    return top.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+def _q_minhash_near_dups(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return (
+        dedup.minhash_near_duplicates(docs, "doc_id", threshold=0.8)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _q_ngram_jaccard_dups(spark, sf):
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard(docs, "doc_id", n=3, threshold=0.8)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _q_simhash_near_dups(spark, sf):
+    docs = _t(spark, sf, "documents")
+    return dedup.simhash_near_duplicates(docs, "doc_id", max_hamming=3).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def _q_embedding_near_dups(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return similarity.embedding_near_duplicates(emb, threshold=0.9).select(
+        "id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "row_count": _q_row_count,
+        "missing_count": _q_missing_count,
+        "invalid_count_enum": _q_invalid_enum,
+        "invalid_count_range": _q_invalid_range,
+        "invalid_count_regex": _q_invalid_regex,
+        "invalid_count_max_length": _q_invalid_max_length,
+        "duplicate_count": _q_duplicate_count,
+        "duplicate_count_composite": _q_duplicate_composite,
+        "freshness_retention": _q_freshness_retention,
+        "row_filter": _q_row_filter,
+        "violation_samples": _q_violation_samples,
+        "percent_failed": _q_percent_failed,
+        "profile_orders": _q_profile_orders,
+        "referential_integrity": _q_referential_integrity,
+        "psi_event_type": _q_psi_event_type,
+        "ks_value": _q_ks_value,
+        "window_top3_per_customer": _q_window_top3,
+        "tpch_q1": _q_tpch_q1,
+        "join_revenue_by_nation": _q_join_revenue_by_nation,
+        "topk_parts": _q_topk_parts,
+        "sessionization": _q_sessionization,
+        "dedup_exact": _q_dedup_exact,
+        "token_stats": _q_token_stats,
+        "lang_freq": _q_lang_freq,
+        "text_quality_filter": _q_text_quality,
+        "cosine_topk": _q_cosine_topk,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "ngram_jaccard_dups": _q_ngram_jaccard_dups,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "embedding_near_dups": _q_embedding_near_dups,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "row_count": "SELECT count(*) AS row_count FROM lineitem",
+        "missing_count": (
+            "SELECT count(*) FILTER (WHERE event_type IS NULL OR event_type = 'error') "
+            "AS missing_count, count(*) AS row_count FROM events"
+        ),
+        "invalid_count_enum": (
+            "SELECT count(*) FILTER (WHERE o_orderstatus IS NOT NULL "
+            "AND o_orderstatus NOT IN ('O','F')) AS invalid_count FROM orders"
+        ),
+        "invalid_count_range": (
+            "SELECT count(*) FILTER (WHERE l_discount IS NOT NULL "
+            "AND NOT (l_discount >= 0.02 AND l_discount <= 0.08)) AS invalid_count FROM lineitem"
+        ),
+        "invalid_count_regex": (
+            "SELECT count(*) FILTER (WHERE c_name IS NOT NULL "
+            "AND NOT regexp_matches(c_name, '^Customer#[0-9]{9}$')) AS invalid_count FROM customer"
+        ),
+        "invalid_count_max_length": (
+            "SELECT count(*) FILTER (WHERE text IS NOT NULL AND length(text) > 300) "
+            "AS invalid_count FROM documents"
+        ),
+        "duplicate_count": (
+            "SELECT count(*) AS duplicate_count FROM "
+            "(SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) > 1)"
+        ),
+        "duplicate_count_composite": (
+            "SELECT count(*) AS duplicate_count FROM "
+            "(SELECT l_orderkey, l_linenumber FROM lineitem "
+            "GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)"
+        ),
+        "freshness_retention": (
+            "SELECT strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts, "
+            "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts FROM events"
+        ),
+        "row_filter": "SELECT count(*) AS row_count FROM orders WHERE o_totalprice <= 1000",
+        "violation_samples": (
+            "SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders "
+            "WHERE o_totalprice IS NOT NULL AND o_totalprice > 1000 "
+            "ORDER BY o_orderkey LIMIT 5"
+        ),
+        "percent_failed": (
+            "SELECT round(100.0 * count(*) FILTER (WHERE event_type = 'error') "
+            "/ count(*), 6) AS failed_percent FROM events"
+        ),
+        "profile_orders": (
+            "SELECT 'o_orderkey' AS \"column\", count(*) AS n_rows, "
+            "count(*) FILTER (WHERE o_orderkey IS NULL) AS null_count, "
+            "count(DISTINCT o_orderkey) AS n_distinct, "
+            "CAST(min(o_orderkey) AS VARCHAR) AS min_value, CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM orders "
+            "UNION ALL SELECT 'o_custkey', count(*), count(*) FILTER (WHERE o_custkey IS NULL), "
+            "count(DISTINCT o_custkey), CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders "
+            "UNION ALL SELECT 'o_orderstatus', count(*), count(*) FILTER (WHERE o_orderstatus IS NULL), "
+            "count(DISTINCT o_orderstatus), min(length(o_orderstatus))::VARCHAR, max(length(o_orderstatus))::VARCHAR FROM orders "
+            "UNION ALL SELECT 'o_orderpriority', count(*), count(*) FILTER (WHERE o_orderpriority IS NULL), "
+            "count(DISTINCT o_orderpriority), min(length(o_orderpriority))::VARCHAR, max(length(o_orderpriority))::VARCHAR FROM orders"
+        ),
+        "referential_integrity": (
+            "SELECT (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL AND "
+            "NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS lineitem_orphans, "
+            "(SELECT count(*) FROM events e WHERE e.user_id IS NOT NULL AND "
+            "NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS event_user_orphans"
+        ),
+        "psi_event_type": (
+            "SELECT round(sum((frac - 0.2) * ln(frac / 0.2)), 6) AS psi FROM ("
+            "SELECT CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS frac "
+            "FROM events GROUP BY event_type)"
+        ),
+        "ks_value": (
+            "SELECT round(greatest("
+            "abs(CAST(count(*) FILTER (WHERE value <= 10.0) AS DOUBLE)/count(value) - 0.1), "
+            "abs(CAST(count(*) FILTER (WHERE value <= 35.0) AS DOUBLE)/count(value) - 0.5), "
+            "abs(CAST(count(*) FILTER (WHERE value <= 100.0) AS DOUBLE)/count(value) - 0.9), "
+            "abs(CAST(count(*) FILTER (WHERE value <= 300.0) AS DOUBLE)/count(value) - 0.99)"
+            "), 6) AS ks FROM events"
+        ),
+        "window_top3_per_customer": (
+            "SELECT o_custkey, o_orderkey, rn FROM ("
+            "SELECT o_custkey, o_orderkey, row_number() OVER "
+            "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+            "FROM orders) WHERE rn <= 3"
+        ),
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "join_revenue_by_nation": (
+            "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name"
+        ),
+        "topk_parts": (
+            "SELECT l_partkey, round(sum(l_quantity), 2) AS total_qty FROM lineitem "
+            "GROUP BY l_partkey ORDER BY total_qty DESC, l_partkey LIMIT 10"
+        ),
+        "sessionization": (
+            "SELECT count(*) AS n_sessions FROM ("
+            "SELECT epoch_ms(ts) - epoch_ms(lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id)) AS gap FROM events"
+            ") WHERE gap IS NULL OR gap > 1800000"
+        ),
+        "dedup_exact": (
+            "SELECT count(*) AS n_docs, "
+            "count(DISTINCT trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS n_unique "
+            "FROM documents"
+        ),
+        "token_stats": (
+            "SELECT sum(n) AS total_tokens, round(avg(n), 4) AS avg_tokens, "
+            "round(avg(length(text)), 4) AS avg_chars FROM ("
+            "SELECT text, CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS n FROM documents)"
+        ),
+        "lang_freq": (
+            "SELECT lang, count(*) AS n_docs, round(avg(CASE WHEN length(trim(text)) = 0 "
+            "THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END), 4) AS avg_tokens "
+            "FROM documents GROUP BY lang"
+        ),
+        "text_quality_filter": (
+            "SELECT count(*) FILTER (WHERE n BETWEEN 20 AND 60 AND lang = 'en') AS kept, "
+            "count(*) AS total FROM (SELECT lang, CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS n, text FROM documents)"
+        ),
+        "cosine_topk": (
+            "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) "
+            "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)), 4) "
+            "AS cosine_sim FROM embeddings WHERE vec_id != 0 "
+            "ORDER BY list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) DESC, vec_id LIMIT 5"
+        ),
+        "ngram_jaccard_dups": (
+            "WITH toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), "
+            "'\\s+', ' ', 'g')), ' ') AS t FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(t) >= 3 THEN "
+            "list_distinct(list_transform(generate_series(1, len(t) - 2), "
+            "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) "
+            "ELSE [array_to_string(t, ' ')] END AS g FROM toks), "
+            "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "len(list_intersect(a.g, b.g)) AS inter, len(a.g) AS la, len(b.g) AS lb "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.g, b.g)) > 0) "
+            "SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard "
+            "FROM pairs WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8"
+        ),
+        # minhash_near_dups / simhash_near_dups / embedding_near_dups are
+        # hash-seed-dependent (xxhash64 / seeded hyperplanes) — not
+        # reproducible in ANSI SQL; the driver records rows-only checks.
+    }

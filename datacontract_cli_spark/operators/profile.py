@@ -84,14 +84,18 @@ def profile_df(df: DataFrame, columns: Optional[Sequence[str]] = None,
     result / oracle target."""
     stats = profile(df, columns, exact_distinct=exact_distinct)
     spark = df.sparkSession
+    def _minmax(s: dict, which: str):
+        v = s.get(which, s.get(f"{which}_len"))
+        return str(v) if v is not None else None
+
     rows = [
         (
             c,
             int(s["count"]),
             int(s["null_count"]),
             int(s["distinct"]),
-            str(s.get("min")) if s.get("min") is not None else None,
-            str(s.get("max")) if s.get("max") is not None else None,
+            _minmax(s, "min"),
+            _minmax(s, "max"),
         )
         for c, s in stats.items()
     ]
