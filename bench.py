@@ -1,0 +1,116 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also times the north-star workload — full contract validation over a
+synthesized transcripts table — and reports validated turns/sec
+("turns_per_sec" key). The transcripts parquet is materialized once under
+.bench_data/ (untimed) so the timed run measures scan→validate, like
+production.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "tpch_q1",
+    "join_revenue_by_nation",
+    "duplicate_count_composite",
+    "window_top3_per_customer",
+    "topk_parts",
+    "profile_orders",
+    "psi_event_type",
+    "ks_value",
+    "sessionization",
+    "token_stats",
+    "minhash_near_dups",
+    "cosine_topk",
+    "dedup_exact",
+]
+
+TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "300000"))
+TURNS_PER_CONV = 8
+
+
+def _materialize_transcripts(spark, path: str) -> int:
+    from datacontract_cli_spark.sources.transcripts import synthesize_transcripts
+
+    n = TRANSCRIPT_CONVS * TURNS_PER_CONV
+    if not os.path.exists(path):
+        df = synthesize_transcripts(
+            spark, n_convs=TRANSCRIPT_CONVS, turns_per_conv=TURNS_PER_CONV,
+            defect_rate=0.01,
+        )
+        df.write.mode("overwrite").parquet(path)
+    return n
+
+
+def _validate_transcripts(spark, path: str):
+    from datacontract_cli_spark.engine.executor import SparkContractEngine
+    from datacontract_cli_spark.model.contract import load_contract
+
+    contract = load_contract(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tests", "fixtures", "transcripts_contract.yaml")
+    )
+    df = spark.read.parquet(path)
+    run = SparkContractEngine(spark).test(contract, tables={"transcripts": df})
+    return run
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as entry_mod
+    from datacontract_cli_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    spark.range(1000).count()  # warm the JVM
+
+    timings: dict[str, float] = {}
+    qs = entry_mod.queries()
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # north-star workload: validated turns/sec over transcripts
+    tpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_data", f"transcripts_{TRANSCRIPT_CONVS}")
+    n_turns = _materialize_transcripts(spark, tpath)
+    t0 = time.perf_counter()
+    run = _validate_transcripts(spark, tpath)
+    validate_sec = time.perf_counter() - t0
+    timings["transcripts_validation"] = round(validate_sec, 3)
+    turns_per_sec = round(n_turns / validate_sec, 1)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "bench_suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "turns_per_sec": turns_per_sec,
+        "transcript_turns": n_turns,
+        "validation_result": run.result.value,
+        "cpus": int(cpus),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -88,14 +88,25 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+_MAX_LONG = (1 << 63) - 1
+
+
 def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     """K independent minhashes: min over shingles of xxhash64(shingle, seed_k).
-    Pure per-row array math — no shuffle, no Python."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, lambda s, k=k: F.xxhash64(s, F.lit(k))))
-            for k in range(num_hashes)
-        ]
+
+    Implemented as ONE fold over the shingle array: the shingle expression is
+    evaluated exactly once per row (not once per seed — ``transform(seq(K),
+    k -> min(transform(shingles, ...)))`` would rebuild the shingle strings K
+    times), and each shingle updates all K running minima element-wise."""
+    return F.aggregate(
+        shingle_col,
+        F.array_repeat(F.lit(_MAX_LONG), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+                        lambda k: F.xxhash64(s, k)),
+            lambda a, b: F.least(a, b),
+        ),
     )
 
 
@@ -115,26 +126,31 @@ def minhash_candidates(
                   minhash_signature(word_shingles(F.col(text_col), shingle_size),
                                     num_hashes).alias("sig"))
     )
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                for r in range(rows_per_band)
-                            ])
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    # Materialize signatures BEFORE banding: Catalyst's projection collapse
+    # would otherwise inline the (shingles × K hashes) expression into every
+    # band column AND both sides of the self-join — recomputing it 2×17 times
+    # per document. At warehouse scale this is a persisted signatures table.
+    sig = sig.persist()
+    sig.count()
+    # one row per (doc, band); the bucket is a hash of that band's signature
+    # slice — a single small expression, so the optimized plan stays compact
+    banded = (
+        sig.select("id", "sig",
+                   F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
+        .withColumn(
+            "bucket",
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band),
+                        lambda h: h.cast("string"),
+                    ),
+                    ",",
+                ),
+                F.col("band"),
+            ),
+        )
+    )
 
     left = banded.alias("a")
     right = banded.alias("b")
