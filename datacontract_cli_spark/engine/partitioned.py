@@ -1,0 +1,212 @@
+"""Per-partition verdicts with lineage + checkpoint/resume (north rule).
+
+The table is split into ``n_buckets`` deterministic work units by hashing a
+partition key (conv_id by default — a unit is a stable set of conversations
+regardless of file layout). ALL buckets are validated in ONE grouped
+aggregation job (``groupBy(bucket).agg(*metric exprs)``) — not a job per
+bucket — so the table is still scanned once; the shuffle carries one partial
+row per (input partition × bucket).
+
+Every bucket gets a pass/fail verdict per check plus lineage (input path,
+row count, timestamp). Verdicts append to a JSON-lines manifest; a re-run
+loads the manifest and re-validates ONLY the buckets that are missing
+(crash-resume) — the scan is filtered to those buckets before any work
+happens. Global metrics fold over bucket metrics (counts sum; a duplicate
+count on keys containing the partition key is bucket-local, so the sum is
+exact).
+
+Skew: a hot conv_id concentrates in one bucket, but bucket metrics are
+plain aggregations (no per-key state), so the only skew surface is the
+shuffle partition holding the hot bucket — AQE's skew handling plus the
+fact that partial aggregation happens map-side keeps that bounded. Per-
+conversation analyses use the salted two-phase pattern in
+operators/convchecks.py instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field as dc_field
+from datetime import datetime, timezone
+from typing import Any, Dict, List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datacontract_cli_spark.checks.spec import CheckSpec, MetricType
+from datacontract_cli_spark.engine.executor import _ROW_COUNT_ALIAS, _fail_result
+from datacontract_cli_spark.engine.predicates import (
+    count_if,
+    invalid_condition,
+    missing_condition,
+    resolve_column,
+)
+
+_BUCKET = "__dc_bucket__"
+
+
+@dataclass
+class BucketVerdict:
+    bucket: int
+    row_count: int
+    results: Dict[str, str]  # check key -> passed|failed
+    metrics: Dict[str, Any]
+    lineage: Dict[str, Any]
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "bucket": self.bucket,
+            "row_count": self.row_count,
+            "results": self.results,
+            "metrics": self.metrics,
+            "lineage": self.lineage,
+        }, default=str)
+
+
+class PartitionedValidator:
+    """Executes agg-style CheckSpecs per hash bucket of a partition key."""
+
+    def __init__(self, spark, checkpoint_dir: Optional[str] = None,
+                 partition_key: str = "conv_id", n_buckets: int = 64):
+        self.spark = spark
+        self.checkpoint_dir = checkpoint_dir
+        self.partition_key = partition_key
+        self.n_buckets = n_buckets
+
+    # -- manifest ------------------------------------------------------------
+    def _manifest_path(self, model: str) -> Optional[str]:
+        if not self.checkpoint_dir:
+            return None
+        return os.path.join(self.checkpoint_dir, f"{model}.manifest.jsonl")
+
+    def completed_buckets(self, model: str) -> Dict[int, BucketVerdict]:
+        path = self._manifest_path(model)
+        out: Dict[int, BucketVerdict] = {}
+        if path and os.path.exists(path):
+            with open(path, "r", encoding="utf-8") as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    d = json.loads(line)
+                    out[d["bucket"]] = BucketVerdict(
+                        d["bucket"], d["row_count"], d["results"], d["metrics"],
+                        d.get("lineage", {}),
+                    )
+        return out
+
+    def _append_manifest(self, model: str, verdicts: List[BucketVerdict]) -> None:
+        path = self._manifest_path(model)
+        if not path:
+            return
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "a", encoding="utf-8") as f:
+            for v in verdicts:
+                f.write(v.to_json() + "\n")
+
+    # -- execution -----------------------------------------------------------
+    def run(self, df: DataFrame, specs: List[CheckSpec], model: str,
+            source_path: Optional[str] = None) -> Dict[int, BucketVerdict]:
+        """Validate every (remaining) bucket; returns ALL bucket verdicts
+        (cached + newly computed)."""
+        done = self.completed_buckets(model)
+        key_col = resolve_column(df, self.partition_key)
+        if key_col is None:
+            raise ValueError(f"partition key '{self.partition_key}' not in {df.columns}")
+
+        bucket_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_buckets)).cast("int")
+        work = df.withColumn(_BUCKET, bucket_expr)
+        if done:
+            remaining = [b for b in range(self.n_buckets) if b not in done]
+            if not remaining:
+                return done
+            # resume: prune completed buckets before any metric work
+            work = work.filter(F.col(_BUCKET).isin(remaining))
+
+        exprs = [F.count(F.lit(1)).alias(_ROW_COUNT_ALIAS)]
+        evaluators = []
+        for i, spec in enumerate(specs):
+            alias = f"m{i}"
+            if spec.metric is MetricType.ROW_COUNT:
+                evaluators.append((spec, _ROW_COUNT_ALIAS))
+                continue
+            col = resolve_column(df, spec.field) if spec.field else None
+            if spec.metric is MetricType.MISSING_COUNT and col:
+                exprs.append(count_if(missing_condition(df, col, spec), alias))
+                evaluators.append((spec, alias))
+            elif spec.metric is MetricType.INVALID_COUNT and col:
+                cond = invalid_condition(df, col, spec)
+                if cond is not None:
+                    exprs.append(count_if(cond, alias))
+                    evaluators.append((spec, alias))
+            elif spec.metric is MetricType.DUPLICATE_COUNT:
+                # bucket-local when the duplicate key includes/derives the
+                # partition key: computed as a dedicated grouped job below
+                continue
+
+        rows = work.groupBy(_BUCKET).agg(*exprs).collect()
+
+        # bucket-local duplicate counts (one job per distinct key tuple)
+        dup_specs = [s for s in specs if s.metric is MetricType.DUPLICATE_COUNT]
+        dup_values: Dict[str, Dict[int, int]] = {}
+        for spec in dup_specs:
+            cols = spec.columns or ([spec.field] if spec.field else [])
+            resolved = [resolve_column(df, c) for c in cols]
+            if any(c is None for c in resolved):
+                continue
+            grouped = (
+                work.groupBy(_BUCKET, *[F.col(c) for c in resolved])
+                .count().filter(F.col("count") > 1)
+                .groupBy(_BUCKET).agg(F.count(F.lit(1)).alias("dups"))
+            )
+            dup_values[spec.key] = {r[_BUCKET]: r["dups"] for r in grouped.collect()}
+
+        now = datetime.now(timezone.utc).isoformat()
+        new_verdicts: List[BucketVerdict] = []
+        for row in rows:
+            d = row.asDict()
+            bucket = d[_BUCKET]
+            row_count = int(d[_ROW_COUNT_ALIAS])
+            results: Dict[str, str] = {}
+            metrics: Dict[str, Any] = {"row_count": row_count}
+            for spec, alias in evaluators:
+                value = d[alias] if alias in d else None
+                value = int(value) if value is not None else 0
+                metrics[spec.key] = value
+                if spec.threshold is not None:
+                    results[spec.key] = (
+                        "passed" if spec.threshold.passes(value) else _fail_result(spec).value
+                    )
+            for spec in dup_specs:
+                value = dup_values.get(spec.key, {}).get(bucket, 0)
+                metrics[spec.key] = value
+                if spec.threshold is not None:
+                    results[spec.key] = (
+                        "passed" if spec.threshold.passes(value) else _fail_result(spec).value
+                    )
+            new_verdicts.append(BucketVerdict(
+                bucket, row_count, results, metrics,
+                {"source": source_path, "validated_at": now,
+                 "partition_key": self.partition_key, "n_buckets": self.n_buckets},
+            ))
+
+        self._append_manifest(model, new_verdicts)
+        done.update({v.bucket: v for v in new_verdicts})
+        return done
+
+    # -- folding ---------------------------------------------------------------
+    @staticmethod
+    def fold(verdicts: Dict[int, BucketVerdict]) -> Dict[str, Any]:
+        """Global metrics + worst-case results across buckets."""
+        totals: Dict[str, Any] = {}
+        results: Dict[str, str] = {}
+        severity = {"failed": 0, "warning": 1, "passed": 2}
+        for v in verdicts.values():
+            for k, val in v.metrics.items():
+                totals[k] = totals.get(k, 0) + (val or 0)
+            for k, res in v.results.items():
+                cur = results.get(k)
+                if cur is None or severity.get(res, 3) < severity.get(cur, 3):
+                    results[k] = res
+        return {"metrics": totals, "results": results,
+                "n_buckets_validated": len(verdicts)}

@@ -1,0 +1,73 @@
+"""Per-conversation transcript checks with explicit skew handling.
+
+The north rule's input is conversations with a heavy-tailed turn count — a
+single hot conv_id can dominate a shuffle partition. Per-conversation
+aggregates (turn count, turn_idx density, timestamp monotonicity) use the
+salted two-phase pattern: partial aggregation per (conv_id, salt) spreads a
+hot conversation over ``salt_buckets`` reducers, the final per-conv merge
+touches only salt_buckets rows per conversation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SALT = "__dc_salt__"
+
+
+def conversation_stats(df: DataFrame, conv_col: str = "conv_id",
+                       turn_col: str = "turn_idx", ts_col: str = "ts",
+                       salt_buckets: int = 16) -> DataFrame:
+    """Per-conversation (n_turns, min/max turn_idx, min/max ts) via salted
+    two-phase aggregation. Output: one row per conv_id."""
+    salted = df.withColumn(
+        _SALT, F.pmod(F.xxhash64(F.col(turn_col).cast("long")), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(conv_col, _SALT).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(turn_col).alias("mn"),
+        F.max(turn_col).alias("mx"),
+        F.min(ts_col).alias("ts_mn"),
+        F.max(ts_col).alias("ts_mx"),
+    )
+    return partial.groupBy(conv_col).agg(
+        F.sum("n").alias("n_turns"),
+        F.min("mn").alias("min_turn"),
+        F.max("mx").alias("max_turn"),
+        F.min("ts_mn").alias("min_ts"),
+        F.max("ts_mx").alias("max_ts"),
+    )
+
+
+def turn_density_violations(df: DataFrame, conv_col: str = "conv_id",
+                            turn_col: str = "turn_idx",
+                            salt_buckets: int = 16) -> DataFrame:
+    """Conversations whose turn_idx is not dense 0..n-1 (gaps, offsets, or
+    duplicate turn indices). Exactness: dense 0..n-1 with no duplicates
+    ⟺ min=0 AND max=n_distinct-1 AND no (conv,turn) duplicates; the
+    duplicate probe is the fine-grained groupBy (naturally skew-free)."""
+    stats = conversation_stats(df, conv_col, turn_col, salt_buckets=salt_buckets)
+    dup_turns = (
+        df.groupBy(conv_col, turn_col).count().filter(F.col("count") > 1)
+        .groupBy(conv_col).agg(F.count(F.lit(1)).alias("dup_turn_groups"))
+    )
+    joined = stats.join(dup_turns, conv_col, "left").fillna({"dup_turn_groups": 0})
+    return joined.filter(
+        (F.col("min_turn") != 0)
+        | (F.col("max_turn") != F.col("n_turns") - 1)
+        | (F.col("dup_turn_groups") > 0)
+    ).select(conv_col, "n_turns", "min_turn", "max_turn", "dup_turn_groups")
+
+
+def non_monotonic_ts_count(df: DataFrame, conv_col: str = "conv_id",
+                           turn_col: str = "turn_idx", ts_col: str = "ts") -> DataFrame:
+    """Turns whose ts is earlier than the previous turn's ts within the same
+    conversation (window over (conv, turn order)). Returns a 1-row count."""
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    return (
+        df.select(conv_col, turn_col, F.col(ts_col))
+        .withColumn("bad", F.when(prev.isNotNull() & (F.col(ts_col) < prev), 1).otherwise(0))
+        .agg(F.sum("bad").alias("non_monotonic_turns"))
+    )

@@ -1,0 +1,197 @@
+"""Unit tests for the operator library: drift, t-digest, dedup, similarity,
+textstats, refintegrity."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datacontract_cli_spark.operators import dedup, drift, refintegrity, similarity, textstats
+from datacontract_cli_spark.operators.tdigest import TDigest, sketch_column
+
+
+# --- t-digest ---------------------------------------------------------------
+
+def test_tdigest_quantiles_accuracy():
+    rng = np.random.default_rng(7)
+    values = rng.normal(100, 15, 50_000)
+    d = TDigest.of(values)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        exact = float(np.quantile(values, q))
+        approx = d.quantile(q)
+        assert abs(approx - exact) < 1.0, (q, exact, approx)
+
+
+def test_tdigest_merge_equals_whole():
+    rng = np.random.default_rng(11)
+    a, b = rng.exponential(10, 20_000), rng.exponential(10, 20_000)
+    merged = TDigest.of(a).merge(TDigest.of(b))
+    whole = TDigest.of(np.concatenate([a, b]))
+    for q in (0.1, 0.5, 0.9):
+        assert abs(merged.quantile(q) - whole.quantile(q)) < 0.5
+
+
+def test_tdigest_cdf_monotone_and_bounded():
+    d = TDigest.of(np.arange(1000, dtype=float))
+    xs = [0, 100, 500, 900, 999]
+    cdfs = [d.cdf(x) for x in xs]
+    assert all(0.0 <= c <= 1.0 for c in cdfs)
+    assert cdfs == sorted(cdfs)
+    assert abs(d.cdf(500) - 0.5) < 0.02
+
+
+def test_sketch_column_distributed(spark):
+    df = spark.range(0, 100_000).select(
+        (F.col("id") % 1000).cast("double").alias("v")
+    ).repartition(8)
+    d = sketch_column(df, "v")
+    assert abs(d.quantile(0.5) - 499.5) < 15
+    assert d.total_weight == 100_000
+
+
+# --- drift -------------------------------------------------------------------
+
+def test_psi_zero_on_identical(spark):
+    df = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "k string")
+    assert drift.psi(df, "k", {"a": 0.5, "b": 0.5}) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_psi_positive_on_shift(spark):
+    df = spark.createDataFrame([("a",)] * 90 + [("b",)] * 10, "k string")
+    v = drift.psi(df, "k", {"a": 0.5, "b": 0.5})
+    assert v > 0.2
+
+
+def test_psi_handles_unseen_categories(spark):
+    df = spark.createDataFrame([("a",)] * 100, "k string")
+    v = drift.psi(df, "k", {"a": 0.5, "b": 0.5})
+    assert math.isfinite(v) and v > 0
+
+
+def test_ks_exact_points(spark):
+    df = spark.range(0, 1000).select(F.col("id").cast("double").alias("v"))
+    # true CDF at 500 is 0.5 — baseline claims 0.8 → KS ≈ 0.3
+    ks = drift.ks_statistic(df, "v", {"cdf": [[499.0, 0.8]]})
+    assert ks == pytest.approx(0.3, abs=0.01)
+
+
+def test_ks_tdigest_path(spark):
+    df = spark.range(0, 10_000).select(F.col("id").cast("double").alias("v"))
+    ks = drift.ks_statistic(df, "v", {
+        "quantiles": {"0.25": 2499.0, "0.5": 4999.0, "0.75": 7499.0}})
+    assert ks < 0.05
+
+
+# --- dedup --------------------------------------------------------------------
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),   # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog tomorrow"),  # near dup
+        (4, "completely different text about spark dataframes and shuffles"),
+        (5, "another unrelated document mentioning catalyst optimizer rules"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_dedup(spark):
+    docs = _docs(spark)
+    assert dedup.exact_duplicate_groups(docs).count() == 1
+    kept = dedup.dedup_exact(docs, "doc_id")
+    assert kept.count() == 4
+    assert kept.filter("doc_id = 1").count() == 1  # keeps lowest id
+
+
+def test_minhash_finds_near_dups(spark):
+    pairs = dedup.minhash_near_duplicates(_docs(spark), "doc_id", threshold=0.5)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in found
+    assert (1, 3) in found or (2, 3) in found
+    assert not any(4 in p or 5 in p for p in found)
+
+
+def test_ngram_jaccard_exact_values(spark):
+    pairs = dedup.ngram_jaccard(_docs(spark), "doc_id", n=3, threshold=0.1)
+    vals = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert vals[(1, 2)] == pytest.approx(1.0)
+    # 8 shingles each, 7 shared → 7/9
+    assert vals[(1, 3)] == pytest.approx(7 / 9, abs=1e-6)
+
+
+def test_simhash_identical_zero_distance(spark):
+    pairs = dedup.simhash_near_duplicates(_docs(spark), "doc_id", max_hamming=0)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in found
+
+
+# --- similarity -----------------------------------------------------------------
+
+def test_cosine_topk_exact(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    top = similarity.cosine_topk(df, "embedding", [1.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+    assert top[0]["cosine_sim"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_contains_identical_vector(spark):
+    rng = np.random.default_rng(3)
+    vecs = [(i, rng.standard_normal(16).tolist()) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    q = vecs[7][1]
+    lsh = similarity.RandomHyperplaneLSH(16, nbits=8)
+    top = lsh.topk(df, "embedding", q, k=3).collect()
+    assert top[0]["vec_id"] == 7
+    assert top[0]["cosine_sim"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_embedding_near_duplicates(spark):
+    base = np.random.default_rng(5).standard_normal(8)
+    rows = [(1, base.tolist()), (2, (base * 1.001).tolist()),
+            (3, (-base).tolist())]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    pairs = similarity.embedding_near_duplicates(df, threshold=0.99, nbits=6).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+# --- textstats --------------------------------------------------------------------
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("hello world",), ("  spaced   out  ",), ("",), ("one",)], "text string")
+    rows = df.select(
+        textstats.whitespace_token_count(F.col("text")).alias("ws"),
+        textstats.regex_token_count(F.col("text")).alias("bpe"),
+    ).collect()
+    assert [r["ws"] for r in rows] == [2, 2, 0, 1]
+    assert rows[0]["bpe"] == 2
+
+
+def test_quality_score_ordering(spark):
+    df = spark.createDataFrame(
+        [("good", "the quick brown fox is a fine animal and it jumps over the lazy dog in the morning sun today again",),
+         ("bad", "!!! ??? ### $$$ %%%",)], "label string, text string")
+    rows = {r["label"]: r["q"] for r in df.select(
+        "label", textstats.quality_score(F.col("text")).alias("q")).collect()}
+    assert rows["good"] > rows["bad"]
+
+
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [("en", "the cat and the dog went to the park and it was fun"),
+         ("de", "der hund und die katze sind nicht mit der maus"),
+         ("fr", "le chat et le chien sont dans la maison des amis")],
+        "expected string, text string")
+    rows = df.select("expected", textstats.detect_language(F.col("text")).alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["expected"], (r["expected"], r["got"])
+
+
+# --- refintegrity --------------------------------------------------------------------
+
+def test_orphan_count(spark):
+    child = spark.createDataFrame([(1,), (2,), (3,), (None,)], "k int")
+    parent = spark.createDataFrame([(1,), (2,)], "k int")
+    assert refintegrity.orphan_count(child, "k", parent, "k") == 1  # only 3; NULL skipped
