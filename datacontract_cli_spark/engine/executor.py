@@ -336,22 +336,54 @@ class SparkContractEngine:
                                f"Column '{c}' not found in model {spec.model}")
                 return
             resolved.append(r)
-        # number of duplicated key GROUPS (not duplicated rows) — two-phase
-        # hash aggregate with map-side combine; AQE rebalances skewed keys.
-        grouped = df.groupBy(*[F.col(c) for c in resolved]).count()
-        value = grouped.filter(F.col("count") > 1).count()
+        # number of duplicated key GROUPS (not duplicated rows), exact.
+        # Two-phase: (1) group by the 64-bit key hash — the shuffle carries
+        # 8-byte longs instead of full (string, ...) tuples; (2) re-verify
+        # ONLY rows whose hash collided, grouped by the real key, so hash
+        # collisions can never inflate the count. When data is mostly
+        # duplicate-free (the expected case for a uniqueness check), phase 2
+        # touches almost nothing.
+        value = self._duplicate_group_count(df, resolved)
         self._evaluate(run, spec, int(value), None)
         check = run.check(spec.key)
         if (self.include_failed_samples and check is not None
                 and check.result in (ResultEnum.failed, ResultEnum.warning)):
             sample_df = (
-                grouped.filter(F.col("count") > 1)
+                df.groupBy(*[F.col(c) for c in resolved]).count()
+                .filter(F.col("count") > 1)
                 .orderBy(*[F.col(c) for c in resolved])
                 .limit(self.sample_limit)
             )
             keep = self._drop_sensitive(resolved + ["count"], obj)
             rows = [self._json_safe(r.asDict()) for r in sample_df.select(*keep).collect()]
             check.failedSamples = rows
+
+    @staticmethod
+    def _duplicate_group_count(df: DataFrame, cols: List[str],
+                               max_candidate_groups: int = 5_000_000) -> int:
+        h = F.xxhash64(*[F.col(c) for c in cols])
+        cand = (
+            df.select(h.alias("__dc_h__"))
+            .groupBy("__dc_h__").agg(F.count(F.lit(1)).alias("__dc_n__"))
+            .filter(F.col("__dc_n__") > 1)
+            .select("__dc_h__")
+        )
+        cand_n = cand.count()
+        if cand_n == 0:
+            return 0
+        if cand_n > max_candidate_groups:
+            # too many collided groups to broadcast — exact direct grouping
+            return (
+                df.groupBy(*[F.col(c) for c in cols]).count()
+                .filter(F.col("count") > 1).count()
+            )
+        return (
+            df.withColumn("__dc_h__", h)
+            .join(F.broadcast(cand), "__dc_h__")
+            .groupBy(*[F.col(c) for c in cols]).count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
 
     def _check_custom_sql(self, run: Run, spec: CheckSpec) -> None:
         try:

@@ -33,10 +33,25 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # default 64m advisory size coalesces a ~256MB shuffle down to 4
+        # reduce tasks — fine on a 4-node cluster, parallelism-starving on a
+        # 32-core box; 8m keeps reduce stages wide while still merging
+        # genuinely tiny partitions
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # throughput GC; NOTE: a modest heap beats a huge one here — beyond
+        # ~16g the VM's lazy page faulting + GC of a mostly-empty heap caused
+        # multi-second outliers at 32 threads (measured: 48g heap = 2-50s per
+        # identical query, 16g = stable ~1s)
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # single virtual disk in this sandbox is slow AND high-variance;
+        # tmpfs shuffle models a cluster's parallel local disks far better
+        .config("spark.local.dir",
+                os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+                if os.path.isdir("/dev/shm") else "/tmp")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.mergeSchema", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
