@@ -1,0 +1,85 @@
+"""CLI: ``python -m datacontract_cli_spark test contract.yaml [options]``.
+
+The command surface follows the reference CLI's test command
+(datacontract/command_test.py:94-247): server selection, schema-name
+scoping, check/dimension/quality-id/tag filters, row filters, failed
+samples, json/junit output, exit code 1 on failure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="datacontract-cli-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("test", help="test that real data conforms to a contract")
+    t.add_argument("contract", help="path to the contract YAML (ODCS v3 or legacy DCS)")
+    t.add_argument("--server", default=None, help="server name from the contract")
+    t.add_argument("--schema", dest="schema_name", default="all",
+                   help="restrict to one schema object")
+    t.add_argument("--filter", dest="filters", action="append", default=None,
+                   help="row-filter predicate (repeatable)")
+    t.add_argument("--checks", dest="category", default=None,
+                   choices=["schema", "quality", "servicelevel", "custom"])
+    t.add_argument("--dimension", default=None)
+    t.add_argument("--quality-id", dest="quality_id", default=None)
+    t.add_argument("--tag", default=None)
+    t.add_argument("--include-failed-samples", action="store_true")
+    t.add_argument("--output", default=None, help="write results to this path")
+    t.add_argument("--output-format", default="json", choices=["json", "junit"])
+    t.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+
+    lint = sub.add_parser("lint", help="parse + structurally check a contract")
+    lint.add_argument("contract")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from datacontract_cli_spark.model.contract import load_contract
+
+    if args.command == "lint":
+        try:
+            contract = load_contract(args.contract)
+        except Exception as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        n_props = sum(len(o.properties) for o in contract.schema_objects)
+        print(f"OK: {len(contract.schema_objects)} schema object(s), "
+              f"{n_props} properties, {len(contract.servers)} server(s)")
+        return 0
+
+    from datacontract_cli_spark.engine.executor import SparkContractEngine
+    from datacontract_cli_spark.output import writers
+    from datacontract_cli_spark.session import get_spark
+
+    contract = load_contract(args.contract)
+    spark = get_spark("datacontract-test", master=args.master)
+    engine = SparkContractEngine(spark, include_failed_samples=args.include_failed_samples)
+    run = engine.test(
+        contract,
+        server=args.server,
+        schema_name=args.schema_name,
+        filters=args.filters,
+        checks_category=args.category,
+        dimension=args.dimension,
+        quality_id=args.quality_id,
+        tag=args.tag,
+    )
+    print(writers.console_table(run))
+    if args.output:
+        if args.output_format == "junit":
+            writers.write_junit(run, args.output)
+        else:
+            writers.write_json(run, args.output)
+        print(f"results written to {args.output}")
+    return writers.exit_code(run)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -93,6 +93,7 @@ class SparkContractEngine:
         self,
         contract: DataContract,
         tables: Optional[Dict[str, DataFrame]] = None,
+        raw_tables: Optional[Dict[str, DataFrame]] = None,
         server: Optional[str] = None,
         schema_name: str = "all",
         filters: Optional[List[str]] = None,
@@ -130,15 +131,16 @@ class SparkContractEngine:
             )
 
         if tables is None:
-            from datacontract_cli_spark.sources.readers import bind_server
+            from datacontract_cli_spark.sources.readers import bind_server_with_raw
             try:
-                tables = bind_server(self.spark, contract, srv)
+                tables, raw_tables = bind_server_with_raw(self.spark, contract, srv)
             except Exception as e:  # binding failure: all checks error
                 for spec in specs:
                     run.set_result(spec.key, ResultEnum.error, f"Could not bind server: {e}")
                 return run.finish()
 
         lowered_tables = {k.lower(): v for k, v in tables.items()}
+        lowered_raw = {k.lower(): v for k, v in (raw_tables or tables).items()}
         objects = {o.table.lower(): o for o in contract.schema_objects}
 
         # register temp views once for custom SQL / referential integrity
@@ -156,7 +158,8 @@ class SparkContractEngine:
                     run.set_result(spec.key, ResultEnum.error, f"Model '{model}' not found in server")
                 continue
             self._run_model(run, model, model_specs, df, lowered_tables,
-                            objects.get(model.lower()), filters)
+                            objects.get(model.lower()), filters,
+                            raw_df=lowered_raw.get(model.lower(), df))
 
         return run.finish()
 
@@ -191,8 +194,10 @@ class SparkContractEngine:
         tables: Dict[str, DataFrame],
         obj: Optional[SchemaObject],
         filters: Optional[List[str]],
+        raw_df: Optional[DataFrame] = None,
     ) -> None:
-        raw_df = df  # presence checks look at the un-projected source schema
+        # presence checks look at the un-projected source schema
+        raw_df = raw_df if raw_df is not None else df
 
         # preset (unsupported) checks
         runnable: List[CheckSpec] = []

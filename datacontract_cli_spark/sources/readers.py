@@ -74,46 +74,78 @@ def _model_path(server: Server, model: str, fmt: str) -> Optional[str]:
 
 def bind_server(spark: SparkSession, contract: DataContract,
                 server: Optional[Server]) -> Dict[str, DataFrame]:
+    return bind_server_with_raw(spark, contract, server)[0]
+
+
+def bind_server_with_raw(
+    spark: SparkSession, contract: DataContract, server: Optional[Server]
+) -> tuple[Dict[str, DataFrame], Dict[str, DataFrame]]:
+    """Bind (contract-typed, raw) DataFrames per model.
+
+    The raw frame is the source as introspected (schema-inferred CSV/JSON,
+    un-projected parquet) — field-presence checks look at it; the typed frame
+    has the contract's columns cast to the contract's types — every data
+    check runs on it. Mirrors the reference's coerced view + ``{model}__raw__``
+    view split (duckdb_connection.py:100-135)."""
     if server is None:
         raise ValueError("contract has no server to bind")
     fmt = (server.format or "parquet").lower()
     stype = (server.type or "local").lower()
 
     tables: Dict[str, DataFrame] = {}
+    raw_tables: Dict[str, DataFrame] = {}
     for obj in contract.schema_objects:
         model = obj.table
         if stype in ("local", "s3", "gcs", "azure", "filesystem"):
             path = _model_path(server, model, fmt)
             if path is None:
                 raise ValueError(f"no path for model {model}")
-            tables[model] = _read_file(spark, path, fmt, obj)
+            raw = _read_file(spark, path, fmt, obj)
+            raw_tables[model] = raw
+            tables[model] = cast_to_contract(raw, obj) if fmt in ("csv", "json") else raw
         elif stype == "dataframe":
             # models must already exist as temp views on the caller's session
-            tables[model] = spark.table(model)
+            tables[model] = raw_tables[model] = spark.table(model)
         elif stype == "iceberg":
             ident = ".".join(x for x in (server.catalog, server.schema_, model) if x)
-            tables[model] = spark.read.table(ident)
+            tables[model] = raw_tables[model] = spark.read.table(ident)
         elif stype == "delta":
             path = _model_path(server, model, "delta")
-            tables[model] = spark.read.format("delta").load(path)
+            tables[model] = raw_tables[model] = spark.read.format("delta").load(path)
         elif stype == "kafka":
-            tables[model] = _read_kafka(spark, server, obj)
+            tables[model] = raw_tables[model] = _read_kafka(spark, server, obj)
         else:
             raise ValueError(f"unsupported server type: {server.type}")
-    return tables
+    return tables, raw_tables
+
+
+def cast_to_contract(raw: DataFrame, obj: SchemaObject) -> DataFrame:
+    """Project the raw read onto the contract's columns with the contract's
+    types (missing columns become typed NULLs so downstream checks can run;
+    their absence is what field_is_present reports on the raw frame)."""
+    from pyspark.sql import functions as F
+
+    if not obj.properties:
+        return raw
+    lowered = {c.lower(): c for c in raw.columns}
+    cols = []
+    for p in obj.properties:
+        target = contract_spark_type(p)
+        src = lowered.get(p.column.lower())
+        if src is None:
+            cols.append(F.lit(None).cast(target).alias(p.column))
+        else:
+            cols.append(F.col(f"`{src}`").cast(target).alias(p.column))
+    return raw.select(*cols)
 
 
 def _read_file(spark: SparkSession, path: str, fmt: str, obj: SchemaObject) -> DataFrame:
     if fmt == "parquet":
         return spark.read.option("mergeSchema", "true").parquet(path)
     if fmt == "csv":
-        schema = contract_schema(obj) if obj.properties else None
-        reader = spark.read.option("header", "true")
-        if schema is not None:
-            reader = reader.schema(schema)
-        else:
-            reader = reader.option("inferSchema", "true")
-        return reader.csv(path)
+        # schema-inferred RAW read: presence checks must see the file's real
+        # columns; the contract-typed view is cast_to_contract() on top
+        return spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     if fmt in ("json", "jsonl", "ndjson"):
         multiline = fmt == "json" and _looks_like_array(path)
         return spark.read.option("multiLine", str(multiline).lower()).json(path)

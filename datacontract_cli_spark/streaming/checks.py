@@ -1,0 +1,103 @@
+"""Structured-Streaming validation: continuous contract checks on a stream.
+
+The reference drains Kafka as a batch (SURVEY.md §1.2) — this module is the
+Spark-native upgrade: the same contract predicates compiled by the batch
+engine run as a streaming aggregation with watermarked event-time windows,
+so violation counts and freshness are monitored continuously instead of at
+test time.
+
+- ``streaming_check_counts``: per tumbling window, row count + one violation
+  count per agg-able CheckSpec (missing/invalid). Late data handled by the
+  watermark; output mode "update"/"append" both work.
+- ``streaming_freshness``: max event-time per window → age at processing.
+- ``run_batch_smoke``: drives a bounded file stream to completion through a
+  memory sink (how the tests exercise the streaming plan end-to-end).
+- ``sessionize_stateful``: session windows via the built-in
+  ``session_window`` (gap-based), the stateful-operator path.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datacontract_cli_spark.checks.spec import CheckSpec, MetricType
+from datacontract_cli_spark.engine.predicates import (
+    count_if,
+    invalid_condition,
+    missing_condition,
+)
+
+
+def streaming_check_counts(
+    stream: DataFrame,
+    specs: List[CheckSpec],
+    ts_col: str = "ts",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Windowed violation counts for the agg-able specs of one model.
+
+    One streaming aggregation carries ALL checks (the streaming analogue of
+    the batch engine's single ``df.agg``); state is one row per window."""
+    exprs = [F.count(F.lit(1)).alias("row_count")]
+    for spec in specs:
+        if spec.metric is MetricType.MISSING_COUNT and spec.field:
+            exprs.append(count_if(missing_condition(stream, spec.field, spec), spec.key))
+        elif spec.metric is MetricType.INVALID_COUNT and spec.field:
+            cond = invalid_condition(stream, spec.field, spec)
+            if cond is not None:
+                exprs.append(count_if(cond, spec.key))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(*exprs)
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "*")
+        .drop("w")
+    )
+
+
+def streaming_freshness(stream: DataFrame, ts_col: str = "ts",
+                        window: str = "1 minute",
+                        watermark: str = "5 minutes") -> DataFrame:
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(F.max(ts_col).alias("max_ts"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.end").alias("window_end"), "max_ts", "n")
+    )
+
+
+def sessionize_stateful(stream: DataFrame, key_col: str = "user_id",
+                        ts_col: str = "ts", gap: str = "30 minutes") -> DataFrame:
+    """Gap-based session windows (built-in stateful operator)."""
+    return (
+        stream.withWatermark(ts_col, gap)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(key_col, F.col("s.start").alias("session_start"),
+                F.col("s.end").alias("session_end"), "n_events")
+    )
+
+
+def run_batch_smoke(spark, source_parquet: str, build_query, name: str = "stream_out",
+                    schema=None) -> DataFrame:
+    """Drive a bounded parquet-backed stream through ``build_query`` to
+    completion via a memory sink; returns the collected result table."""
+    if schema is None:
+        schema = spark.read.parquet(source_parquet).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(source_parquet)
+    )
+    out = build_query(stream)
+    q = out.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -1,0 +1,60 @@
+"""CLI-level tests (reference layer 4: stdout + exit codes)."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+HERE = os.path.dirname(__file__)
+REPO = os.path.dirname(HERE)
+FIXTURE = os.path.join(HERE, "fixtures", "orders_diag")
+
+
+def _prepare(tmp_path):
+    shutil.copy(os.path.join(FIXTURE, "orders.csv"), tmp_path / "orders.csv")
+    contract = open(os.path.join(FIXTURE, "datacontract.yaml")).read().replace(
+        "{dir}", str(tmp_path)).replace("orders.csv", "{model}.csv")
+    path = tmp_path / "contract.yaml"
+    path.write_text(contract)
+    return str(path)
+
+
+def test_cli_test_exit_code_and_output(tmp_path):
+    contract = _prepare(tmp_path)
+    out_json = tmp_path / "results.json"
+    proc = subprocess.run(
+        [sys.executable, "-m", "datacontract_cli_spark", "test", contract,
+         "--master", "local[2]", "--output", str(out_json)],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert proc.returncode == 1, proc.stdout + proc.stderr  # data has violations
+    assert "Run result: failed" in proc.stdout
+    results = json.loads(out_json.read_text())
+    assert results["result"] == "failed"
+    assert any(c["type"] == "field_max_length" and c["result"] == "failed"
+               for c in results["checks"])
+
+
+def test_cli_junit_output(tmp_path):
+    contract = _prepare(tmp_path)
+    out = tmp_path / "results.xml"
+    proc = subprocess.run(
+        [sys.executable, "-m", "datacontract_cli_spark", "test", contract,
+         "--master", "local[2]", "--output", str(out), "--output-format", "junit"],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert proc.returncode == 1
+    text = out.read_text()
+    assert text.startswith("<?xml")
+    assert "<failure" in text
+
+
+def test_cli_lint(tmp_path):
+    contract = _prepare(tmp_path)
+    proc = subprocess.run(
+        [sys.executable, "-m", "datacontract_cli_spark", "lint", contract],
+        capture_output=True, text=True, cwd=REPO, timeout=120,
+    )
+    assert proc.returncode == 0
+    assert "OK: 1 schema object(s), 3 properties" in proc.stdout

@@ -1,0 +1,64 @@
+"""Structured-Streaming checks driven to completion via a memory sink."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacontract_cli_spark.checks.spec import CheckSpec, MetricType, Op, Threshold
+from datacontract_cli_spark.sources.transcripts import synthesize_transcripts
+from datacontract_cli_spark.streaming import checks as sc
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "transcripts")
+    synthesize_transcripts(spark, n_convs=200, turns_per_conv=6,
+                           defect_rate=0.1, partitions=8).write.parquet(path)
+    return path
+
+
+def test_streaming_check_counts(spark, stream_dir):
+    specs = [
+        CheckSpec(key="role_missing", category="schema", type="field_required",
+                  name="r", model="t", field="role", metric=MetricType.MISSING_COUNT,
+                  threshold=Threshold(Op.EQ, 0)),
+        CheckSpec(key="role_enum", category="schema", type="field_enum",
+                  name="e", model="t", field="role", metric=MetricType.INVALID_COUNT,
+                  threshold=Threshold(Op.EQ, 0),
+                  valid_values=["system", "user", "assistant", "tool"]),
+    ]
+    result = sc.run_batch_smoke(
+        spark, stream_dir,
+        lambda s: sc.streaming_check_counts(s, specs, ts_col="ts", window="1 hour"),
+        name="counts_out",
+    )
+    rows = result.collect()
+    assert len(rows) > 1  # multiple event-time windows
+    total = sum(r["row_count"] for r in rows)
+    assert total == 1200
+    # streaming totals equal the batch engine's counts
+    batch = spark.read.parquet(stream_dir)
+    missing = batch.filter(F.col("role").isNull()).count()
+    assert sum(r["role_missing"] for r in rows) == missing
+
+
+def test_streaming_freshness(spark, stream_dir):
+    result = sc.run_batch_smoke(
+        spark, stream_dir,
+        lambda s: sc.streaming_freshness(s, ts_col="ts", window="1 hour"),
+        name="fresh_out",
+    )
+    batch_max = spark.read.parquet(stream_dir).agg(F.max("ts")).first()[0]
+    assert max(r["max_ts"] for r in result.collect()) == batch_max
+
+
+def test_streaming_sessionization(spark, stream_dir):
+    result = sc.run_batch_smoke(
+        spark, stream_dir,
+        lambda s: sc.sessionize_stateful(s, key_col="conv_id", ts_col="ts",
+                                         gap="10 minutes"),
+        name="sess_out",
+    )
+    # every conversation's turns are 30s apart → 1 session per conv_id
+    rows = result.collect()
+    assert len(rows) == spark.read.parquet(stream_dir).select("conv_id").distinct().count()
+    assert all(r["n_events"] >= 1 for r in rows)
