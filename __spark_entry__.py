@@ -383,6 +383,50 @@ def _q_embedding_near_dups(spark, sf):
     )
 
 
+def _q_json_validation(spark, sf):
+    from pyspark.sql import types as T
+    from datacontract_cli_spark.operators.jsonvalidate import json_validation_counts
+    ev = _t(spark, sf, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    counts = json_validation_counts(ev, "props", schema, required=["k"])
+    return spark.createDataFrame(
+        [(counts["row_count"], counts["null_count"], counts["corrupt_count"],
+          counts["missing_k"])],
+        "row_count bigint, null_count bigint, corrupt_count bigint, missing_k bigint",
+    )
+
+
+def _q_events_hourly(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+                   .alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+def _q_dedup_keep_first(spark, sf):
+    docs = _t(spark, sf, "documents")
+    kept = dedup.dedup_exact(docs, "doc_id")
+    return kept.agg(F.count(F.lit(1)).alias("n_kept"),
+                    F.sum("doc_id").alias("id_sum"))
+
+
+def _q_conversation_stats(spark, sf):
+    """Salted per-group stats shape over events (user_id as the conv key)."""
+    from datacontract_cli_spark.operators.convchecks import conversation_stats
+    ev = _t(spark, sf, "events")
+    stats = conversation_stats(ev, conv_col="user_id", turn_col="event_id",
+                               ts_col="ts", salt_buckets=8)
+    return stats.select(
+        "user_id",
+        F.col("n_turns").alias("n_events"),
+        F.col("min_turn").alias("min_event_id"),
+        F.col("max_turn").alias("max_event_id"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": _q_row_count,
@@ -415,6 +459,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "embedding_near_dups": _q_embedding_near_dups,
+        "json_validation": _q_json_validation,
+        "events_hourly": _q_events_hourly,
+        "dedup_keep_first": _q_dedup_keep_first,
+        "conversation_stats": _q_conversation_stats,
     }
 
 
@@ -567,6 +615,29 @@ def oracle_sql() -> dict[str, str]:
             "WHERE len(list_intersect(a.g, b.g)) > 0) "
             "SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (la + lb - inter), 4) AS jaccard "
             "FROM pairs WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8"
+        ),
+        "json_validation": (
+            "SELECT count(*) AS row_count, "
+            "count(*) FILTER (WHERE props IS NULL) AS null_count, "
+            "count(*) FILTER (WHERE props IS NOT NULL AND NOT json_valid(props)) AS corrupt_count, "
+            "count(*) FILTER (WHERE props IS NOT NULL AND json_valid(props) "
+            "AND json_extract(props, '$.k') IS NULL) AS missing_k "
+            "FROM events"
+        ),
+        "events_hourly": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, "
+            "event_type, count(*) AS n, round(sum(value), 4) AS total_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "dedup_keep_first": (
+            "SELECT count(*) AS n_kept, sum(doc_id) AS id_sum FROM ("
+            "SELECT doc_id, row_number() OVER ("
+            "PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) "
+            "ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1"
+        ),
+        "conversation_stats": (
+            "SELECT user_id, count(*) AS n_events, min(event_id) AS min_event_id, "
+            "max(event_id) AS max_event_id FROM events GROUP BY user_id"
         ),
         # minhash_near_dups / simhash_near_dups / embedding_near_dups are
         # hash-seed-dependent (xxhash64 / seeded hyperplanes) — not
