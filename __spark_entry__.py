@@ -427,6 +427,19 @@ def _q_conversation_stats(spark, sf):
     )
 
 
+def _q_asof_join(spark, sf):
+    from datacontract_cli_spark.operators.asof import asof_join
+    ev = _t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("last_purchase_value"))
+    joined = asof_join(ev.select("event_id", "user_id", "ts"), purchases,
+                       on="ts", by="user_id")
+    return joined.agg(
+        F.count("last_purchase_value").alias("n_matched"),
+        F.round(F.sum("last_purchase_value"), 2).alias("total_lpv"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": _q_row_count,
@@ -463,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "dedup_keep_first": _q_dedup_keep_first,
         "conversation_stats": _q_conversation_stats,
+        "asof_join": _q_asof_join,
     }
 
 
@@ -638,6 +652,14 @@ def oracle_sql() -> dict[str, str]:
         "conversation_stats": (
             "SELECT user_id, count(*) AS n_events, min(event_id) AS min_event_id, "
             "max(event_id) AS max_event_id FROM events GROUP BY user_id"
+        ),
+        "asof_join": (
+            "SELECT count(lp.last_purchase_value) AS n_matched, "
+            "round(sum(lp.last_purchase_value), 2) AS total_lpv "
+            "FROM events e ASOF LEFT JOIN "
+            "(SELECT user_id, ts, value AS last_purchase_value FROM events "
+            "WHERE event_type = 'purchase') lp "
+            "ON e.user_id = lp.user_id AND e.ts >= lp.ts"
         ),
         # minhash_near_dups / simhash_near_dups / embedding_near_dups are
         # hash-seed-dependent (xxhash64 / seeded hyperplanes) — not

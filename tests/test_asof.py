@@ -1,0 +1,57 @@
+import datetime as dt
+
+import pytest
+
+from datacontract_cli_spark.operators.asof import asof_join, asof_join_pandas
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, 100.0), ("A", 20, 101.0), ("A", 35, 102.0),
+         ("B", 15, 50.0), ("B", 5, 49.0)],
+        "sym string, t bigint, trade_px double",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 8, 99.5), ("A", 19, 100.5), ("A", 30, 101.5),
+         ("B", 10, 48.5)],
+        "sym string, t bigint, quote_px double",
+    )
+    return trades, quotes
+
+
+EXPECTED = {
+    ("A", 10): 99.5, ("A", 20): 100.5, ("A", 35): 101.5,
+    ("B", 15): 48.5, ("B", 5): None,
+}
+
+
+def test_asof_join_window_strategy(frames):
+    trades, quotes = frames
+    out = asof_join(trades, quotes, on="t", by="sym")
+    got = {(r["sym"], r["t"]): r["quote_px"] for r in out.collect()}
+    assert got == EXPECTED
+    assert out.count() == trades.count()  # left join: every trade survives
+
+
+def test_asof_join_pandas_strategy(frames):
+    trades, quotes = frames
+    out = asof_join_pandas(trades, quotes, on="t", by="sym")
+    got = {(r["sym"], r["t"]): r["quote_px"] for r in out.collect()}
+    assert got == EXPECTED
+
+
+def test_asof_join_no_by(spark):
+    left = spark.createDataFrame([(10,), (25,)], "t bigint")
+    right = spark.createDataFrame([(5, "x"), (20, "y")], "t bigint, v string")
+    out = asof_join(left, right, on="t")
+    got = {r["t"]: r["v"] for r in out.collect()}
+    assert got == {10: "x", 25: "y"}
+
+
+def test_asof_exact_timestamp_matches_take_right(spark):
+    # right.on == left.on counts as "at or before"
+    left = spark.createDataFrame([("A", 10)], "sym string, t bigint")
+    right = spark.createDataFrame([("A", 10, 1.5)], "sym string, t bigint, v double")
+    out = asof_join(left, right, on="t", by="sym").collect()
+    assert out[0]["v"] == 1.5
