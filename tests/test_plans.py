@@ -1,0 +1,82 @@
+"""Physical-plan assertions: the optimizations we claim must show up in
+.explain output — filter pushdown to parquet, column pruning, broadcast for
+the RI join, whole-stage codegen on the batched agg, no Python eval in the
+hot path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = df.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plan = _formatted(q)
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity" in plan
+    # ReadSchema carries only the referenced columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_batched_agg_is_whole_stage_codegen_single_scan(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    q = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_orderstatus").isin("O", "F"), 0).otherwise(1)).alias("inv"),
+        F.max("o_orderdate").alias("mx"),
+    )
+    plan = _formatted(q)
+    # map-side partial aggregation + one scan shared by all metrics
+    assert "partial_count" in plan and "partial_sum" in plan and "partial_max" in plan
+    import re
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    q.collect()
+    executed = q._jdf.queryExecution().executedPlan().toString()
+    assert "*(1)" in executed  # whole-stage-codegen stage marker
+
+
+def test_referential_integrity_broadcasts_parent_keys(spark):
+    from datacontract_cli_spark.operators.refintegrity import orphan_rows
+    child = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    parent = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    q = orphan_rows(child, "l_orderkey", parent, "o_orderkey")
+    plan = _formatted(q)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the 100 TB child side is never exchanged
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+
+def test_engine_predicates_stay_jvm_side(spark):
+    """The compiled missing/invalid conditions must not introduce Python
+    evaluation nodes."""
+    from datacontract_cli_spark.checks.spec import CheckSpec, MetricType
+    from datacontract_cli_spark.engine.predicates import invalid_condition
+
+    df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    spec = CheckSpec(key="k", category="q", type="t", name="n", model="m",
+                     metric=MetricType.INVALID_COUNT, field="c_name",
+                     valid_regex="^Customer#[0-9]+$", valid_max_length=25)
+    cond = invalid_condition(df, "c_name", spec)
+    q = df.agg(F.sum(F.when(cond, 1).otherwise(0)))
+    plan = _formatted(q)
+    assert "EvalPython" not in plan
+    q.collect()
+    assert "*(1)" in q._jdf.queryExecution().executedPlan().toString()
+
+
+def test_window_topk_uses_take_ordered_or_window(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    q = df.orderBy(F.desc("o_totalprice")).limit(5)
+    plan = _formatted(q)
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k

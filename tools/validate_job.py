@@ -1,0 +1,63 @@
+"""spark-submit entry point: contract validation as a cluster job.
+
+    spark-submit --py-files dcspark.zip tools/validate_job.py \
+        --contract contract.yaml --data /path/transcripts \
+        --model transcripts --checkpoint-dir /path/ckpt [--partitioned]
+
+Build the zip with ``python tools/package.py`` (writes dist/dcspark.zip).
+On a real cluster the same invocation works with ``--master yarn``/k8s —
+the engine only ever talks to the SparkSession it is given. Exit code
+follows the run result (1 on failure), so the job slots into schedulers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--contract", required=True)
+    p.add_argument("--data", required=True, help="parquet path of the model data")
+    p.add_argument("--model", required=True)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--partitioned", action="store_true",
+                   help="per-partition verdicts with resume (needs --checkpoint-dir)")
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--partition-key", default="conv_id")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    # spark-submit provides master/conf; fall back to local defaults for dev
+    spark = SparkSession.builder.appName("datacontract-validate").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from datacontract_cli_spark.checks.compile import compile_checks
+    from datacontract_cli_spark.engine.executor import SparkContractEngine
+    from datacontract_cli_spark.engine.partitioned import PartitionedValidator
+    from datacontract_cli_spark.model.contract import load_contract
+    from datacontract_cli_spark.output import writers
+
+    contract = load_contract(args.contract)
+    df = spark.read.parquet(args.data)
+
+    if args.partitioned:
+        specs = [s for s in compile_checks(contract, None) if s.model == args.model]
+        pv = PartitionedValidator(spark, checkpoint_dir=args.checkpoint_dir,
+                                  partition_key=args.partition_key,
+                                  n_buckets=args.n_buckets)
+        verdicts = pv.run(df, specs, args.model, source_path=args.data)
+        folded = PartitionedValidator.fold(verdicts)
+        print(json.dumps(folded, default=str))
+        return 1 if "failed" in folded["results"].values() else 0
+
+    run = SparkContractEngine(spark).test(contract, tables={args.model: df})
+    print(writers.console_table(run))
+    return writers.exit_code(run)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
