@@ -110,6 +110,58 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     )
 
 
+def minhash_signatures_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_size: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Arrow-batched signature kernel: per batch, shingles hash once (crc32)
+    and the K permutation hashes derive via one numpy affine broadcast
+    ((a_k * h + b_k) mod p — the classic universal-hash MinHash family).
+
+    Rationale vs the pure-expression kernel: the nested higher-order-function
+    tree costs Catalyst seconds of one-time optimization and runs
+    interpreted (HOFs don't codegen); this kernel is a small fixed plan and
+    vectorizes the K-hash math. Same LSH semantics, different hash family."""
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(1234)
+    P = np.uint64((1 << 61) - 1)
+    A = rng.integers(1, P, size=num_hashes, dtype=np.uint64)
+    B = rng.integers(0, P, size=num_hashes, dtype=np.uint64)
+
+    def kernel(batches):
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col]:
+                norm = " ".join(str(text or "").lower().split())
+                toks = norm.split(" ")
+                if len(toks) >= shingle_size:
+                    shingles = {
+                        " ".join(toks[i:i + shingle_size])
+                        for i in range(len(toks) - shingle_size + 1)
+                    }
+                else:
+                    shingles = {norm}
+                base = np.fromiter(
+                    (zlib.crc32(s.encode()) for s in shingles),
+                    dtype=np.uint64, count=len(shingles),
+                )
+                # (S,1)*(K,) broadcast → per-seed min, all numpy
+                h = (base[:, None] * A[None, :] + B[None, :]) % P
+                sigs.append(h.min(axis=0).astype(np.int64).tolist())
+            yield pd.DataFrame({"id": pdf[id_col], "sig": sigs})
+
+    return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+        kernel, f"id {dict(df.dtypes)[id_col]}, sig array<long>"
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str,
@@ -117,15 +169,23 @@ def minhash_candidates(
     shingle_size: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    kernel: str = "expr",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH,
-    with the signature-agreement Jaccard estimate attached."""
+    with the signature-agreement Jaccard estimate attached.
+
+    kernel="expr" (default): pure Column-expression kernel — zero Python on
+    the executors, text never leaves the JVM; kernel="arrow": numpy
+    signature kernel via mapInPandas (smaller plan, Arrow transfer cost)."""
     rows_per_band = num_hashes // bands
-    sig = (
-        df.select(F.col(id_col).alias("id"),
-                  minhash_signature(word_shingles(F.col(text_col), shingle_size),
-                                    num_hashes).alias("sig"))
-    )
+    if kernel == "arrow":
+        sig = minhash_signatures_arrow(df, id_col, text_col, shingle_size, num_hashes)
+    else:
+        sig = (
+            df.select(F.col(id_col).alias("id"),
+                      minhash_signature(word_shingles(F.col(text_col), shingle_size),
+                                        num_hashes).alias("sig"))
+        )
     # Materialize signatures BEFORE banding: Catalyst's projection collapse
     # would otherwise inline the (shingles × K hashes) expression into every
     # band column AND both sides of the self-join — recomputing it 2×17 times
