@@ -427,6 +427,47 @@ def _q_conversation_stats(spark, sf):
     )
 
 
+def _q_cube_revenue(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "revenue",
+        )
+    )
+
+
+def _q_pivot_status(spark, sf):
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select("o_orderpriority",
+                F.coalesce("O", F.lit(0)).alias("n_open"),
+                F.coalesce("F", F.lit(0)).alias("n_finished"),
+                F.coalesce("P", F.lit(0)).alias("n_pending"))
+    )
+
+
+def _q_embedding_pairs_exact(spark, sf):
+    """Brute-force exact near-pair count (the LSH variants' ground truth)."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a, b = emb.alias("a"), emb.alias("b")
+    pair_sim = similarity.cosine(F.col("a.v"), F.col("b.v"))
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(pair_sim.alias("s"))
+    return pairs.agg(
+        F.sum(F.when(F.col("s") >= 0.8, 1).otherwise(0)).alias("pairs_ge_080"),
+        F.sum(F.when(F.col("s") >= 0.5, 1).otherwise(0)).alias("pairs_ge_050"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
 def _q_asof_join(spark, sf):
     from datacontract_cli_spark.operators.asof import asof_join
     ev = _t(spark, sf, "events")
@@ -477,6 +518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": _q_dedup_keep_first,
         "conversation_stats": _q_conversation_stats,
         "asof_join": _q_asof_join,
+        "cube_revenue": _q_cube_revenue,
+        "pivot_status": _q_pivot_status,
+        "embedding_pairs_exact": _q_embedding_pairs_exact,
     }
 
 
@@ -652,6 +696,27 @@ def oracle_sql() -> dict[str, str]:
         "conversation_stats": (
             "SELECT user_id, count(*) AS n_events, min(event_id) AS min_event_id, "
             "max(event_id) AS max_event_id FROM events GROUP BY user_id"
+        ),
+        "cube_revenue": (
+            "SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, "
+            "coalesce(l_linestatus, 'ALL') AS l_linestatus, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+        ),
+        "pivot_status": (
+            "SELECT o_orderpriority, "
+            "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open, "
+            "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished, "
+            "count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending "
+            "FROM orders GROUP BY o_orderpriority"
+        ),
+        "embedding_pairs_exact": (
+            "SELECT count(*) FILTER (WHERE s >= 0.8) AS pairs_ge_080, "
+            "count(*) FILTER (WHERE s >= 0.5) AS pairs_ge_050, "
+            "count(*) AS n_pairs FROM ("
+            "SELECT list_cosine_similarity(a.embedding::DOUBLE[], "
+            "b.embedding::DOUBLE[]) AS s "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)"
         ),
         "asof_join": (
             "SELECT count(lp.last_purchase_value) AS n_matched, "

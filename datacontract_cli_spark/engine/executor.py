@@ -163,6 +163,64 @@ class SparkContractEngine:
 
         return run.finish()
 
+    def test_partitioned(
+        self,
+        contract: DataContract,
+        df: DataFrame,
+        model: str,
+        checkpoint_dir: Optional[str] = None,
+        partition_key: str = "conv_id",
+        n_buckets: int = 64,
+        source_path: Optional[str] = None,
+    ):
+        """Per-partition verdict mode (north rule): validate the model's
+        agg-able + duplicate checks per hash bucket of ``partition_key``
+        with lineage + checkpoint/resume; returns (Run, bucket verdicts).
+
+        The Run's check results are the fold of the bucket verdicts, so the
+        result surface matches test() while the manifest records exactly
+        which buckets have been validated (crash-resume re-runs only the
+        rest)."""
+        from datacontract_cli_spark.engine.partitioned import PartitionedValidator
+
+        specs = [s for s in compile_checks(contract, None) if s.model == model]
+        runnable = [s for s in specs if s.metric in
+                    (MetricType.ROW_COUNT, MetricType.MISSING_COUNT,
+                     MetricType.INVALID_COUNT, MetricType.DUPLICATE_COUNT)]
+        pv = PartitionedValidator(self.spark, checkpoint_dir=checkpoint_dir,
+                                  partition_key=partition_key, n_buckets=n_buckets)
+        verdicts = pv.run(df, runnable, model, source_path=source_path)
+        folded = PartitionedValidator.fold(verdicts)
+
+        run = Run(dataContractId=contract.id, dataContractVersion=contract.version)
+        for spec in runnable:
+            check = Check(key=spec.key, category=spec.category, type=spec.type,
+                          name=spec.name, model=spec.model, field=spec.field,
+                          language="spark-sql", dimension=spec.dimension)
+            # global verdict from the folded metric (exact: counts sum across
+            # buckets); per-bucket verdicts stay in diagnostics/manifest
+            value = folded["metrics"].get(
+                spec.key, folded["metrics"].get("row_count")
+                if spec.metric is MetricType.ROW_COUNT else None)
+            if spec.threshold is not None:
+                check.result = (ResultEnum.passed if spec.threshold.passes(value)
+                                else _fail_result(spec))
+            check.diagnostics = {
+                "metric": spec.metric.value,
+                "value": value,
+                "n_buckets": folded["n_buckets_validated"],
+                "failed_buckets": sorted(
+                    b for b, v in verdicts.items()
+                    if v.results.get(spec.key) == "failed"
+                ),
+            }
+            if check.result is ResultEnum.failed:
+                check.reason = (f"{len(check.diagnostics['failed_buckets'])} of "
+                                f"{folded['n_buckets_validated']} partitions failed "
+                                f"{spec.metric.value}({spec.field or spec.model})")
+            run.checks.append(check)
+        return run.finish(), verdicts
+
     # ------------------------------------------------------------------
     # filtering
     # ------------------------------------------------------------------

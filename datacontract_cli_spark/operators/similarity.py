@@ -110,6 +110,71 @@ class RandomHyperplaneLSH:
         return cosine_topk(cands.drop("__bucket__"), vec_col, query, k, id_col)
 
 
+class IVFIndex:
+    """IVF (inverted-file) ANN: k-means centroids partition the vector
+    space; a query probes only the ``nprobe`` nearest cells.
+
+    Training runs on a driver-side sample (numpy Lloyd iterations, seeded —
+    centroid count is small, the sample bounded); assignment of the full
+    table is one Arrow-batched matmul per batch (`mapInPandas`). At scale
+    the assigned table is written partitioned by cell so a query reads only
+    its probed cells' files (partition pruning does the candidate cut)."""
+
+    def __init__(self, n_cells: int = 16, seed: int = 42, iters: int = 10):
+        self.n_cells = n_cells
+        self.seed = seed
+        self.iters = iters
+        self.centroids: Optional[np.ndarray] = None
+
+    def fit(self, df: DataFrame, vec_col: str, sample: int = 10_000) -> "IVFIndex":
+        frac = min(1.0, sample / max(df.count(), 1))
+        rows = df.select(vec_col).sample(frac, seed=self.seed).collect()
+        x = np.asarray([r[0] for r in rows], dtype=np.float64)
+        rng = np.random.default_rng(self.seed)
+        cents = x[rng.choice(len(x), size=min(self.n_cells, len(x)), replace=False)]
+        for _ in range(self.iters):
+            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(cents)):
+                members = x[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        self.centroids = cents
+        return self
+
+    def assign(self, df: DataFrame, vec_col: str, id_col: str = "vec_id") -> DataFrame:
+        """(id, vector, cell) — vectorized nearest-centroid via one matmul
+        per Arrow batch."""
+        import pandas as pd
+
+        cents = self.centroids
+        cent_sq = (cents ** 2).sum(axis=1)
+
+        def kernel(batches):
+            for pdf in batches:
+                x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+                # ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2 ; argmin ignores ||x||^2
+                cell = (-2 * (x @ cents.T) + cent_sq).argmin(axis=1)
+                yield pd.DataFrame({
+                    "id": pdf[id_col], "v": pdf[vec_col], "cell": cell.astype("int32"),
+                })
+
+        return df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)) \
+                 .mapInPandas(kernel, f"id {dict(df.dtypes)[id_col]}, v array<double>, cell int")
+
+    def query_cells(self, query: Sequence[float], nprobe: int = 2) -> List[int]:
+        q = np.asarray(query, dtype=np.float64)
+        d = ((self.centroids - q) ** 2).sum(axis=1)
+        return [int(i) for i in np.argsort(d)[:nprobe]]
+
+    def topk(self, assigned: DataFrame, query: Sequence[float], k: int = 10,
+             nprobe: int = 2) -> DataFrame:
+        cells = self.query_cells(query, nprobe)
+        cands = assigned.filter(F.col("cell").isin(cells))
+        return cosine_topk(cands.select(F.col("id").alias("vec_id"), "v"),
+                           "v", query, k, id_col="vec_id")
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",
