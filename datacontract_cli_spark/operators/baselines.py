@@ -1,0 +1,77 @@
+"""Drift baselines: compute → persist → compare.
+
+The drift checks (operators/drift.py) compare live data against a stored
+snapshot of the expected distribution. This module computes those snapshots
+from a reference dataset (one job per kind), serializes them to JSON, and
+plugs them back into contract quality rules as ``arguments.baseline``.
+
+Baseline kinds:
+- categorical frequency vector (for freqDriftPsi)
+- numeric CDF points at fixed probes (for quantileDriftKs "cdf")
+- t-digest quantile map (for quantileDriftKs "quantiles" — the sketch path)
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datacontract_cli_spark.operators import drift
+from datacontract_cli_spark.operators.tdigest import sketch_column
+
+DEFAULT_QUANTILES = (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+
+
+def categorical_baseline(df: DataFrame, column: str) -> Dict[str, float]:
+    return {str(k): v for k, v in drift.frequency_fractions(df, column).items()}
+
+
+def cdf_baseline(df: DataFrame, column: str,
+                 probs: Sequence[float] = DEFAULT_QUANTILES) -> Dict[str, Any]:
+    """CDF probe points from the reference data's own quantiles (so the
+    live-data KS evaluates exactly at meaningful locations)."""
+    xs = df.agg(F.percentile_approx(column, list(probs), 10_000).alias("q")).first()["q"]
+    return {"cdf": [[float(x), float(p)] for x, p in zip(xs, probs)]}
+
+
+def tdigest_baseline(df: DataFrame, column: str,
+                     probs: Sequence[float] = DEFAULT_QUANTILES) -> Dict[str, Any]:
+    d = sketch_column(df, column)
+    return {"quantiles": {str(p): d.quantile(p) for p in probs}}
+
+
+def compute_baselines(df: DataFrame, categorical: Sequence[str] = (),
+                      numeric: Sequence[str] = (),
+                      use_tdigest: bool = False) -> Dict[str, Dict[str, Any]]:
+    out: Dict[str, Dict[str, Any]] = {}
+    for c in categorical:
+        out[c] = {"kind": "categorical", "baseline": categorical_baseline(df, c)}
+    for c in numeric:
+        b = tdigest_baseline(df, c) if use_tdigest else cdf_baseline(df, c)
+        out[c] = {"kind": "numeric", "baseline": b}
+    return out
+
+
+def save_baselines(baselines: Dict[str, Any], path: str) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(baselines, f, indent=2)
+
+
+def load_baselines(path: str) -> Dict[str, Any]:
+    with open(path, "r", encoding="utf-8") as f:
+        return json.load(f)
+
+
+def drift_against_baselines(df: DataFrame, baselines: Dict[str, Any]) -> Dict[str, float]:
+    """Evaluate every stored baseline against live data; column → statistic
+    (PSI for categorical, KS for numeric)."""
+    out: Dict[str, float] = {}
+    for column, entry in baselines.items():
+        if entry["kind"] == "categorical":
+            out[column] = drift.psi(df, column, entry["baseline"])
+        else:
+            out[column] = drift.ks_statistic(df, column, entry["baseline"])
+    return out
