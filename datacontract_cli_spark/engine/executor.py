@@ -412,12 +412,13 @@ class SparkContractEngine:
         if (self.include_failed_samples and check is not None
                 and check.result in (ResultEnum.failed, ResultEnum.warning)):
             sample_df = (
-                df.groupBy(*[F.col(c) for c in resolved]).count()
-                .filter(F.col("count") > 1)
+                df.groupBy(*[F.col(c) for c in resolved])
+                .agg(F.count(F.lit(1)).alias("duplicate_count"))
+                .filter(F.col("duplicate_count") > 1)
                 .orderBy(*[F.col(c) for c in resolved])
                 .limit(self.sample_limit)
             )
-            keep = self._drop_sensitive(resolved + ["count"], obj)
+            keep = self._drop_sensitive(resolved + ["duplicate_count"], obj)
             rows = [self._json_safe(r.asDict()) for r in sample_df.select(*keep).collect()]
             check.failedSamples = rows
 
