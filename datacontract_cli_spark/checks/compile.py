@@ -99,10 +99,16 @@ def prepare_query(
     if not q.query:
         return None
     text = q.query
+    # The engine executes custom SQL against session temp views named after
+    # the model, so a database/schema qualifier can never resolve — drop a
+    # "{schema}." qualifier that directly prefixes a table placeholder
+    # (before the table placeholders themselves are substituted), and
+    # substitute any remaining bare {schema} with the model name.
+    text = re.sub(r'["\']?\$?\{schema}["\']?\s*\.\s*(?=["\']?\$?\{(model|table|object)})',
+                  "", text)
     for token in ("model", "table", "object"):
         text = re.sub(r'["\']?\$?\{%s}["\']?' % token, model, text)
-    schema_sub = server.schema_ if server and server.schema_ else model
-    text = re.sub(r'["\']?\$?\{schema}["\']?', schema_sub, text)
+    text = re.sub(r'["\']?\$?\{schema}["\']?', model, text)
     if field is not None:
         for token in ("field", "column", "property"):
             text = re.sub(r'["\']?\$?\{%s}["\']?' % token, field, text)

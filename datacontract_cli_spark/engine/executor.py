@@ -450,8 +450,9 @@ class SparkContractEngine:
         )
 
     def _check_custom_sql(self, run: Run, spec: CheckSpec) -> None:
+        from datacontract_cli_spark.checks.dialect import to_spark_sql
         try:
-            result = self.spark.sql(spec.query)
+            result = self.spark.sql(to_spark_sql(spec.query, spec.dialect))
             first = result.limit(1).collect()
             value = first[0][0] if first else None
         except Exception as e:
