@@ -355,9 +355,12 @@ def _q_cosine_topk(spark, sf):
 
 
 def _q_minhash_near_dups(spark, sf):
+    import os
     docs = _t(spark, sf, "documents")
+    # arrow kernel: smaller plan, ~2x faster end-to-end in a busy session
+    kernel = os.environ.get("DCSPARK_MINHASH_KERNEL", "arrow")
     return (
-        dedup.minhash_near_duplicates(docs, "doc_id", threshold=0.8)
+        dedup.minhash_near_duplicates(docs, "doc_id", threshold=0.8, kernel=kernel)
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     )
