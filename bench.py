@@ -37,7 +37,7 @@ BENCH_QUERIES = [
     "dedup_exact",
 ]
 
-TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "300000"))
+TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "1000000"))
 TURNS_PER_CONV = 8
 
 

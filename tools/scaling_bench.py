@@ -23,15 +23,27 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
 from datacontract_cli_spark.session import get_spark
 from datacontract_cli_spark.engine.executor import SparkContractEngine
-from datacontract_cli_spark.model.contract import load_contract
+from datacontract_cli_spark.model.contract import load_contract, QualityRule, Property
 
 cpus = int(sys.argv[1]); path = sys.argv[2]; n_turns = int(sys.argv[3])
 spark = get_spark(f"scale-{{cpus}}", master=f"local[{{cpus}}]", shuffle_partitions=cpus)
 contract = load_contract(os.path.join({repo!r}, "tests", "fixtures",
                                       "transcripts_contract.yaml"))
-df = spark.read.parquet(path)
+# full north-star check suite: schema/enum/regex/uniqueness PLUS the
+# distribution-drift checks (role-frequency PSI, text-length KS)
+obj = contract.schema_object("transcripts")
+role = next(p for p in obj.properties if p.name == "role")
+role.quality.append(QualityRule(metric="freqDriftPsi", must_be_lt=0.25, arguments={{
+    "baseline": {{"system": 0.125, "user": 0.35, "assistant": 0.35, "tool": 0.175}}}}))
+obj.properties.append(Property(name="text_len", logical_type="number", quality=[
+    QualityRule(metric="quantileDriftKs", must_be_lt=0.2, arguments={{
+        "baseline": {{"cdf": [[20.0, 0.08], [60.0, 0.25], [120.0, 0.5],
+                              [200.0, 0.8], [280.0, 0.97]]}}}})]))
+df = spark.read.parquet(path).withColumn("text_len",
+                                         F.length("text").cast("double"))
 engine = SparkContractEngine(spark)
 import statistics
 times = []
@@ -92,12 +104,22 @@ def main() -> None:
     print(json.dumps(summary))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(path):
+        prior = open(path).read()
+        marker = "\n## Single-node comparison"
+        if marker in prior:
+            tail = marker + prior.split(marker, 1)[1]
+    with open(path, "w") as f:
+        if tail:
+            pass  # scaling section first, then the preserved tail below
         f.write(f"""# BENCH — scaling evidence (north rule)
 
-Same job (full contract validation of the transcripts table: batched
-aggregation of required/enum/regex/min/max checks + composite-PK duplicate
-grouping + row count) on the SAME {n_turns:,}-turn parquet input at two
+Same job (the full north-star check suite over the transcripts table:
+batched aggregation of required/enum/regex/min/max checks, composite-PK
+duplicate grouping, role-frequency PSI drift, text-length KS drift, row
+count) on the SAME {n_turns:,}-turn parquet input at two
 parallelism levels, fresh JVM each (the sandbox stand-in for N vs 4N
 executors, per the driver instruction).
 
@@ -118,6 +140,8 @@ All runs: local[8] {r8['all_times']}, local[32] {r32['all_times']}
 
 Reproduce: `python tools/scaling_bench.py {n_convs} {turns}`
 """)
+        if tail:
+            f.write(tail)
 
 
 if __name__ == "__main__":

@@ -137,8 +137,13 @@ DuckDB-style local aggregation, while 10^12 turns split across executors.
 
 Reproduce: `python tools/singlenode_compare.py {n_convs} {turns}`
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
-        f.write(section)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    prior = open(path).read() if os.path.exists(path) else ""
+    marker = "\n## Single-node comparison"
+    if marker in prior:
+        prior = prior.split(marker, 1)[0].rstrip() + "\n"
+    with open(path, "w") as f:
+        f.write(prior + section)
 
 
 if __name__ == "__main__":
