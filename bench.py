@@ -102,8 +102,13 @@ def main() -> None:
     n_turns = _materialize_transcripts(spark, tpath)
     t0 = time.perf_counter()
     run = _validate_transcripts(spark, tpath)
+    timings["transcripts_validation"] = round(time.perf_counter() - t0, 3)
+    # steady state (plan compile + JIT amortized — the per-round number that
+    # reflects sustained throughput on a long-running cluster)
+    t0 = time.perf_counter()
+    run = _validate_transcripts(spark, tpath)
     validate_sec = time.perf_counter() - t0
-    timings["transcripts_validation"] = round(validate_sec, 3)
+    timings["transcripts_validation_warm"] = round(validate_sec, 3)
     turns_per_sec = round(n_turns / validate_sec, 1)
 
     total = round(sum(timings.values()), 3)
