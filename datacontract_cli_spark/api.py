@@ -1,0 +1,82 @@
+"""Drop-in style facade: the reference's primary Python entry point is
+``DataContract(data_contract_file=..., spark=session).test()``
+(datacontract/data_contract.py:26-72,143). This facade gives users of the
+reference CLI the same call shape on top of the Spark engine.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datacontract_cli_spark.engine.executor import SparkContractEngine
+from datacontract_cli_spark.model.contract import load_contract, load_contract_str
+from datacontract_cli_spark.model.run import Run
+from datacontract_cli_spark.output import writers
+
+
+class DataContractRunner:
+    """Reference-shaped facade (named to avoid clashing with the contract
+    dataclass; ``from datacontract_cli_spark.api import DataContractRunner
+    as DataContract`` gives the literal reference name)."""
+
+    def __init__(
+        self,
+        data_contract_file: Optional[str] = None,
+        data_contract_str: Optional[str] = None,
+        spark: Optional[SparkSession] = None,
+        server: Optional[str] = None,
+        schema_name: str = "all",
+        include_failed_samples: bool = False,
+        filter: Optional[str] = None,  # noqa: A002 — reference arg name
+        tables: Optional[Dict[str, DataFrame]] = None,
+    ):
+        if data_contract_file is None and data_contract_str is None:
+            raise ValueError("provide data_contract_file or data_contract_str")
+        self.contract = (
+            load_contract(data_contract_file)
+            if data_contract_file is not None
+            else load_contract_str(data_contract_str)
+        )
+        if spark is None:
+            from datacontract_cli_spark.session import get_spark
+            spark = get_spark()
+        self.spark = spark
+        self.server = server
+        self.schema_name = schema_name
+        self.include_failed_samples = include_failed_samples
+        self.filters: Optional[List[str]] = [filter] if filter else None
+        self.tables = tables
+
+    def test(self) -> Run:
+        engine = SparkContractEngine(
+            self.spark, include_failed_samples=self.include_failed_samples
+        )
+        tables = self.tables
+        if tables is None and self.contract.server(self.server) is None:
+            # dataframe-style usage: models must exist as temp views
+            tables = {
+                obj.table: self.spark.table(obj.table)
+                for obj in self.contract.schema_objects
+            }
+        return engine.test(
+            self.contract,
+            tables=tables,
+            server=self.server,
+            schema_name=self.schema_name,
+            filters=self.filters,
+        )
+
+    def lint(self) -> List[str]:
+        problems = []
+        if not self.contract.schema_objects:
+            problems.append("contract has no schema objects")
+        for obj in self.contract.schema_objects:
+            if not obj.properties:
+                problems.append(f"schema object '{obj.name}' has no properties")
+        return problems
+
+    @staticmethod
+    def pretty(run: Run) -> str:
+        return writers.console_table(run)

@@ -1,0 +1,91 @@
+"""DataContractRunner facade + contract/schema round-trips."""
+
+from pyspark.sql import types as T
+
+from datacontract_cli_spark.api import DataContractRunner
+from datacontract_cli_spark.export import (
+    import_dataframe,
+    to_odcs_yaml,
+    to_spark_schema,
+)
+from datacontract_cli_spark.model.contract import load_contract_str
+from datacontract_cli_spark.model.run import ResultEnum
+from datacontract_cli_spark.sources.transcripts import synthesize_transcripts
+
+CONTRACT = """
+id: facade
+version: 0.1.0
+schema:
+  - name: transcripts
+    properties:
+      - name: conv_id
+        logicalType: string
+        required: true
+      - name: turn_idx
+        logicalType: integer
+        required: true
+      - name: role
+        logicalType: string
+        logicalTypeOptions:
+          enum: [system, user, assistant, tool]
+"""
+
+
+def test_facade_dataframe_style(spark):
+    df = synthesize_transcripts(spark, n_convs=30, turns_per_conv=4)
+    df.createOrReplaceTempView("transcripts")
+    run = DataContractRunner(data_contract_str=CONTRACT, spark=spark).test()
+    assert run.result is ResultEnum.passed
+    assert "Run result: passed" in DataContractRunner.pretty(run)
+
+
+def test_facade_filter_and_samples(spark):
+    df = synthesize_transcripts(spark, n_convs=30, turns_per_conv=4, defect_rate=0.3)
+    run = DataContractRunner(
+        data_contract_str=CONTRACT, spark=spark,
+        include_failed_samples=True, tables={"transcripts": df},
+    ).test()
+    assert run.result is ResultEnum.failed
+    enum_check = next(c for c in run.checks if c.type == "field_enum")
+    assert enum_check.failedSamples
+
+
+def test_facade_lint():
+    # bypass __init__ so lint needs no SparkSession
+    r = DataContractRunner.__new__(DataContractRunner)
+    r.contract = load_contract_str("id: x\nversion: '1'\nschema: []\n")
+    assert DataContractRunner.lint(r) == ["contract has no schema objects"]
+
+
+def test_to_spark_schema_nullability():
+    c = load_contract_str(CONTRACT)
+    schema = to_spark_schema(c.schema_objects[0])
+    by_name = {f.name: f for f in schema.fields}
+    assert by_name["conv_id"].dataType == T.StringType()
+    assert by_name["conv_id"].nullable is False
+    assert by_name["turn_idx"].dataType == T.LongType()
+    assert by_name["role"].nullable is True
+
+
+def test_import_dataframe_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "x", [1.0, 2.0], {"a": 1}, (True,))],
+        "id bigint, name string, vec array<double>, m map<string,bigint>, "
+        "s struct<flag:boolean>",
+    )
+    contract = import_dataframe(df, "t")
+    obj = contract.schema_objects[0]
+    by = {p.name: p for p in obj.properties}
+    assert by["id"].logical_type == "integer"
+    assert by["name"].logical_type == "string"
+    assert by["vec"].logical_type == "array"
+    assert by["vec"].items.logical_type == "number"
+    assert by["s"].logical_type == "object"
+    assert by["s"].properties[0].name == "flag"
+
+    # exported YAML parses back into an equivalent contract
+    text = to_odcs_yaml(contract)
+    back = load_contract_str(text)
+    assert [p.name for p in back.schema_objects[0].properties] == \
+           [p.name for p in obj.properties]
+    assert back.schema_objects[0].properties[2].items.logical_type == "number"
