@@ -54,6 +54,11 @@ def synthesize_transcripts(
 
     conv_id = F.concat(F.lit("conv-"), F.lpad(conv_num.cast("string"), 10, "0"))
     turn_idx = F.pmod(F.col("id"), F.lit(turns_per_conv)).cast("int")
+    if hot_conv_fraction > 0:
+        # keep (conv_id, turn_idx) unique inside the hot conversation — its
+        # turns take globally-unique indices (a real hot conversation has
+        # many turns, not many copies of turn 0..k)
+        turn_idx = F.when(conv_num == 0, F.col("id").cast("int")).otherwise(turn_idx)
 
     role = (
         F.when(turn_idx == 0, F.lit("system"))
