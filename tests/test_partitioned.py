@@ -88,3 +88,19 @@ def test_turn_density_violations(spark):
 def test_non_monotonic_ts(spark):
     df = synthesize_transcripts(spark, n_convs=50, turns_per_conv=5)
     assert convchecks.non_monotonic_ts_count(df).first()[0] == 0
+
+
+def test_non_monotonic_join_matches_window(spark):
+    from pyspark.sql import functions as F
+    df = synthesize_transcripts(spark, n_convs=150, turns_per_conv=6)
+    # corrupt some timestamps so the count is non-trivial: swap ts ordering
+    # for turn 3 of every 5th conversation
+    corrupted = df.withColumn(
+        "ts",
+        F.when((F.col("turn_idx") == 3) &
+               (F.substring("conv_id", -1, 1) == "5"),
+               F.col("ts") - F.expr("INTERVAL 10 MINUTES")).otherwise(F.col("ts")),
+    )
+    vw = convchecks.non_monotonic_ts_count(corrupted).first()[0]
+    vj = convchecks.non_monotonic_ts_count_join(corrupted).first()[0]
+    assert vw == vj > 0
