@@ -430,6 +430,45 @@ def _q_conversation_stats(spark, sf):
     )
 
 
+def _q_semi_anti_join(spark, sf):
+    """Customers WITH big orders (semi) and WITHOUT any orders (anti)."""
+    cust = _t(spark, sf, "customer")
+    big = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 50000)
+    with_big = cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+    orders = _t(spark, sf, "orders")
+    without = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    return spark.createDataFrame(
+        [(with_big.count(), without.count())],
+        "n_with_big_order bigint, n_without_orders bigint",
+    )
+
+
+def _q_rollup_orders(spark, sf):
+    orders = _t(spark, sf, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+                "n", "total")
+    )
+
+
+def _q_unpivot_part(spark, sf):
+    part = _t(spark, sf, "part")
+    long = part.unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("double")), 2).alias("total"),
+    )
+
+
 def _q_cube_revenue(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (
@@ -523,6 +562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": _q_asof_join,
         "cube_revenue": _q_cube_revenue,
         "pivot_status": _q_pivot_status,
+        "semi_anti_join": _q_semi_anti_join,
+        "rollup_orders": _q_rollup_orders,
+        "unpivot_part": _q_unpivot_part,
         "embedding_pairs_exact": _q_embedding_pairs_exact,
     }
 
@@ -699,6 +741,27 @@ def oracle_sql() -> dict[str, str]:
         "conversation_stats": (
             "SELECT user_id, count(*) AS n_events, min(event_id) AS min_event_id, "
             "max(event_id) AS max_event_id FROM events GROUP BY user_id"
+        ),
+        "semi_anti_join": (
+            "SELECT (SELECT count(*) FROM customer c WHERE EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_totalprice > 50000)) AS n_with_big_order, "
+            "(SELECT count(*) FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) "
+            "AS n_without_orders"
+        ),
+        "rollup_orders": (
+            "SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus, "
+            "coalesce(o_orderpriority, 'ALL') AS o_orderpriority, "
+            "count(*) AS n, round(sum(o_totalprice), 2) AS total "
+            "FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+        ),
+        "unpivot_part": (
+            "SELECT measure, count(*) AS n, round(sum(value), 2) AS total FROM ("
+            "SELECT p_partkey, 'p_retailprice' AS measure, "
+            "CAST(p_retailprice AS DOUBLE) AS value FROM part "
+            "UNION ALL SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part"
+            ") GROUP BY measure"
         ),
         "cube_revenue": (
             "SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, "
