@@ -257,6 +257,20 @@ class SparkContractEngine:
         # presence checks look at the un-projected source schema
         raw_df = raw_df if raw_df is not None else df
 
+        # materialize contract-declared derived columns (engine extension:
+        # Property.expression) so checks can target computed metrics
+        if obj is not None:
+            for prop in obj.properties:
+                if prop.expression and prop.column not in df.columns:
+                    try:
+                        df = df.withColumn(prop.column, F.expr(prop.expression))
+                    except Exception as e:
+                        for spec in specs:
+                            if spec.field == prop.column:
+                                run.set_result(spec.key, ResultEnum.error,
+                                               f"Invalid expression for derived "
+                                               f"column '{prop.column}': {e}")
+
         # preset (unsupported) checks
         runnable: List[CheckSpec] = []
         for spec in specs:

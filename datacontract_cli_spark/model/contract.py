@@ -84,6 +84,10 @@ class Property:
     primary_key: bool = False
     primary_key_position: Optional[int] = None
     classification: Optional[str] = None
+    # engine extension: a Spark SQL expression defining a derived column
+    # (e.g. "length(text)") — materialized before checks run, so quality
+    # rules (drift, ranges) can target computed metrics
+    expression: Optional[str] = None
     options: Dict[str, Any] = dc_field(default_factory=dict)  # logicalTypeOptions
     properties: Optional[List["Property"]] = None  # object children
     items: Optional["Property"] = None  # array element
@@ -108,6 +112,7 @@ class Property:
             primary_key=bool(d.get("primaryKey", False)),
             primary_key_position=d.get("primaryKeyPosition"),
             classification=d.get("classification"),
+            expression=d.get("expression"),
             options=dict(d.get("logicalTypeOptions") or {}),
             properties=[Property.from_dict(c) for c in children] if children else None,
             items=Property.from_dict(items) if isinstance(items, dict) else None,

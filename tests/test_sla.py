@@ -69,3 +69,43 @@ def test_sla_unit_parsing():
     checks = {s.key: s for s in compile_checks(c, None)}
     assert checks["servicelevel_freshness"].seconds == 7200
     assert checks["servicelevel_retention"].seconds == 604800
+
+
+def test_derived_column_expression(spark):
+    """Engine extension: Property.expression materializes a computed column
+    so drift/range rules can target derived metrics."""
+    from datacontract_cli_spark.sources.transcripts import synthesize_transcripts
+
+    contract = load_contract_str("""
+id: derived
+version: 0.1.0
+schema:
+  - name: transcripts
+    properties:
+      - name: text
+        logicalType: string
+      - name: text_len
+        logicalType: number
+        expression: length(text)
+        logicalTypeOptions:
+          minimum: 1
+          maximum: 10000
+        quality:
+          - metric: quantileDriftKs
+            mustBeLessThan: 0.5
+            arguments:
+              baseline:
+                cdf: [[30, 0.1], [120, 0.5], [260, 0.95]]
+""")
+    df = synthesize_transcripts(spark, n_convs=100, turns_per_conv=4)
+    run = SparkContractEngine(spark).test(contract, tables={"transcripts": df})
+    assert run.check("transcripts__text_len__field_minimum").result is ResultEnum.passed
+    ks = run.check("transcripts__text_len__quantile_drift_ks")
+    assert ks.result in (ResultEnum.passed, ResultEnum.failed)
+    assert ks.diagnostics["value"] is not None
+
+    # presence check on the derived column: the raw source doesn't have it —
+    # derived columns are checked against the derived frame, so is_present
+    # reflects the raw source (still failed there, by design honesty)
+    pres = run.check("transcripts__text_len__field_is_present")
+    assert pres.result is ResultEnum.failed
