@@ -98,3 +98,63 @@ def test_engine_matches_duckdb_on_random_data(spark, seed):
         expected = con.execute(sql).fetchone()[0]
         got = check.diagnostics["value"]
         assert got == expected, (seed, key, got, expected)
+
+
+@pytest.mark.parametrize("seed", [3, 11, 99])
+def test_randomized_constraints_match_duckdb(spark, seed):
+    """Constraint VALUES drawn from the seed too: thresholds, ranges,
+    lengths, enums all randomized; engine counts must equal DuckDB's."""
+    rng = np.random.default_rng(seed)
+    pdf = _random_frame(rng, n=400)
+    df = spark.createDataFrame(pdf.where(pd.notnull(pdf), None))
+
+    lo = round(float(rng.uniform(0, 40)), 2)
+    hi = round(float(rng.uniform(60, 120)), 2)
+    min_len = int(rng.integers(1, 5))
+    max_len = int(rng.integers(8, 20))
+    enum = sorted(rng.choice(["aa", "bb", "cc", "dd", "ee"], size=2, replace=False))
+
+    contract = load_contract_str(f"""
+id: fuzz2
+version: 0.1.0
+schema:
+  - name: fuzz
+    properties:
+      - name: cat
+        logicalType: string
+        logicalTypeOptions:
+          enum: [{enum[0]}, {enum[1]}]
+      - name: num
+        logicalType: number
+        logicalTypeOptions:
+          minimum: {lo}
+          maximum: {hi}
+      - name: txt
+        logicalType: string
+        logicalTypeOptions:
+          minLength: {min_len}
+          maxLength: {max_len}
+""")
+    run = SparkContractEngine(spark).test(contract, tables={"fuzz": df})
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    cases = {
+        "fuzz__cat__field_enum":
+            f"SELECT count(*) FROM t WHERE cat IS NOT NULL AND cat NOT IN ('{enum[0]}','{enum[1]}')",
+        "fuzz__num__field_minimum":
+            f"SELECT count(*) FROM t WHERE num IS NOT NULL AND NOT isnan(num) AND NOT (num >= {lo})",
+        "fuzz__num__field_maximum":
+            f"SELECT count(*) FROM t WHERE num IS NOT NULL AND NOT isnan(num) AND NOT (num <= {hi})",
+        "fuzz__txt__field_min_length":
+            f"SELECT count(*) FROM t WHERE txt IS NOT NULL AND length(txt) < {min_len}",
+        "fuzz__txt__field_max_length":
+            f"SELECT count(*) FROM t WHERE txt IS NOT NULL AND length(txt) > {max_len}",
+    }
+    for key, sql in cases.items():
+        check = run.check(key)
+        expected = con.execute(sql).fetchone()[0]
+        got = check.diagnostics["value"]
+        assert got == expected, (seed, key, got, expected,
+                                 {"lo": lo, "hi": hi, "min_len": min_len,
+                                  "max_len": max_len, "enum": enum})
