@@ -106,3 +106,34 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         df.filter(F.col("kind") == "video")
         .select("media_id", "duration_ms", F.explode(frames).alias("frame_ms"))
     )
+
+
+def resize_images(df: DataFrame, target_w: int = 224, target_h: int = 224,
+                  fake_decode: bool = True) -> DataFrame:
+    """Resize plan: mapInPandas kernel with the real pipeline shape (binary
+    in → binary out + new dims). The pixel resample itself is the STUB —
+    deterministic fake derives the output bytes from a hash of the input so
+    downstream stages (re-encode, storage sizing) are testable; swap the
+    kernel body for PIL's `Image.resize` on a cluster with codecs."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "real image resize requires PIL/opencv — not present in "
+                    "this container; run with fake_decode=True"
+                )
+            out_bytes = [
+                hashlib.sha512(c + f"{target_w}x{target_h}".encode()).digest()
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "content": out_bytes,
+                "width": target_w,
+                "height": target_h,
+            })
+
+    return df.filter(F.col("kind") == "image").select(
+        "media_id", "content", "width", "height"
+    ).mapInPandas(kernel, "media_id bigint, content binary, width int, height int")

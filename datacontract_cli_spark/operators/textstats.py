@@ -121,3 +121,35 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         detect_language(c).alias("lang_pred"),
         doc_fingerprint(c).alias("fingerprint"),
     )
+
+
+# Character-trigram profiles per language (tiny, illustrative set — the
+# n-gram-heuristic flavor of language ID; real profiles would be learned
+# from a corpus). Scores are trigram-hit fractions, argmax wins.
+_CHAR_TRIGRAMS: Dict[str, List[str]] = {
+    "en": ["the", "ing", "and", "ion", "ent", " th", "he ", "er "],
+    "de": ["der", "ein", "ich", "und", "sch", "die", "en ", "ch "],
+    "fr": ["les", "ent", "que", "ait", "ion", "de ", "le ", "es "],
+    "es": ["que", "ión", "los", "ent", "ado", "de ", "la ", "os "],
+}
+
+
+def detect_language_ngram(col: Column, default: str = "und") -> Column:
+    """Char-trigram language ID: count profile-trigram occurrences per
+    language (JVM-side: one `locate`-style contains count per trigram via
+    split length), argmax."""
+    lowered = F.lower(col)
+    entries = []
+    for lang, grams in _CHAR_TRIGRAMS.items():
+        hits = None
+        for g in grams:
+            # occurrences of g = size(split(text, g)) - 1, JVM-side
+            n = F.size(F.split(lowered, F.lit(g), -1)) - 1
+            hits = n if hits is None else hits + n
+        norm = F.greatest(F.length(lowered), F.lit(1))
+        entries.append(F.struct(F.lit(lang).alias("lang"),
+                                (hits / norm).alias("score")))
+    scores = F.array(*entries)
+    best = F.array_max(F.transform(scores, lambda s: s["score"]))
+    winner = F.filter(scores, lambda s: s["score"] == best)[0]["lang"]
+    return F.when(best > 0, winner).otherwise(F.lit(default))
