@@ -684,7 +684,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "token_stats": (
-            "SELECT sum(n) AS total_tokens, round(avg(n), 4) AS avg_tokens, "
+            "SELECT CAST(sum(n) AS BIGINT) AS total_tokens, round(avg(n), 4) AS avg_tokens, "
             "round(avg(length(text)), 4) AS avg_chars FROM ("
             "SELECT text, CASE WHEN length(trim(text)) = 0 THEN 0 "
             "ELSE len(string_split_regex(trim(text), '\\s+')) END AS n FROM documents)"
@@ -733,7 +733,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1, 2"
         ),
         "dedup_keep_first": (
-            "SELECT count(*) AS n_kept, sum(doc_id) AS id_sum FROM ("
+            "SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM ("
             "SELECT doc_id, row_number() OVER ("
             "PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) "
             "ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1"

@@ -629,6 +629,57 @@ _FRESHNESS_UNIT_SECONDS = {
 }
 
 
+# Retention units differ from freshness: 'm'/'mo' mean MONTHS (30 days), minutes
+# must be spelled 'min'; calendar units y/w are calendar-approximate. Mirrors the
+# reference's _retention_value_to_seconds (engines/checks/create_checks.py:857-880).
+_RETENTION_UNIT_SECONDS = {
+    "s": 1, "sec": 1, "second": 1, "seconds": 1,
+    "min": 60, "minute": 60, "minutes": 60,
+    "h": 3600, "hr": 3600, "hour": 3600, "hours": 3600,
+    "d": 86400, "day": 86400, "days": 86400,
+    "w": 604800, "week": 604800, "weeks": 604800,
+    "m": 30 * 86400, "mo": 30 * 86400, "month": 30 * 86400, "months": 30 * 86400,
+    "y": 365 * 86400, "yr": 365 * 86400, "year": 365 * 86400, "years": 365 * 86400,
+}
+
+
+def _parse_iso8601_to_seconds(duration: str) -> Optional[int]:
+    """P1Y/P2M/P30D/PT6H/PT15M/PT30S → seconds (reference
+    engines/checks/create_checks.py:882-898; single component)."""
+    if not duration:
+        return None
+    duration = duration.upper()
+    for pat, mult in (
+        (r"P(\d+)Y", 365 * 86400),
+        (r"P(\d+)M", 30 * 86400),
+        (r"P(\d+)W", 7 * 86400),
+        (r"P(\d+)D", 86400),
+        (r"PT(\d+)H", 3600),
+        (r"PT(\d+)M", 60),
+        (r"PT(\d+)S", 1),
+    ):
+        m = re.match(pat, duration)
+        if m:
+            return int(m.group(1)) * mult
+    return None
+
+
+def _retention_seconds(value, unit: Optional[str]) -> Optional[int]:
+    if value is None:
+        return None
+    if isinstance(value, str) and value.strip().upper().startswith("P"):
+        return _parse_iso8601_to_seconds(value.strip())
+    u = (unit or "d").strip().lower()
+    mult = _RETENTION_UNIT_SECONDS.get(u)
+    if mult is None:
+        logger.info("Unsupported retention unit %s", unit)
+        return None
+    try:
+        return int(float(value) * mult)
+    except (TypeError, ValueError):
+        return None
+
+
 def _sla_checks(contract: DataContract) -> List[CheckSpec]:
     checks: List[CheckSpec] = []
     for sla in contract.sla_properties:
@@ -638,14 +689,19 @@ def _sla_checks(contract: DataContract) -> List[CheckSpec]:
         if not model or not field:
             continue
         unit = (sla.unit or "d").strip().lower()
-        mult = _FRESHNESS_UNIT_SECONDS.get(unit)
-        if mult is None:
-            logger.info("Unsupported %s unit %s", sla.property, unit)
-            continue
-        try:
-            seconds = int(float(sla.value) * mult)
-        except (TypeError, ValueError):
-            continue
+        if sla.property == "retention":
+            seconds = _retention_seconds(sla.value, sla.unit)
+            if seconds is None:
+                continue
+        else:
+            mult = _FRESHNESS_UNIT_SECONDS.get(unit)
+            if mult is None:
+                logger.info("Unsupported %s unit %s", sla.property, unit)
+                continue
+            try:
+                seconds = int(float(sla.value) * mult)
+            except (TypeError, ValueError):
+                continue
         if sla.property == "freshness":
             checks.append(
                 CheckSpec(

@@ -336,9 +336,14 @@ class SparkContractEngine:
             return
 
         exprs = [F.count(F.lit(1)).alias(_ROW_COUNT_ALIAS)]
+        expr_by_alias: Dict[str, Any] = {}  # alias -> agg expr (error-isolation retry path)
         evaluators: List[Tuple[CheckSpec, str]] = []  # (spec, result column alias)
         constant_zero: List[CheckSpec] = []
         sample_conds: Dict[str, Any] = {}
+
+        def _add(expr, alias: str) -> None:
+            exprs.append(expr)
+            expr_by_alias[alias] = expr
 
         used_aliases = {_ROW_COUNT_ALIAS}
         for i, spec in enumerate(specs):
@@ -354,7 +359,7 @@ class SparkContractEngine:
                 continue
             if spec.metric is MetricType.MISSING_COUNT:
                 cond = missing_condition(df, column, spec)
-                exprs.append(count_if(cond, alias))
+                _add(count_if(cond, alias), alias)
                 evaluators.append((spec, alias))
                 sample_conds[spec.key] = (column, cond)
             elif spec.metric is MetricType.INVALID_COUNT:
@@ -362,17 +367,43 @@ class SparkContractEngine:
                 if cond is None:
                     constant_zero.append(spec)  # no constraints ⇒ 0 without querying
                 else:
-                    exprs.append(count_if(cond, alias))
+                    _add(count_if(cond, alias), alias)
                     evaluators.append((spec, alias))
                     sample_conds[spec.key] = (column, cond)
             elif spec.metric is MetricType.FRESHNESS:
-                exprs.append(F.max(F.col(column)).alias(alias))
+                _add(F.max(F.col(column)).alias(alias), alias)
                 evaluators.append((spec, alias))
             elif spec.metric is MetricType.RETENTION:
-                exprs.append(F.min(F.col(column)).alias(alias))
+                _add(F.min(F.col(column)).alias(alias), alias)
                 evaluators.append((spec, alias))
 
-        row = df.agg(*exprs).collect()[0].asDict()
+        try:
+            row = df.agg(*exprs).collect()[0].asDict()
+        except Exception as batch_err:  # noqa: BLE001
+            # One bad constraint (e.g. an invalid regex raising inside rlike at
+            # execution time) must not abort the whole run: the reference
+            # catches aggregation errors and fails only the affected checks
+            # (ibis_check_execute.py:294-318). Retry each metric individually
+            # so healthy checks in the batch still evaluate.
+            logger.warning("batched aggregation failed, isolating per-check: %s", batch_err)
+            row = {}
+            try:
+                row[_ROW_COUNT_ALIAS] = df.agg(exprs[0]).collect()[0][0]
+            except Exception as e:  # noqa: BLE001
+                for spec, _ in evaluators:
+                    run.set_result(spec.key, ResultEnum.error, f"Aggregation failed: {e}")
+                for spec in constant_zero:
+                    run.set_result(spec.key, ResultEnum.error, f"Aggregation failed: {e}")
+                return
+            for spec, alias in list(evaluators):
+                if alias == _ROW_COUNT_ALIAS:
+                    continue
+                try:
+                    row[alias] = df.agg(expr_by_alias[alias]).collect()[0][0]
+                except Exception as e:  # noqa: BLE001
+                    run.set_result(spec.key, ResultEnum.error, f"Check aggregation failed: {e}")
+                    evaluators.remove((spec, alias))
+                    sample_conds.pop(spec.key, None)
         row_count = int(row[_ROW_COUNT_ALIAS])
 
         for spec in constant_zero:

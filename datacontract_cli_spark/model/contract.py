@@ -255,6 +255,76 @@ def _convert_legacy_field(name: str, f: Dict[str, Any]) -> Property:
     )
 
 
+def _parse_iso8601_duration(duration: Any) -> tuple:
+    """(value, unit) from an ISO-8601 duration like PT1H / P1D.
+
+    Mirrors the reference's dcs_importer._parse_iso8601_duration:780-797
+    (single-component durations only; unit chars map to d/h/m/s)."""
+    if not isinstance(duration, str) or not duration:
+        return None, None
+    import re as _re
+
+    stripped = duration.upper().replace("P", "").replace("T", "")
+    m = _re.match(r"(\d+)([DHMS])", stripped)
+    if m:
+        return int(m.group(1)), {"D": "d", "H": "h", "M": "m", "S": "s"}[m.group(2)]
+    return None, None
+
+
+def _convert_legacy_servicelevels(sl: Any) -> List["SLAProperty"]:
+    """Legacy DCS ``servicelevels`` is a mapping of named sections
+    (availability/retention/freshness/latency/frequency/support/backup),
+    not an ODCS ``slaProperties`` list. Convert it the way the reference's
+    dcs_importer._convert_servicelevels:669-775 does."""
+    out: List[SLAProperty] = []
+    if not isinstance(sl, dict):
+        return out
+
+    def _sec(name: str) -> Dict[str, Any]:
+        v = sl.get(name)
+        return v if isinstance(v, dict) else {}
+
+    avail = sl.get("availability")
+    if avail:
+        desc = avail.get("description") if isinstance(avail, dict) else None
+        out.append(SLAProperty(property="generalAvailability", value=desc or str(avail)))
+
+    ret = _sec("retention")
+    if ret:
+        out.append(SLAProperty(property="retention", value=ret.get("period"),
+                               element=ret.get("timestampField")))
+
+    fresh = _sec("freshness")
+    if fresh.get("threshold") and fresh.get("timestampField"):
+        value, unit = _parse_iso8601_duration(fresh["threshold"])
+        if value is not None:
+            out.append(SLAProperty(property="freshness", value=value, unit=unit,
+                                   element=fresh["timestampField"]))
+
+    lat = _sec("latency")
+    if lat.get("threshold"):
+        value, unit = _parse_iso8601_duration(lat["threshold"])
+        if value is not None:
+            out.append(SLAProperty(property="latency", value=value, unit=unit,
+                                   element=lat.get("sourceTimestampField")))
+
+    freq = _sec("frequency")
+    freq_value = freq.get("interval") or freq.get("cron")
+    if freq_value:
+        out.append(SLAProperty(property="frequency", value=freq_value))
+
+    sup = _sec("support")
+    sup_value = sup.get("time") or sup.get("description")
+    if sup_value:
+        out.append(SLAProperty(property="support", value=sup_value))
+
+    bak = _sec("backup")
+    bak_value = bak.get("interval") or bak.get("cron")
+    if bak_value:
+        out.append(SLAProperty(property="backup", value=bak_value))
+    return out
+
+
 def _from_legacy(doc: Dict[str, Any]) -> DataContract:
     schema_objects = []
     for model_name, m in (doc.get("models") or {}).items():
@@ -273,7 +343,7 @@ def _from_legacy(doc: Dict[str, Any]) -> DataContract:
         d = dict(s)
         d["server"] = name
         servers.append(Server.from_dict(d))
-    slas = [SLAProperty.from_dict(s) for s in (doc.get("servicelevels") or [])]
+    slas = _convert_legacy_servicelevels(doc.get("servicelevels") or {})
     return DataContract(
         id=doc.get("id"),
         version=info.get("version"),

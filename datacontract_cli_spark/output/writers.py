@@ -80,12 +80,12 @@ def write_junit(run: Run, path: Optional[str] = None) -> str:
         f'failures="{n_fail}" errors="{n_err}" skipped="{n_skip}"{dur}>',
     ]
     for c in checks:
-        name = escape(f"{c.key}: {c.name}")
+        name = escape(f"{c.key}: {c.name}", {'"': "&quot;"})
         if c.result == ResultEnum.passed:
-            out.append(f'    <testcase name="{name}" classname="{escape(c.model or "")}"/>')
+            out.append(f'    <testcase name="{name}" classname="{escape(c.model or "", {chr(34): "&quot;"})}"/>')
             continue
-        out.append(f'    <testcase name="{name}" classname="{escape(c.model or "")}">')
-        reason = escape(c.reason or "")
+        out.append(f'    <testcase name="{name}" classname="{escape(c.model or "", {chr(34): "&quot;"})}">')
+        reason = escape(c.reason or "", {'"': "&quot;"})
         if c.result in (ResultEnum.failed, ResultEnum.warning):
             out.append(f'      <failure message="{reason}"/>')
         elif c.result == ResultEnum.error:

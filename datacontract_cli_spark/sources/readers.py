@@ -56,12 +56,24 @@ def contract_schema(obj: SchemaObject) -> T.StructType:
     return T.StructType([T.StructField(p.column, contract_spark_type(p), True) for p in obj.properties])
 
 
+_REMOTE_SCHEMES = ("s3://", "s3a://", "s3n://", "gs://", "gcs://", "abfs://",
+                   "abfss://", "wasb://", "wasbs://", "hdfs://", "az://")
+
+
 def _model_path(server: Server, model: str, fmt: str) -> Optional[str]:
     base = server.path or server.location
     if not base:
         return None
     if "{model}" in base:
         return base.replace("{model}", model)
+    if base.lower().startswith(_REMOTE_SCHEMES):
+        # os.path.exists is always false for remote URIs — never probe; a base
+        # that already names a file (has the format extension or a glob) binds
+        # every model to it, otherwise each model gets <base>/<model>.<fmt>
+        # with Spark/Hadoop resolving existence at read time.
+        if "*" in base or base.rstrip("/").endswith(f".{fmt}"):
+            return base
+        return base.rstrip("/") + f"/{model}.{fmt}"
     for candidate in (
         os.path.join(base, f"{model}.{fmt}"),
         os.path.join(base, model),
