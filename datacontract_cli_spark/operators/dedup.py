@@ -117,16 +117,23 @@ def minhash_signatures_arrow(
     shingle_size: int = 3,
     num_hashes: int = 64,
 ) -> DataFrame:
-    """Arrow-batched signature kernel: per batch, shingles hash once (crc32)
-    and the K permutation hashes derive via one numpy affine broadcast
-    ((a_k * h + b_k) mod p — the classic universal-hash MinHash family).
+    """Arrow-batched signature kernel, fully vectorized — no per-row Python.
+
+    Per batch: tokenization via pandas ``.str`` ops, shingle construction via
+    object-array slicing/concatenation over ONE flat token array (the
+    repeat/arange segment trick), one vectorized siphash per shingle
+    (``pd.util.hash_array``), then the K permutation hashes as numpy affine
+    maps ((a_k * h + b_k) mod p — the classic universal-hash MinHash family)
+    with a segmented per-document min (``np.minimum.reduceat``).
+
+    Per-document shingle DEDUP is intentionally skipped: duplicates cannot
+    change a minimum, so min-over-multiset == min-over-set and the signature
+    is identical.
 
     Rationale vs the pure-expression kernel: the nested higher-order-function
     tree costs Catalyst seconds of one-time optimization and runs
     interpreted (HOFs don't codegen); this kernel is a small fixed plan and
-    vectorizes the K-hash math. Same LSH semantics, different hash family."""
-    import zlib
-
+    vectorizes everything. Same LSH semantics, different hash family."""
     import numpy as np
     import pandas as pd
 
@@ -134,28 +141,49 @@ def minhash_signatures_arrow(
     P = np.uint64((1 << 61) - 1)
     A = rng.integers(1, P, size=num_hashes, dtype=np.uint64)
     B = rng.integers(0, P, size=num_hashes, dtype=np.uint64)
+    k = shingle_size
 
     def kernel(batches):
         for pdf in batches:
-            sigs = []
-            for text in pdf[text_col]:
-                norm = " ".join(str(text or "").lower().split())
-                toks = norm.split(" ")
-                if len(toks) >= shingle_size:
-                    shingles = {
-                        " ".join(toks[i:i + shingle_size])
-                        for i in range(len(toks) - shingle_size + 1)
-                    }
-                else:
-                    shingles = {norm}
-                base = np.fromiter(
-                    (zlib.crc32(s.encode()) for s in shingles),
-                    dtype=np.uint64, count=len(shingles),
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": pdf[id_col], "sig": []})
+                continue
+            toks = pdf[text_col].fillna("").astype(str).str.lower().str.split()
+            lens = toks.str.len().to_numpy(dtype=np.int64)
+            m = np.maximum(lens - k + 1, 1)  # shingles per doc (short docs: 1)
+            total = int(m.sum())
+            out_off = np.zeros(len(m), dtype=np.int64)
+            np.cumsum(m[:-1], out=out_off[1:])
+            shingles = np.empty(total, dtype=object)
+
+            long_mask = lens >= k
+            if long_mask.any():
+                flat = toks[long_mask].explode().to_numpy(dtype=object)
+                tl = lens[long_mask]
+                tok_start = np.zeros(len(tl), dtype=np.int64)
+                np.cumsum(tl[:-1], out=tok_start[1:])
+                n_sh = tl - k + 1
+                S = int(n_sh.sum())
+                sh_start = np.zeros(len(n_sh), dtype=np.int64)
+                np.cumsum(n_sh[:-1], out=sh_start[1:])
+                within = np.arange(S, dtype=np.int64) - np.repeat(sh_start, n_sh)
+                g = np.repeat(tok_start, n_sh) + within
+                sh = flat[g]
+                for j in range(1, k):
+                    sh = sh + " "
+                    sh = sh + flat[g + j]
+                shingles[np.repeat(out_off[long_mask], n_sh) + within] = sh
+            if (~long_mask).any():
+                shingles[out_off[~long_mask]] = (
+                    toks[~long_mask].str.join(" ").to_numpy(dtype=object)
                 )
-                # (S,1)*(K,) broadcast → per-seed min, all numpy
-                h = (base[:, None] * A[None, :] + B[None, :]) % P
-                sigs.append(h.min(axis=0).astype(np.int64).tolist())
-            yield pd.DataFrame({"id": pdf[id_col], "sig": sigs})
+
+            base = pd.util.hash_array(shingles).astype(np.uint64)
+            sig = np.empty((num_hashes, len(m)), dtype=np.int64)
+            for ki in range(num_hashes):  # K seeds, each one C-speed pass
+                hk = (base * A[ki] + B[ki]) % P
+                sig[ki] = np.minimum.reduceat(hk, out_off).astype(np.int64)
+            yield pd.DataFrame({"id": pdf[id_col], "sig": list(sig.T)})
 
     return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
         kernel, f"id {dict(df.dtypes)[id_col]}, sig array<long>"

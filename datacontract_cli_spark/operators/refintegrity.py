@@ -5,25 +5,46 @@ user SQL — SURVEY.md §2.9); the north rule requires conv_id referential
 integrity across models, which maps to Spark's left-anti join.
 
 Scale notes: the parent side is reduced to distinct keys first (shrinks the
-build side by orders of magnitude on fact tables); when the distinct key set
-is small Spark broadcasts it (helped by the explicit hint), so the child
-table — the 100 TB side — is never shuffled. For parent key sets too large
-to broadcast, AQE falls back to a sort-merge join with skew splitting.
+build side by orders of magnitude on fact tables). Join strategy is left to
+AQE by default: with runtime statistics it broadcasts the distinct key set
+when it is actually small and falls back to a sort-merge join (with skew
+splitting) when it is not. An unconditional ``F.broadcast`` hint would
+override AQE and OOM executors on a high-cardinality parent (e.g. orders
+keys for a lineitem-sized child), so the hint is only applied when the
+caller explicitly promises the parent key set is broadcast-safe.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def orphan_rows(child: DataFrame, child_col: str, parent: DataFrame, parent_col: str) -> DataFrame:
+def orphan_rows(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+    broadcast_parent: Optional[bool] = None,
+) -> DataFrame:
     """Rows of ``child`` whose non-null ``child_col`` has no match in
-    ``parent.parent_col``."""
+    ``parent.parent_col``.
+
+    broadcast_parent=None (default) lets AQE pick the join strategy from
+    runtime stats; True forces a broadcast hint (caller asserts the distinct
+    parent key set fits in executor memory); False forces shuffle hash/merge
+    even if the optimizer would broadcast.
+    """
     keys = parent.select(F.col(parent_col).alias("__dc_ref_key__")).distinct()
+    if broadcast_parent is True:
+        keys = F.broadcast(keys)
+    elif broadcast_parent is False:
+        keys = keys.hint("shuffle_hash")
     return (
         child.filter(F.col(child_col).isNotNull())
-        .join(F.broadcast(keys), on=F.col(child_col) == F.col("__dc_ref_key__"), how="left_anti")
+        .join(keys, on=F.col(child_col) == F.col("__dc_ref_key__"), how="left_anti")
     )
 
 

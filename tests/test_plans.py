@@ -50,11 +50,34 @@ def test_referential_integrity_broadcasts_parent_keys(spark):
     from datacontract_cli_spark.operators.refintegrity import orphan_rows
     child = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     parent = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    # default: no hint — the optimizer still picks broadcast for a small parent
     q = orphan_rows(child, "l_orderkey", parent, "o_orderkey")
     plan = _formatted(q)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     # the 100 TB child side is never exchanged
     assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+
+def test_referential_integrity_no_forced_broadcast_on_large_parent(spark):
+    """The broadcast must come from optimizer statistics, not a hard hint:
+    when the caller says the parent key set is NOT broadcast-safe
+    (broadcast_parent=False) no BroadcastHashJoin may appear, and the default
+    plan must not carry an unconditional broadcast hint that would override
+    AQE at 100x parent cardinality (round-1 verdict, 'What's wrong' #2)."""
+    from datacontract_cli_spark.operators.refintegrity import orphan_rows
+    child = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    parent = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    q = orphan_rows(child, "l_orderkey", parent, "o_orderkey", broadcast_parent=False)
+    plan = _formatted(q)
+    assert "BroadcastHashJoin" not in plan and "LeftAnti" in plan
+    # the logical plan of the DEFAULT path must not contain a broadcast hint;
+    # hints survive into the analyzed plan as UnresolvedHint/ResolvedHint
+    q_default = orphan_rows(child, "l_orderkey", parent, "o_orderkey")
+    logical = q_default._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+    q_forced = orphan_rows(child, "l_orderkey", parent, "o_orderkey", broadcast_parent=True)
+    logical_forced = q_forced._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in logical_forced or "UnresolvedHint" in logical_forced
 
 
 def test_engine_predicates_stay_jvm_side(spark):
