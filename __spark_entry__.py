@@ -357,11 +357,14 @@ def _q_cosine_topk(spark, sf):
 def _q_minhash_near_dups(spark, sf):
     import os
     docs = _t(spark, sf, "documents")
-    # arrow kernel: smaller plan, ~2x faster end-to-end in a busy session
-    kernel = os.environ.get("DCSPARK_MINHASH_KERNEL", "arrow")
+    # md5 kernel: the shared hash family — banded-LSH candidates + signature
+    # agreement are reproduced bit-for-bit by the DuckDB oracle (same one
+    # md5 per shingle + 64 affine permutations + 16x4 banding)
+    kernel = os.environ.get("DCSPARK_MINHASH_KERNEL", "md5")
     return (
         dedup.minhash_near_duplicates(docs, "doc_id", threshold=0.8, kernel=kernel)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b",
+                F.round("est_jaccard", 4).alias("est_jaccard"))
         .orderBy("id_a", "id_b")
     )
 
@@ -374,16 +377,32 @@ def _q_ngram_jaccard_dups(spark, sf):
 
 def _q_simhash_near_dups(spark, sf):
     docs = _t(spark, sf, "documents")
-    return dedup.simhash_near_duplicates(docs, "doc_id", max_hamming=3).select(
-        "id_a", "id_b", "hamming"
-    )
+    # md5 hash family: the oracle brute-forces hamming over all pairs, which
+    # ALSO proves the pigeonhole word-blocking is exhaustive for hamming<=3
+    return dedup.simhash_near_duplicates(
+        docs, "doc_id", max_hamming=3, hash_family="md5"
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def _q_embedding_near_dups(spark, sf):
-    emb = _t(spark, sf, "embeddings")
-    return similarity.embedding_near_duplicates(emb, threshold=0.9).select(
-        "id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim")
+    """LSH near-dup RECALL against the exact brute-force ground truth: the
+    oracle asserts n_missed == 0, i.e. sign-bucket LSH at this threshold
+    loses no pair the exact all-pairs scan finds (the exact side is
+    gate-scale only; production recall measurement would sample)."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a, b = emb.alias("a"), emb.alias("b")
+    exact = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(similarity.cosine(F.col("a.v"), F.col("b.v")) >= 0.9)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
     )
+    lsh = similarity.embedding_near_duplicates(
+        _t(spark, sf, "embeddings"), threshold=0.9).select("id_a", "id_b")
+    found = exact.join(lsh, ["id_a", "id_b"], "left_semi")
+    return spark.createDataFrame(
+        [(exact.count(), found.count())], "n_exact bigint, n_found bigint"
+    ).select("n_exact", "n_found", (F.col("n_exact") - F.col("n_found")).alias("n_missed"))
 
 
 def _q_json_validation(spark, sf):
@@ -792,7 +811,71 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_type = 'purchase') lp "
             "ON e.user_id = lp.user_id AND e.ts >= lp.ts"
         ),
-        # minhash_near_dups / simhash_near_dups / embedding_near_dups are
-        # hash-seed-dependent (xxhash64 / seeded hyperplanes) — not
-        # reproducible in ANSI SQL; the driver records rows-only checks.
+        # the LSH queries run on the shared md5 hash family, so DuckDB
+        # reproduces the banded-LSH / pigeonhole pipelines bit-for-bit
+        "minhash_near_dups": _minhash_md5_oracle(),
+        "simhash_near_dups": _simhash_md5_oracle(),
+        "embedding_near_dups": (
+            # recall vs exact ground truth: asserts the LSH path misses no
+            # pair the brute-force scan finds (n_missed = 0)
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) "
+            "SELECT count(*)::BIGINT AS n_exact, count(*)::BIGINT AS n_found, "
+            "0::BIGINT AS n_missed FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.9"
+        ),
     }
+
+
+def _minhash_md5_oracle(num_hashes: int = 64, bands: int = 16,
+                        shingle_size: int = 3, threshold: float = 0.8) -> str:
+    """DuckDB SQL replicating dedup.minhash_candidates(kernel='md5') exactly:
+    one md5 per distinct word-3-gram -> 32-bit base -> K affine permutation
+    minima -> 16x4 banding on the raw signature-slice string -> candidate
+    pairs -> signature-agreement Jaccard estimate."""
+    a_const, b_const = dedup.minhash_md5_constants(num_hashes)
+    ks_rows = ", ".join(f"({k}, {a_const[k]}, {b_const[k]})" for k in range(num_hashes))
+    rpb = num_hashes // bands
+    return (
+        "WITH ks(k, a, b) AS (VALUES " + ks_rows + "), "
+        "toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), "
+        "'\\s+', ' ', 'g')), ' ') AS t FROM documents), "
+        f"sh AS (SELECT doc_id, CASE WHEN len(t) >= {shingle_size} THEN "
+        f"list_distinct(list_transform(generate_series(1, len(t) - {shingle_size - 1}), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) "
+        "ELSE [array_to_string(t, ' ')] END AS g FROM toks), "
+        "base AS (SELECT doc_id, ('0x' || substring(md5(unnest(g)), 1, 8))::BIGINT "
+        f"% {dedup.MINHASH_MD5_P} AS h FROM sh), "
+        f"sig AS (SELECT doc_id, k, min((a * h + b) % {dedup.MINHASH_MD5_P}) AS m "
+        "FROM base CROSS JOIN ks GROUP BY doc_id, k), "
+        f"band AS (SELECT doc_id, k // {rpb} AS band, "
+        "string_agg(m::VARCHAR, ',' ORDER BY k) AS key FROM sig GROUP BY doc_id, band), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM band a "
+        "JOIN band b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id), "
+        "est AS (SELECT c.id_a, c.id_b, "
+        f"sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) / {num_hashes}.0 AS est "
+        "FROM cand c JOIN sig sa ON sa.doc_id = c.id_a "
+        "JOIN sig sb ON sb.doc_id = c.id_b AND sb.k = sa.k GROUP BY c.id_a, c.id_b) "
+        "SELECT id_a, id_b, round(est, 4) AS est_jaccard FROM est "
+        f"WHERE est >= {threshold}"
+    )
+
+
+def _simhash_md5_oracle(max_hamming: int = 3, nbits: int = 60) -> str:
+    """DuckDB SQL replicating dedup.simhash_near_duplicates(hash_family='md5')
+    by BRUTE FORCE over all pairs — equality with the Spark result also
+    proves the pigeonhole word-blocking is exhaustive for hamming <= 3."""
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(trim(regexp_replace("
+        "lower(text), '\\s+', ' ', 'g')), ' ')) AS tok FROM documents), "
+        "h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS hv "
+        "FROM toks), "
+        "votes AS (SELECT doc_id, b, "
+        "sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+        f"FROM h CROSS JOIN generate_series(0, {nbits - 1}) AS g(b) GROUP BY doc_id, b), "
+        "sim AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS fp "
+        "FROM votes GROUP BY doc_id) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming "
+        "FROM sim a JOIN sim b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}"
+    )

@@ -110,6 +110,64 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 64) -> Column:
     )
 
 
+# --- shared-hash (md5) family: cross-engine reproducible -------------------
+#
+# xxhash64 exists only in Spark, so LSH outputs built on it cannot be
+# reproduced by an external SQL oracle. md5 is bit-identical in Spark and
+# DuckDB (and every other engine); deriving the K permutation hashes from ONE
+# md5 per shingle via fixed affine maps ((a_k*h + b_k) mod p) makes the whole
+# minhash/LSH pipeline an exactly-checkable deterministic function of the
+# text. p = 2^31-1 (Mersenne) with a,b < p and h reduced to [0,p) keeps
+# every product below 2^62 (int64-safe in both engines) while making the
+# modulus actually WRAP — with a larger p the map would be monotone in h and
+# all K "permutations" would pick the same minimum element.
+
+MINHASH_MD5_P = (1 << 31) - 1
+
+
+def minhash_md5_constants(num_hashes: int = 64, seed: int = 20240816):
+    """The (A, B) affine constants — importable so an oracle SQL generator
+    can embed the exact same literals."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MINHASH_MD5_P, size=num_hashes).tolist()
+    b = rng.integers(0, MINHASH_MD5_P, size=num_hashes).tolist()
+    return a, b
+
+
+def md5_hash_long(col: Column, hex_chars: int = 8) -> Column:
+    """First ``hex_chars`` hex digits of md5 as a long (≤15 chars, 60 bits)."""
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("long")
+
+
+def minhash_signature_md5(shingle_col: Column, num_hashes: int = 64) -> Column:
+    """K minhashes from one md5 per shingle + K affine permutations.
+
+    Same fold structure as :func:`minhash_signature` (single pass over the
+    shingle array, element-wise running minima), but on the shared-hash
+    family: oracle-reproducible in any engine with md5."""
+    a_const, b_const = minhash_md5_constants(num_hashes)
+    # literal ARRAYS indexed by k, not a K-way Python unroll: the unrolled
+    # tree (K copies of the affine subtree per fold step) costs Catalyst ~10s
+    # of one-time optimization; this compact form optimizes in milliseconds
+    a_arr, b_arr = F.lit(a_const), F.lit(b_const)
+    ks = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    bases = F.transform(shingle_col,
+                        lambda s: md5_hash_long(s, 8) % F.lit(MINHASH_MD5_P))
+    return F.aggregate(
+        bases,
+        F.array_repeat(F.lit(_MAX_LONG), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(ks, lambda k: (F.element_at(a_arr, k + 1) * h
+                                       + F.element_at(b_arr, k + 1))
+                        % F.lit(MINHASH_MD5_P)),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+
+
 def minhash_signatures_arrow(
     df: DataFrame,
     id_col: str,
@@ -190,6 +248,17 @@ def minhash_signatures_arrow(
     )
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Fan CPU-bound per-row signature work out to the full cluster when the
+    scan arrived as a handful of splits (small files → 1-2 partitions →
+    single-threaded hashing). Gated on the split count so a 100 TB table —
+    which already has thousands of splits — is never re-shuffled here."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 < target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str,
@@ -203,11 +272,22 @@ def minhash_candidates(
     with the signature-agreement Jaccard estimate attached.
 
     kernel="expr" (default): pure Column-expression kernel — zero Python on
-    the executors, text never leaves the JVM; kernel="arrow": numpy
-    signature kernel via mapInPandas (smaller plan, Arrow transfer cost)."""
+    the executors, text never leaves the JVM; kernel="arrow": vectorized
+    numpy signature kernel via mapInPandas (smaller plan, Arrow transfer
+    cost); kernel="md5": pure Column kernel on the shared md5 hash family —
+    output reproducible bit-for-bit by an external SQL oracle (band keys are
+    then the raw signature-slice strings, not a hash of them, so no engine-
+    specific hash touches the result)."""
     rows_per_band = num_hashes // bands
+    df = _ensure_parallelism(df)
     if kernel == "arrow":
         sig = minhash_signatures_arrow(df, id_col, text_col, shingle_size, num_hashes)
+    elif kernel == "md5":
+        sig = (
+            df.select(F.col(id_col).alias("id"),
+                      minhash_signature_md5(word_shingles(F.col(text_col), shingle_size),
+                                            num_hashes).alias("sig"))
+        )
     else:
         sig = (
             df.select(F.col(id_col).alias("id"),
@@ -222,21 +302,22 @@ def minhash_candidates(
     sig.count()
     # one row per (doc, band); the bucket is a hash of that band's signature
     # slice — a single small expression, so the optimized plan stays compact
+    band_key = F.array_join(
+        F.transform(
+            F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band),
+            lambda h: h.cast("string"),
+        ),
+        ",",
+    )
     banded = (
         sig.select("id", "sig",
                    F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"))
         .withColumn(
+            # production kernels compress the shuffle key to 8 bytes with
+            # xxhash64; the md5 kernel keeps the raw slice string so the
+            # candidate set is a pure function of the shared hash family
             "bucket",
-            F.xxhash64(
-                F.array_join(
-                    F.transform(
-                        F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band),
-                        lambda h: h.cast("string"),
-                    ),
-                    ",",
-                ),
-                F.col("band"),
-            ),
+            band_key if kernel == "md5" else F.xxhash64(band_key, F.col("band")),
         )
     )
 
@@ -370,13 +451,61 @@ def simhash_words(df: DataFrame, id_col: str, text_col: str = "text") -> DataFra
     )
 
 
+def simhash_words_md5(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash on the shared md5 hash family (4×15-bit words).
+
+    Same vote-aggregate structure as :func:`simhash_words`, but each token
+    hashes via md5 (60 bits from 15 hex chars) so the fingerprint — and
+    therefore the full near-dup pair set — is reproducible bit-for-bit by an
+    external SQL oracle (pigeonhole over 4 words stays exhaustive for
+    hamming ≤ 3 regardless of word width)."""
+    nbits = 60
+    # hash each token ONCE (the fold's lambda var binds the hashed value),
+    # and test bits with a literal power-of-two array instead of a 60-way
+    # shiftright unroll — compact tree, fast Catalyst optimization
+    pow2 = F.lit([1 << i for i in range(nbits)])
+    bitseq = F.sequence(F.lit(0), F.lit(nbits - 1))
+    hashed = F.transform(tokens(F.col(text_col)), lambda t: md5_hash_long(t, 15))
+    bit_votes = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0).cast("long"), nbits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(bitseq, lambda b: F.when(
+                h.bitwiseAND(F.element_at(pow2, b + 1)) != 0, F.lit(1)
+            ).otherwise(F.lit(-1)).cast("long")),
+            lambda x, y: x + y,
+        ),
+    )
+    bits = F.transform(bit_votes, lambda v: (v > 0).cast("int"))
+    out = df.select(F.col(id_col).alias("id"), bits.alias("bits"))
+    word = lambda w: F.aggregate(  # noqa: E731
+        F.slice(F.col("bits"), w * 15 + 1, 15),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * 2 + b,
+    )
+    return out.select(
+        "id", "bits",
+        word(0).alias("w0"), word(1).alias("w1"), word(2).alias("w2"), word(3).alias("w3"),
+    )
+
+
 def simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming (≤3 ⇒ pigeonhole
-    over 4 words is exhaustive). Candidates block on each 16-bit word; the
-    exact hamming distance filters them."""
-    s = simhash_words(df, id_col, text_col)
+    over 4 words is exhaustive). Candidates block on each word; the
+    exact hamming distance filters them. hash_family="md5" uses the
+    oracle-reproducible 60-bit fingerprint."""
+    words_fn = simhash_words_md5 if hash_family == "md5" else simhash_words
+    # persist the fingerprints: the 4 word-blocks self-join this frame (8
+    # scans) and projection collapse would otherwise inline the whole
+    # vote-aggregate tree into every branch — recomputing the per-token
+    # hashing ~40x. At warehouse scale this is a materialized signature
+    # table, exactly like the minhash signatures.
+    s = words_fn(_ensure_parallelism(df), id_col, text_col).persist()
+    s.count()
     cands = None
     for w in ("w0", "w1", "w2", "w3"):
         block = (
