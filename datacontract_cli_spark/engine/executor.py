@@ -161,7 +161,51 @@ class SparkContractEngine:
                             objects.get(model.lower()), filters,
                             raw_df=lowered_raw.get(model.lower(), df))
 
+        # json-format servers additionally get full JSON-Schema row
+        # validation, mirroring the reference's fastjsonschema pass
+        # (engines/fastjsonschema/check_jsonschema.py) as vectorized
+        # variant expressions
+        if srv is not None and (srv.format or "").lower() in ("json", "jsonl", "ndjson"):
+            self._run_jsonschema_checks(run, contract, srv, schema_name)
+
         return run.finish()
+
+    def _run_jsonschema_checks(self, run: Run, contract: DataContract,
+                               srv: Server, schema_name: str = "all") -> None:
+        from datacontract_cli_spark.operators.jsonschema import json_schema_violations
+        from datacontract_cli_spark.sources.readers import _model_path, read_json_lines_df
+
+        for obj in contract.schema_objects:
+            if schema_name != "all" and obj.name != schema_name:
+                continue
+            model = obj.table
+            key = f"{model}__json_schema"
+            check = Check(
+                key=key, category="schema", type="json_schema",
+                name="Check that JSON has valid schema", model=model,
+                engine="datacontract-cli-spark", language="spark-sql",
+            )
+            run.checks.append(check)
+            try:
+                path = _model_path(srv, model, (srv.format or "json").lower())
+                raw = read_json_lines_df(self.spark, path, (srv.format or "json").lower())
+                pk = next((p.column for p in (obj.properties or [])
+                           if (p.options or {}).get("primaryKey") or p.primary_key), None)
+                n, bad, messages = json_schema_violations(
+                    raw, "value", obj, pk_col=pk, max_errors=500)
+            except Exception as e:  # noqa: BLE001
+                check.result = ResultEnum.error
+                check.reason = f"JSON schema validation failed: {e}"
+                continue
+            check.diagnostics = {"row_count": n, "invalid_count": bad}
+            if bad == 0:
+                check.result = ResultEnum.passed
+            else:
+                check.result = ResultEnum.failed
+                check.reason = messages[0] if messages else f"{bad} invalid rows"
+                if self.include_failed_samples:
+                    check.failedSamples = [{"message": m}
+                                           for m in messages[: self.sample_limit]]
 
     def test_partitioned(
         self,

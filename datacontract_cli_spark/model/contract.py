@@ -102,6 +102,15 @@ class Property:
     def from_dict(d: Dict[str, Any]) -> "Property":
         children = d.get("properties")
         items = d.get("items")
+        options = dict(d.get("logicalTypeOptions") or {})
+        # ODCS customProperties list -> mapping; carried in options so
+        # downstream consumers (jsonschema enum-from-customProperties,
+        # reference jsonschema_exporter._get_config_value) can reach it
+        cp = d.get("customProperties")
+        if cp:
+            options["customProperties"] = {
+                c.get("property"): c.get("value") for c in cp if isinstance(c, dict)
+            }
         return Property(
             name=d.get("name") or "",
             logical_type=d.get("logicalType"),
@@ -113,7 +122,7 @@ class Property:
             primary_key_position=d.get("primaryKeyPosition"),
             classification=d.get("classification"),
             expression=d.get("expression"),
-            options=dict(d.get("logicalTypeOptions") or {}),
+            options=options,
             properties=[Property.from_dict(c) for c in children] if children else None,
             items=Property.from_dict(items) if isinstance(items, dict) else None,
             quality=[QualityRule.from_dict(q) for q in (d.get("quality") or [])],

@@ -161,9 +161,34 @@ def _read_file(spark: SparkSession, path: str, fmt: str, obj: SchemaObject) -> D
     if fmt in ("json", "jsonl", "ndjson"):
         multiline = fmt == "json" and _looks_like_array(path)
         return spark.read.option("multiLine", str(multiline).lower()).json(path)
+    if fmt == "orc":
+        # native Spark SQL datasource (no extra jar); same typed-scan
+        # semantics as parquet
+        return spark.read.option("mergeSchema", "true").orc(path)
+    if fmt == "avro":
+        # requires the spark-avro module jar on the classpath
+        return spark.read.format("avro").load(path)
     if fmt == "delta":
         return spark.read.format("delta").load(path)
     raise ValueError(f"unsupported format: {fmt}")
+
+
+def read_json_lines_df(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    """One raw JSON document per row in a ``value`` string column —
+    the input shape for row-level JSON-Schema validation.
+
+    ndjson/jsonl read as text lines; a top-level-array json file reads
+    wholetext and explodes the parsed variant elements back to one document
+    per row (re-serialized canonically via to_json — equivalent for
+    validation purposes)."""
+    from pyspark.sql import functions as F
+
+    if fmt == "json" and _looks_like_array(path):
+        whole = spark.read.text(path, wholetext=True)
+        elems = F.try_variant_get(F.try_parse_json(F.col("value")), "$", "array<variant>")
+        return whole.select(F.explode(elems).alias("v")).select(
+            F.to_json(F.col("v")).alias("value"))
+    return spark.read.text(path).filter("trim(value) != ''")
 
 
 def _looks_like_array(path: str) -> bool:

@@ -1,0 +1,198 @@
+"""Full JSON-Schema row validation (§2.7) — parity with the reference's
+fastjsonschema pass (engines/fastjsonschema/check_jsonschema.py:90-114) and
+jsonschema exporter (export/jsonschema_exporter.py), covering the keyword
+surface of the reference's local-json-complex fixture: nested objects,
+arrays of strings/objects, patternProperties, per-key pattern/enum/bounds,
+enum via customProperties, pk-prefixed messages, max_errors capping."""
+
+import json
+
+import pytest
+
+from datacontract_cli_spark.engine.executor import SparkContractEngine
+from datacontract_cli_spark.model.contract import load_contract_str
+from datacontract_cli_spark.model.run import ResultEnum
+from datacontract_cli_spark.operators import jsonschema as js
+
+
+CONTRACT_YAML = """
+id: json-complex
+version: 1.0.0
+schema:
+  - name: sts_data
+    physicalType: table
+    properties:
+      - name: id
+        logicalType: string
+        required: true
+        primaryKey: true
+        logicalTypeOptions:
+          minLength: 1
+          maxLength: 10
+          pattern: "^[0-9]{8}$"
+      - name: array_test_string
+        logicalType: array
+        required: true
+        items:
+          name: item
+          logicalType: string
+          required: true
+      - name: array_test_object
+        logicalType: array
+        required: true
+        items:
+          name: item
+          logicalType: object
+          required: true
+          properties:
+            - name: key
+              logicalType: string
+              required: true
+            - name: value
+              logicalType: string
+              required: true
+      - name: sts
+        logicalType: object
+        required: true
+        properties:
+          - name: connection_test
+            logicalType: string
+            required: true
+            customProperties:
+              - property: enum
+                value: '["SUCCESS", "FAIL", "NULL"]'
+          - name: score
+            logicalType: number
+            logicalTypeOptions:
+              minimum: 0
+              maximum: 1
+servers:
+  - server: local
+    type: local
+    format: jsonl
+    path: "{path}"
+"""
+
+VALID = {"id": "12345678", "array_test_string": ["a", "b"],
+         "array_test_object": [{"key": "k", "value": "v"}],
+         "sts": {"connection_test": "SUCCESS", "score": 0.5}}
+
+
+def _write_ndjson(tmp_path, rows):
+    p = tmp_path / "sts_data.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    return str(p)
+
+
+def _contract(path):
+    return load_contract_str(CONTRACT_YAML.replace("{path}", path))
+
+
+def test_exporter_mirrors_reference():
+    c = _contract("/dev/null")
+    schema = js.contract_to_jsonschema(c.schema_objects[0])
+    assert schema["required"] == ["id", "array_test_string", "array_test_object", "sts"]
+    assert schema["properties"]["id"]["pattern"] == "^[0-9]{8}$"
+    assert schema["properties"]["id"]["type"] == "string"  # required: bare type
+    assert schema["properties"]["sts"]["properties"]["score"]["type"] == ["number", "null"]
+    # enum surfaced from customProperties JSON (reference _get_config_value)
+    assert schema["properties"]["sts"]["properties"]["connection_test"]["enum"] == \
+        ["SUCCESS", "FAIL", "NULL"]
+    assert schema["properties"]["array_test_object"]["items"]["required"] == ["key", "value"]
+
+
+def test_valid_rows_pass(spark, tmp_path):
+    path = _write_ndjson(tmp_path, [VALID, VALID])
+    run = SparkContractEngine(spark).test(_contract(path))
+    check = run.check("sts_data__json_schema")
+    assert check.result is ResultEnum.passed
+    assert check.diagnostics == {"row_count": 2, "invalid_count": 0}
+
+
+def test_invalid_rows_fail_with_pk_prefix(spark, tmp_path):
+    bad1 = dict(VALID, id="oops")                       # pattern violation
+    bad2 = dict(VALID, sts={"connection_test": "NOPE"})  # enum violation
+    bad3 = {k: v for k, v in VALID.items() if k != "array_test_string"}  # missing required
+    bad4 = dict(VALID, array_test_object=[{"key": "k"}])  # item missing required key
+    bad5 = dict(VALID, sts={"connection_test": "SUCCESS", "score": 5})  # maximum
+    path = _write_ndjson(tmp_path, [VALID, bad1, bad2, bad3, bad4, bad5])
+    run = SparkContractEngine(spark, include_failed_samples=True).test(_contract(path))
+    check = run.check("sts_data__json_schema")
+    assert check.result is ResultEnum.failed
+    assert check.diagnostics["row_count"] == 6
+    assert check.diagnostics["invalid_count"] == 5
+    samples = [s["message"] for s in check.failedSamples]
+    # pk-prefixed messages, reference style '#<pk>: <message>'
+    assert all(s.startswith("#12345678: ") or s.startswith("#oops: ") for s in samples)
+    assert any("pattern" in s for s in samples)
+
+
+def test_variant_and_arrow_engines_agree(spark):
+    """The Column/variant compiler and the jsonschema-library Arrow kernel
+    must agree row-by-row on which documents are invalid."""
+    schema = js.contract_to_jsonschema(_contract("/dev/null").schema_objects[0])
+    docs = [
+        VALID,
+        dict(VALID, id=5),
+        dict(VALID, array_test_string="nope"),
+        dict(VALID, array_test_string=[1, 2]),
+        dict(VALID, sts={"connection_test": "FAIL", "score": -1}),
+        {k: v for k, v in VALID.items() if k != "sts"},
+        dict(VALID, sts={"connection_test": None}),
+    ]
+    rows = [(json.dumps(d),) for d in docs] + [("broken json",), (None,)]
+    df = spark.createDataFrame(rows, "value string")
+    col = js.validate_json_rows(df, "value", schema, keep_cols=["value"], engine="column")
+    arw = js.validate_json_rows(df, "value", schema, keep_cols=["value"], engine="arrow")
+    col_bad = {r["value"]: len(r["errors"]) > 0 for r in col.collect()}
+    arw_bad = {r["value"]: len(r["errors"]) > 0 for r in arw.collect()}
+    assert col_bad == arw_bad
+
+
+def test_pattern_properties_fall_back_to_arrow(spark):
+    schema = {
+        "type": "object",
+        "properties": {
+            "key_list": {
+                "type": "object",
+                "patternProperties": {
+                    "^[0-5]$": {"type": "object", "required": ["key"],
+                                "properties": {"key": {"type": "string"}}},
+                },
+            },
+        },
+    }
+    assert js._needs_arrow(schema)
+    rows = [
+        ('{"key_list": {"0": {"key": "a"}, "3": {"key": "b"}}}',),
+        ('{"key_list": {"2": {"nokey": 1}}}',),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    out = js.validate_json_rows(df, "value", schema, keep_cols=["value"])
+    bad = {r["value"]: r["errors"] for r in out.collect()}
+    assert bad[rows[0][0]] == []
+    assert any("key" in e for e in bad[rows[1][0]])
+
+
+def test_max_errors_cap(spark, tmp_path):
+    docs = [{"id": "bad"}] * 40  # every row violates pattern + missing fields
+    path = _write_ndjson(tmp_path, docs)
+    c = _contract(path)
+    from datacontract_cli_spark.operators.jsonschema import json_schema_violations
+    from datacontract_cli_spark.sources.readers import read_json_lines_df
+    raw = read_json_lines_df(spark, path, "jsonl")
+    n, bad, msgs = json_schema_violations(raw, "value", c.schema_objects[0],
+                                          pk_col=None, max_errors=10)
+    assert n == 40 and bad == 40
+    assert len(msgs) == 10  # capped (reference check_jsonschema.py:53-88)
+
+
+def test_json_array_file_validation(spark, tmp_path):
+    p = tmp_path / "sts_data.json"
+    p.write_text(json.dumps([VALID, dict(VALID, id="nope")]))
+    yaml = CONTRACT_YAML.replace("format: jsonl", "format: json")
+    run = SparkContractEngine(spark).test(
+        load_contract_str(yaml.replace("{path}", str(p))))
+    check = run.check("sts_data__json_schema")
+    assert check.result is ResultEnum.failed
+    assert check.diagnostics == {"row_count": 2, "invalid_count": 1}
