@@ -34,11 +34,12 @@ class DataContractRunner:
     ):
         if data_contract_file is None and data_contract_str is None:
             raise ValueError("provide data_contract_file or data_contract_str")
-        self.contract = (
-            load_contract(data_contract_file)
-            if data_contract_file is not None
-            else load_contract_str(data_contract_str)
-        )
+        if data_contract_file is not None:
+            with open(data_contract_file, "r", encoding="utf-8") as f:
+                self.contract_source: Optional[str] = f.read()
+        else:
+            self.contract_source = data_contract_str
+        self.contract = load_contract_str(self.contract_source)
         if spark is None:
             from datacontract_cli_spark.session import get_spark
             spark = get_spark()
@@ -69,7 +70,12 @@ class DataContractRunner:
         )
 
     def lint(self) -> List[str]:
-        problems = []
+        """Document-level problems: JSON-Schema validation of the contract
+        itself (reference lint/resolve.py:441-466) plus structural warnings."""
+        problems: List[str] = []
+        if self.contract_source is not None:
+            from datacontract_cli_spark.model.lint import lint_str
+            problems.extend(lint_str(self.contract_source))
         if not self.contract.schema_objects:
             problems.append("contract has no schema objects")
         for obj in self.contract.schema_objects:

@@ -44,6 +44,16 @@ def main(argv: list[str] | None = None) -> int:
     from datacontract_cli_spark.model.contract import load_contract
 
     if args.command == "lint":
+        from datacontract_cli_spark.model.lint import lint_file
+        try:
+            problems = lint_file(args.contract)
+        except OSError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        if problems:
+            for p in problems:
+                print(f"invalid: {p}", file=sys.stderr)
+            return 1
         try:
             contract = load_contract(args.contract)
         except Exception as e:

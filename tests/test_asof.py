@@ -55,3 +55,41 @@ def test_asof_exact_timestamp_matches_take_right(spark):
     right = spark.createDataFrame([("A", 10, 1.5)], "sym string, t bigint, v double")
     out = asof_join(left, right, on="t", by="sym").collect()
     assert out[0]["v"] == 1.5
+
+
+def test_salted_equivalence(spark):
+    """asof_join_salted must produce exactly the window formulation's rows
+    (incl. null right-values carried across bucket boundaries)."""
+    import random
+
+    from datacontract_cli_spark.operators.asof import asof_join, asof_join_salted
+
+    random.seed(11)
+    lrows = [(f"u{random.randint(0, 15)}", float(random.randint(0, 500)), i)
+             for i in range(1500)]
+    rrows, seen = [], set()
+    for _ in range(500):
+        key = (f"u{random.randint(0, 15)}", float(random.randint(0, 500)))
+        if key in seen:
+            continue
+        seen.add(key)
+        rrows.append((*key, None if random.random() < 0.15 else random.random()))
+    L = spark.createDataFrame(lrows, "user string, t double, lid int")
+    R = spark.createDataFrame(rrows, "user string, t double, val double")
+    a = asof_join(L, R, on="t", by="user").orderBy("lid").collect()
+    b = asof_join_salted(L, R, on="t", by="user", n_buckets=7).orderBy("lid").collect()
+    assert a == b
+    # degenerate cases: single bucket, empty right side
+    c = asof_join_salted(L, R, on="t", by="user", n_buckets=1).orderBy("lid").collect()
+    assert a == c
+    empty = asof_join_salted(L, R.filter("1=0"), on="t", by="user").collect()
+    assert all(r["val"] is None for r in empty) and len(empty) == 1500
+
+
+def test_salted_no_by(spark):
+    from datacontract_cli_spark.operators.asof import asof_join, asof_join_salted
+    L = spark.createDataFrame([(float(i), i) for i in range(50)], "t double, lid int")
+    R = spark.createDataFrame([(10.0, 1.0), (30.0, 2.0)], "t double, val double")
+    a = asof_join(L, R, on="t").orderBy("lid").collect()
+    b = asof_join_salted(L, R, on="t", n_buckets=4).orderBy("lid").collect()
+    assert a == b

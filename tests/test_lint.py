@@ -1,0 +1,162 @@
+"""Contract-document lint parity: the same invalid-document classes the
+reference's lint rejects via spec JSON-Schema validation
+(lint/resolve.py:441-466, fixtures tests/fixtures/lint/*)."""
+
+import subprocess
+import sys
+
+from datacontract_cli_spark.model.lint import lint_str
+
+VALID_ODCS = """
+apiVersion: "v3.0.2"
+kind: "DataContract"
+id: "valid_odcs"
+name: "Valid ODCS data contract"
+version: "2.0.0"
+status: "draft"
+tags: ["datalocation:EU"]
+customProperties:
+  - property: "additionalField"
+    value: "some value"
+schema:
+  - name: "shipments"
+    physicalType: "table"
+    properties:
+      - name: "shipment_id"
+        logicalType: "string"
+        required: true
+servers:
+  - server: prod
+    type: local
+"""
+
+
+def test_valid_odcs_passes():
+    assert lint_str(VALID_ODCS) == []
+
+
+def test_missing_status_rejected():
+    # reference fixture invalid.odcs.yaml: status commented out
+    doc = """
+apiVersion: "v3.0.2"
+kind: "DataContract"
+id: "valid_odcs"
+name: "invalid: the status is missing"
+version: "1.0.0"
+"""
+    problems = lint_str(doc)
+    assert len(problems) == 1
+    assert "status" in problems[0]
+
+
+def test_multiple_missing_fields_all_reported():
+    # reference fixture invalid_multiple_errors.odcs.yaml: version AND status
+    doc = """
+apiVersion: "v3.0.2"
+kind: "DataContract"
+id: "invalid_odcs_multiple"
+name: "version and status are missing"
+"""
+    problems = lint_str(doc)
+    assert len(problems) == 2
+    assert any("version" in p for p in problems)
+    assert any("status" in p for p in problems)
+
+
+def test_null_description_rejected():
+    # reference fixture invalid_multiple_schema_errors.odcs.yaml:
+    # an empty `description:` key parses as null, which is not a string
+    doc = """
+apiVersion: v3.1.0
+kind: DataContract
+id: "invalid_odcs_multiple"
+version: "1.0.0"
+status: "draft"
+schema:
+  - name: no_description_schema
+    logicalType: object
+    description:
+    properties:
+      - name: id
+        logicalType: string
+        description: The unique identifier.
+"""
+    problems = lint_str(doc)
+    assert len(problems) == 1
+    assert "description" in problems[0] and "string" in problems[0]
+
+
+def test_wrong_kind_rejected():
+    doc = VALID_ODCS.replace('kind: "DataContract"', 'kind: "Nonsense"')
+    problems = lint_str(doc)
+    assert any("kind" in p or "Nonsense" in p for p in problems)
+
+
+def test_legacy_dcs_missing_id_rejected():
+    # reference fixture invalid_datacontract.yaml: id commented out
+    doc = """
+dataContractSpecification: 1.2.1
+info:
+  title: My Data Contract
+  version: 0.0.1
+"""
+    problems = lint_str(doc)
+    assert len(problems) == 1 and "id" in problems[0]
+
+
+def test_legacy_dcs_valid_passes():
+    doc = """
+dataContractSpecification: 1.2.0
+id: my-contract
+info:
+  title: My Data Contract
+  version: 0.0.1
+models:
+  orders:
+    type: table
+    fields:
+      id:
+        type: string
+"""
+    assert lint_str(doc) == []
+
+
+def test_non_mapping_rejected():
+    assert lint_str("- just\n- a\n- list\n") == ["contract YAML must be a mapping"]
+    assert lint_str(":\n  bad: [yaml")[0].startswith("invalid YAML")
+
+
+def test_errors_sorted_by_path():
+    doc = """
+apiVersion: "v3.0.2"
+kind: "DataContract"
+id: "x"
+version: "1.0.0"
+status: "draft"
+schema:
+  - name: ok
+    description: 5
+servers:
+  - type: local
+"""
+    problems = lint_str(doc)
+    # schema[0].description wrong type AND servers[0] missing 'server'
+    assert len(problems) == 2
+    assert problems[0].startswith("schema.0.description")
+    assert problems[1].startswith("servers.0")
+
+
+def test_cli_lint_rejects_invalid(tmp_path):
+    bad = tmp_path / "bad.yaml"
+    bad.write_text('apiVersion: "v3.0.2"\nkind: "DataContract"\nid: "x"\n')
+    r = subprocess.run([sys.executable, "-m", "datacontract_cli_spark", "lint", str(bad)],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 1
+    assert "invalid:" in r.stderr
+
+    good = tmp_path / "good.yaml"
+    good.write_text(VALID_ODCS)
+    r = subprocess.run([sys.executable, "-m", "datacontract_cli_spark", "lint", str(good)],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0
+    assert r.stdout.startswith("OK:")
