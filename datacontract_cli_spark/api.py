@@ -31,6 +31,8 @@ class DataContractRunner:
         include_failed_samples: bool = False,
         filter: Optional[str] = None,  # noqa: A002 — reference arg name
         tables: Optional[Dict[str, DataFrame]] = None,
+        publish_url: Optional[str] = None,
+        api_key: Optional[str] = None,
     ):
         if data_contract_file is None and data_contract_str is None:
             raise ValueError("provide data_contract_file or data_contract_str")
@@ -49,6 +51,8 @@ class DataContractRunner:
         self.include_failed_samples = include_failed_samples
         self.filters: Optional[List[str]] = [filter] if filter else None
         self.tables = tables
+        self.publish_url = publish_url
+        self.api_key = api_key
 
     def test(self) -> Run:
         engine = SparkContractEngine(
@@ -61,13 +65,19 @@ class DataContractRunner:
                 obj.table: self.spark.table(obj.table)
                 for obj in self.contract.schema_objects
             }
-        return engine.test(
+        run = engine.test(
             self.contract,
             tables=tables,
             server=self.server,
             schema_name=self.schema_name,
             filters=self.filters,
         )
+        # reference Run lifecycle: publish results when a URL is configured
+        # (data_contract.py:201-203) — publish failure never fails the test
+        if self.publish_url is not None:
+            from datacontract_cli_spark.output.publish import publish_test_results
+            publish_test_results(run, self.publish_url, api_key=self.api_key)
+        return run
 
     def lint(self) -> List[str]:
         """Document-level problems: JSON-Schema validation of the contract

@@ -122,6 +122,9 @@ class Run:
     def log_info(self, message: str) -> None:
         self.logs.append(Log("info", message))
 
+    def log_error(self, message: str) -> None:
+        self.logs.append(Log("error", message))
+
     def set_result(self, key: str, result: ResultEnum, reason: Optional[str] = None) -> None:
         c = self.check(key)
         if c is not None:
