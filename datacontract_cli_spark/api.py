@@ -83,9 +83,10 @@ class DataContractRunner:
         """Document-level problems: JSON-Schema validation of the contract
         itself (reference lint/resolve.py:441-466) plus structural warnings."""
         problems: List[str] = []
-        if self.contract_source is not None:
+        source = getattr(self, "contract_source", None)
+        if source is not None:
             from datacontract_cli_spark.model.lint import lint_str
-            problems.extend(lint_str(self.contract_source))
+            problems.extend(lint_str(source))
         if not self.contract.schema_objects:
             problems.append("contract has no schema objects")
         for obj in self.contract.schema_objects:

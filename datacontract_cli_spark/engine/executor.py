@@ -168,6 +168,12 @@ class SparkContractEngine:
         if srv is not None and (srv.format or "").lower() in ("json", "jsonl", "ndjson"):
             self._run_jsonschema_checks(run, contract, srv, schema_name)
 
+        # blob schema objects get file-metadata checks (reference
+        # check_azure_blob_file.py, storage-agnostic via Hadoop FS)
+        if any((o.logical_type or "").lower() == "blob" for o in contract.schema_objects):
+            from datacontract_cli_spark.operators.filechecks import check_blob_files
+            check_blob_files(run, contract, srv, self.spark, schema_name)
+
         return run.finish()
 
     def _run_jsonschema_checks(self, run: Run, contract: DataContract,

@@ -107,6 +107,8 @@ def bind_server_with_raw(
     tables: Dict[str, DataFrame] = {}
     raw_tables: Dict[str, DataFrame] = {}
     for obj in contract.schema_objects:
+        if (obj.logical_type or "").lower() == "blob":
+            continue  # blob objects get file-metadata checks, not a table scan
         model = obj.table
         if stype in ("local", "s3", "gcs", "azure", "filesystem"):
             path = _model_path(server, model, fmt)
