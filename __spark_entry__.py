@@ -326,6 +326,31 @@ def _q_token_stats(spark, sf):
     )
 
 
+def _q_bpe_token_stats(spark, sf):
+    """Token counts under the BPE-ish regex tokenizer (words / numbers /
+    single symbols) — the portable-pattern analogue of a GPT-2-style
+    pre-tokenizer, all JVM-side regexp."""
+    docs = _t(spark, sf, "documents")
+    n_tok = textstats.regex_token_count(F.col("text"))
+    return docs.agg(
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        F.round(F.avg(n_tok), 4).alias("avg_tokens"),
+        F.max(n_tok).cast("long").alias("max_tokens"),
+    )
+
+
+def _q_winnow_dups(spark, sf):
+    """Winnowing-fingerprint candidate pairs (MOSS): shared k-gram
+    fingerprints via inverted-index join; md5 hash family so the DuckDB
+    oracle reproduces the exact pair set."""
+    docs = _t(spark, sf, "documents")
+    return (
+        dedup.winnow_shared_pairs(docs, "doc_id", k=8, window=4, min_shared=30)
+        .select("id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _q_lang_freq(spark, sf):
     return (
         _t(spark, sf, "documents")
@@ -585,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": _q_rollup_orders,
         "unpivot_part": _q_unpivot_part,
         "embedding_pairs_exact": _q_embedding_pairs_exact,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "winnow_dups": _q_winnow_dups,
     }
 
 
@@ -813,6 +840,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         # the LSH queries run on the shared md5 hash family, so DuckDB
         # reproduces the banded-LSH / pigeonhole pipelines bit-for-bit
+        "bpe_token_stats": (
+            "SELECT CAST(sum(n) AS BIGINT) AS total_tokens, "
+            "round(avg(n), 4) AS avg_tokens, CAST(max(n) AS BIGINT) AS max_tokens "
+            "FROM (SELECT len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n FROM documents)"
+        ),
+        "winnow_dups": _winnow_oracle(),
         "minhash_near_dups": _minhash_md5_oracle(),
         "simhash_near_dups": _simhash_md5_oracle(),
         "embedding_near_dups": (
@@ -824,6 +858,27 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity(a.v, b.v) >= 0.9"
         ),
     }
+
+
+def _winnow_oracle(k: int = 8, window: int = 4, min_shared: int = 30) -> str:
+    """DuckDB SQL replicating dedup.winnow_shared_pairs exactly: char k-gram
+    md5 hashes -> per-window minima -> distinct fingerprints -> inverted-
+    index pair counts."""
+    p = dedup.MINHASH_MD5_P
+    return (
+        "WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) "
+        "AS t FROM documents), "
+        "g AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(t) - "
+        f"{k - 1}, 1)), i -> ('0x' || substring(md5(substring(t, i, {k})), 1, 8))::BIGINT "
+        f"% {p}) AS h FROM n), "
+        "f AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, "
+        f"greatest(len(h) - {window - 1}, 1)), i -> list_min(h[i:i+{window - 1}]))) "
+        "AS fp FROM g), "
+        "inv AS (SELECT doc_id, unnest(fp) AS fv FROM f) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared "
+        "FROM inv a JOIN inv b ON a.fv = b.fv AND a.doc_id < b.doc_id "
+        f"GROUP BY 1, 2 HAVING count(*) >= {min_shared}"
+    )
 
 
 def _minhash_md5_oracle(num_hashes: int = 64, bands: int = 16,

@@ -525,3 +525,77 @@ def simhash_near_duplicates(
     return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer, Wilkerson, Aiken — MOSS, SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(col: Column, k: int = 8, window: int = 4) -> Column:
+    """Document fingerprint set by winnowing: hash every character k-gram of
+    the normalized text, slide a window of ``window`` hashes, keep each
+    window's minimum, dedupe. Guarantees any shared substring of length
+    >= k + window - 1 contributes a shared fingerprint.
+
+    Pure Column expression on the shared md5 hash family — one pass, no
+    shuffle, reproducible by an external SQL oracle. Short docs (< k chars)
+    fingerprint as the single hash of the whole normalized text."""
+    t = normalized_text(col)
+    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: md5_hash_long(F.substring(t, i, k), 8) % F.lit(MINHASH_MD5_P),
+    )
+    # bind the gram array ONCE via a fold lambda variable: referencing the
+    # `grams` expression directly inside the window transform would inline
+    # the whole k-gram construction into every window (O(n^2) md5 calls per
+    # document after projection collapse — measured as a hang at 500 docs)
+    return F.aggregate(
+        F.array(grams),
+        F.array().cast("array<long>"),
+        lambda _acc, g: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(g) - F.lit(window - 1), F.lit(1))),
+                lambda i: F.array_min(F.slice(g, i, window)),
+            )
+        ),
+    )
+
+
+def winnow_shared_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_doc_freq: Optional[int] = None,
+) -> DataFrame:
+    """Candidate near-dup pairs sharing >= min_shared winnowing fingerprints.
+
+    Inverted-index join on the fingerprint value: the shuffle carries only
+    (id, fingerprint) pairs, the self-join is fingerprint-local (AQE splits
+    hot fingerprints), and the group count is a two-phase aggregate —
+    nothing quadratic in corpus size. ``max_doc_freq`` drops fingerprints
+    appearing in more than that many documents before the self-join —
+    stop-gram fingerprints ("and the ", " of the ") carry no dedup signal
+    but dominate the pair volume; at corpus scale this filter is what keeps
+    the join linear."""
+    fp = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        winnow_fingerprints(F.col(text_col), k, window).alias("fp"),
+    )
+    inv = fp.select("id", F.explode("fp").alias("f"))
+    if max_doc_freq is not None:
+        rare = (inv.groupBy("f").agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= max_doc_freq).select("f"))
+        inv = inv.join(rare, "f", "left_semi")
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), on=[F.col("a.f") == F.col("b.f"),
+                                  F.col("a.id") < F.col("b.id")])
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs

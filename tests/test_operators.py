@@ -195,3 +195,35 @@ def test_orphan_count(spark):
     child = spark.createDataFrame([(1,), (2,), (3,), (None,)], "k int")
     parent = spark.createDataFrame([(1,), (2,)], "k int")
     assert refintegrity.orphan_count(child, "k", parent, "k") == 1  # only 3; NULL skipped
+
+
+def test_winnow_guarantee(spark):
+    """Winnowing guarantee: any shared substring of length >= k + window - 1
+    yields at least one shared fingerprint; disjoint texts share none."""
+    from pyspark.sql import functions as F
+
+    shared = "zqxjkwvyp bmfgthrdl cnslaoeiu"  # 29 chars >= 8 + 4 - 1
+    df = spark.createDataFrame([
+        (1, f"prefix one {shared} suffix alpha"),
+        (2, f"other start {shared} different end"),
+        (3, "totally 12345 unrelated !!! content graph"),
+    ], "doc_id int, text string")
+    fp = {r["doc_id"]: set(r["fp"]) for r in df.select(
+        "doc_id", dedup.winnow_fingerprints(F.col("text"), 8, 4).alias("fp")).collect()}
+    assert fp[1] & fp[2], "shared substring must produce a shared fingerprint"
+    assert not (fp[1] & fp[3])
+    pairs = dedup.winnow_shared_pairs(df, "doc_id", min_shared=1).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_winnow_max_doc_freq_filters_stop_grams(spark):
+    from pyspark.sql import functions as F
+
+    common = "the quick brown fox says hello there"
+    rows = [(i, f"{common} variant {i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    all_pairs = dedup.winnow_shared_pairs(df, "doc_id", min_shared=1).count()
+    filtered = dedup.winnow_shared_pairs(df, "doc_id", min_shared=1,
+                                         max_doc_freq=3).count()
+    assert all_pairs == 15  # every pair shares the common prefix
+    assert filtered < all_pairs  # stop-gram fingerprints dropped
