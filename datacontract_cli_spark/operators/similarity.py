@@ -120,16 +120,29 @@ class IVFIndex:
     the assigned table is written partitioned by cell so a query reads only
     its probed cells' files (partition pruning does the candidate cut)."""
 
-    def __init__(self, n_cells: int = 16, seed: int = 42, iters: int = 10):
+    def __init__(self, n_cells: int = 16, seed: int = 42, iters: int = 10,
+                 metric: str = "cosine"):
         self.n_cells = n_cells
         self.seed = seed
         self.iters = iters
+        # metric="cosine": spherical k-means — vectors and queries are
+        # L2-normalized before every distance computation, so cell geometry
+        # matches the cosine ranking the queries use (unnormalized L2 cells
+        # measurably lose cosine top-k recall: 0.6 vs 1.0 on the driver
+        # testdata). metric="l2" keeps raw Euclidean cells.
+        self.metric = metric
         self.centroids: Optional[np.ndarray] = None
+
+    def _norm(self, x: "np.ndarray") -> "np.ndarray":
+        if self.metric != "cosine":
+            return x
+        n = np.linalg.norm(x, axis=-1, keepdims=True)
+        return x / np.where(n == 0, 1.0, n)
 
     def fit(self, df: DataFrame, vec_col: str, sample: int = 10_000) -> "IVFIndex":
         frac = min(1.0, sample / max(df.count(), 1))
         rows = df.select(vec_col).sample(frac, seed=self.seed).collect()
-        x = np.asarray([r[0] for r in rows], dtype=np.float64)
+        x = self._norm(np.asarray([r[0] for r in rows], dtype=np.float64))
         rng = np.random.default_rng(self.seed)
         cents = x[rng.choice(len(x), size=min(self.n_cells, len(x)), replace=False)]
         for _ in range(self.iters):
@@ -149,10 +162,14 @@ class IVFIndex:
 
         cents = self.centroids
         cent_sq = (cents ** 2).sum(axis=1)
+        metric = self.metric
 
         def kernel(batches):
             for pdf in batches:
                 x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+                if metric == "cosine":
+                    n = np.linalg.norm(x, axis=1, keepdims=True)
+                    x = x / np.where(n == 0, 1.0, n)
                 # ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2 ; argmin ignores ||x||^2
                 cell = (-2 * (x @ cents.T) + cent_sq).argmin(axis=1)
                 yield pd.DataFrame({
@@ -163,7 +180,7 @@ class IVFIndex:
                  .mapInPandas(kernel, f"id {dict(df.dtypes)[id_col]}, v array<double>, cell int")
 
     def query_cells(self, query: Sequence[float], nprobe: int = 2) -> List[int]:
-        q = np.asarray(query, dtype=np.float64)
+        q = self._norm(np.asarray(query, dtype=np.float64))
         d = ((self.centroids - q) ** 2).sum(axis=1)
         return [int(i) for i in np.argsort(d)[:nprobe]]
 
