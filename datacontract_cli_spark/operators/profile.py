@@ -66,9 +66,10 @@ def profile(
             exprs.append(F.min(qc).alias(f"{c}::min"))
             exprs.append(F.max(qc).alias(f"{c}::max"))
             exprs.append(F.avg(qc).alias(f"{c}::avg"))
-            exprs.append(
-                F.percentile_approx(qc, list(quantiles), 10000).alias(f"{c}::quantiles")
-            )
+            if quantiles:  # the KLL sketch is the expensive expr — only on request
+                exprs.append(
+                    F.percentile_approx(qc, list(quantiles), 10000).alias(f"{c}::quantiles")
+                )
         elif dtype == "string":
             exprs.append(F.min(F.length(qc)).alias(f"{c}::min_len"))
             exprs.append(F.max(F.length(qc)).alias(f"{c}::max_len"))
@@ -104,8 +105,9 @@ def profile_df(df: DataFrame, columns: Optional[Sequence[str]] = None,
                exact_distinct: bool = False) -> DataFrame:
     """The same single-pass profile as a small DataFrame
     (column, count, null_count, distinct, min, max) — handy as a query
-    result / oracle target."""
-    stats = profile(df, columns, exact_distinct=exact_distinct)
+    result / oracle target. Quantile sketches are skipped: this projection
+    never surfaces them."""
+    stats = profile(df, columns, quantiles=(), exact_distinct=exact_distinct)
     spark = df.sparkSession
     def _minmax(s: dict, which: str):
         v = s.get(which, s.get(f"{which}_len"))
