@@ -35,6 +35,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     lint = sub.add_parser("lint", help="parse + structurally check a contract")
     lint.add_argument("contract")
+
+    exp = sub.add_parser("export", help="export the contract to another format")
+    exp.add_argument("contract")
+    exp.add_argument("--format", required=True,
+                     choices=["odcs", "jsonschema", "sql", "avro", "spark"])
+    exp.add_argument("--schema", dest="schema_name", default="all")
+    exp.add_argument("--output", default=None, help="write to this path (default stdout)")
     return p
 
 
@@ -42,6 +49,33 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
     from datacontract_cli_spark.model.contract import load_contract
+
+    if args.command == "export":
+        import json as _json
+        from datacontract_cli_spark import export as _export
+        try:
+            contract = load_contract(args.contract)
+        except Exception as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        if args.format == "odcs":
+            text = _export.to_odcs_yaml(contract)
+        elif args.format == "jsonschema":
+            text = _json.dumps(_export.to_jsonschema_dict(contract, args.schema_name), indent=2)
+        elif args.format == "sql":
+            text = _export.to_sql_ddl(contract, args.schema_name)
+        elif args.format == "avro":
+            text = _json.dumps(_export.to_avro_schema(contract, args.schema_name), indent=2)
+        else:  # spark
+            objs = [o for o in contract.schema_objects
+                    if args.schema_name == "all" or o.name == args.schema_name]
+            text = "\n".join(_export.to_spark_schema(o).simpleString() for o in objs)
+        if args.output:
+            with open(args.output, "w", encoding="utf-8") as f:
+                f.write(text)
+        else:
+            print(text)
+        return 0
 
     if args.command == "lint":
         from datacontract_cli_spark.model.lint import lint_file

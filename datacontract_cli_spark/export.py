@@ -91,3 +91,106 @@ def to_odcs_dict(contract: DataContract) -> Dict[str, Any]:
 
 def to_odcs_yaml(contract: DataContract) -> str:
     return yaml.safe_dump(to_odcs_dict(contract), sort_keys=False)
+
+
+# ---------------------------------------------------------------------------
+# additional exporters (reference export/ formats re-expressed)
+# ---------------------------------------------------------------------------
+
+def to_jsonschema_dict(contract: DataContract, schema_name: str = "all") -> Dict[str, Any]:
+    """Draft-07 JSON Schema(s) per model (reference jsonschema_exporter.py).
+    One model -> its schema; several -> {model: schema}."""
+    from datacontract_cli_spark.operators.jsonschema import contract_to_jsonschema
+
+    objs = [o for o in contract.schema_objects
+            if schema_name == "all" or o.name == schema_name]
+    if len(objs) == 1:
+        return contract_to_jsonschema(objs[0])
+    return {o.name: contract_to_jsonschema(o) for o in objs}
+
+
+_SQL_TYPES = {
+    "string": "STRING", "text": "STRING", "varchar": "STRING",
+    "integer": "BIGINT", "int": "INT", "long": "BIGINT", "bigint": "BIGINT",
+    "number": "DOUBLE", "double": "DOUBLE", "float": "FLOAT",
+    "decimal": "DECIMAL(38,18)", "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP", "timestamp_tz": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP_NTZ", "date": "DATE", "bytes": "BINARY",
+    "object": "STRUCT", "record": "STRUCT", "array": "ARRAY",
+}
+
+
+def _sql_type(p: Property) -> str:
+    if p.physical_type:
+        return p.physical_type.upper()
+    lt = (p.logical_type or "string").lower()
+    if lt == "array":
+        elem = _sql_type(p.items) if p.items else "STRING"
+        return f"ARRAY<{elem}>"
+    if lt in ("object", "record", "struct"):
+        inner = ", ".join(f"{c.column}: {_sql_type(c)}" for c in (p.properties or []))
+        return f"STRUCT<{inner}>"
+    return _SQL_TYPES.get(lt, "STRING")
+
+
+def to_sql_ddl(contract: DataContract, schema_name: str = "all") -> str:
+    """CREATE TABLE DDL in Spark SQL (reference sql_exporter semantics with
+    the engine's native dialect; physicalType wins over logicalType)."""
+    stmts = []
+    for obj in contract.schema_objects:
+        if schema_name != "all" and obj.name != schema_name:
+            continue
+        cols = []
+        for p in obj.properties:
+            null = " NOT NULL" if p.required else ""
+            cols.append(f"  {p.column} {_sql_type(p)}{null}")
+        body = ",\n".join(cols)
+        stmts.append(f"CREATE TABLE {obj.table} (\n{body}\n) USING parquet;")
+    return "\n\n".join(stmts) + ("\n" if stmts else "")
+
+
+_AVRO_TYPES = {
+    "string": "string", "text": "string", "varchar": "string",
+    "integer": "long", "int": "int", "long": "long", "bigint": "long",
+    "number": "double", "double": "double", "float": "float",
+    "boolean": "boolean", "bytes": "bytes",
+    "date": {"type": "int", "logicalType": "date"},
+    "timestamp": {"type": "long", "logicalType": "timestamp-millis"},
+    "timestamp_tz": {"type": "long", "logicalType": "timestamp-millis"},
+    "timestamp_ntz": {"type": "long", "logicalType": "local-timestamp-millis"},
+    "decimal": {"type": "bytes", "logicalType": "decimal", "precision": 38, "scale": 18},
+}
+
+
+def _avro_type(p: Property):
+    lt = (p.logical_type or "string").lower()
+    if lt == "array":
+        return {"type": "array", "items": _avro_type(p.items) if p.items else "string"}
+    if lt in ("object", "record", "struct"):
+        return {
+            "type": "record", "name": p.name,
+            "fields": [{"name": c.column, "type": _avro_field_type(c)}
+                       for c in (p.properties or [])],
+        }
+    return _AVRO_TYPES.get(lt, "string")
+
+
+def _avro_field_type(p: Property):
+    t = _avro_type(p)
+    return t if p.required else ["null", t]
+
+
+def to_avro_schema(contract: DataContract, schema_name: str = "all") -> Any:
+    """Avro record schema(s) (reference avro_exporter semantics: optional
+    fields become ["null", type] unions, temporal logical types)."""
+    out = []
+    for obj in contract.schema_objects:
+        if schema_name != "all" and obj.name != schema_name:
+            continue
+        out.append({
+            "type": "record",
+            "name": obj.table,
+            "fields": [{"name": p.column, "type": _avro_field_type(p)}
+                       for p in obj.properties],
+        })
+    return out[0] if len(out) == 1 else out

@@ -89,3 +89,46 @@ def test_import_dataframe_roundtrip(spark):
     assert [p.name for p in back.schema_objects[0].properties] == \
            [p.name for p in obj.properties]
     assert back.schema_objects[0].properties[2].items.logical_type == "number"
+
+
+def test_export_sql_ddl():
+    from datacontract_cli_spark import export
+    c = load_contract_str(CONTRACT)
+    ddl = export.to_sql_ddl(c)
+    assert ddl.startswith("CREATE TABLE")
+    assert "NOT NULL" in ddl and "USING parquet;" in ddl
+
+
+def test_export_avro_unions_for_optional():
+    from datacontract_cli_spark import export
+    c = load_contract_str(CONTRACT)
+    avro = export.to_avro_schema(c)
+    rec = avro if isinstance(avro, dict) else avro[0]
+    assert rec["type"] == "record"
+    by = {f["name"]: f["type"] for f in rec["fields"]}
+    # required fields are bare types, optional become ["null", type]
+    assert any(isinstance(t, list) and t[0] == "null" for t in by.values())
+
+
+def test_export_jsonschema_roundtrip_keywords():
+    from datacontract_cli_spark import export
+    c = load_contract_str(CONTRACT)
+    js = export.to_jsonschema_dict(c)
+    schema = js if "$schema" in js else list(js.values())[0]
+    assert schema["type"] == "object"
+    assert isinstance(schema["required"], list)
+
+
+def test_cli_export_formats(tmp_path):
+    import subprocess, sys, os
+    path = tmp_path / "c.yaml"
+    path.write_text(CONTRACT)
+    for fmt, probe in (("sql", "CREATE TABLE"), ("jsonschema", "$schema"),
+                       ("avro", '"record"'), ("odcs", "schema"), ("spark", "struct<")):
+        r = subprocess.run(
+            [sys.executable, "-m", "datacontract_cli_spark", "export", str(path),
+             "--format", fmt],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))), timeout=120)
+        assert r.returncode == 0, (fmt, r.stderr)
+        assert probe in r.stdout, (fmt, r.stdout[:200])
