@@ -107,4 +107,101 @@ def to_spark_sql(query: str, dialect: Optional[str] = None) -> str:
     if (dialect or "").lower() in ("postgres", "postgresql", "redshift", "duckdb"):
         out = _rewrite_pg_casts(out)
     out = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", out, flags=re.IGNORECASE)
+    fn = _DIALECT_REWRITES.get((dialect or "").lower())
+    if fn is not None:
+        out = fn(out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# per-dialect rewrites (round 2: the constructs that genuinely differ)
+# ---------------------------------------------------------------------------
+
+_TSQL_DATEDIFF_UNITS = {
+    "day": "day", "dd": "day", "d": "day",
+    "hour": "hour", "hh": "hour",
+    "minute": "minute", "mi": "minute", "n": "minute",
+    "second": "second", "ss": "second", "s": "second",
+    "month": "month", "mm": "month", "m": "month",
+    "year": "year", "yy": "year", "yyyy": "year",
+}
+
+
+def _rewrite_tsql(query: str) -> str:
+    # [bracketed identifiers] -> `backticks`
+    out = re.sub(r"\[([A-Za-z_][\w ]*)\]", r"`\1`", query)
+    # SELECT TOP n ... -> SELECT ... LIMIT n  (top-level only, no ORDER BY capture)
+    m = re.match(r"(?is)^(\s*SELECT)\s+TOP\s+(\d+)\s+(.*)$", out)
+    if m and "limit" not in out.lower():
+        out = f"{m.group(1)} {m.group(3).rstrip().rstrip(';')} LIMIT {m.group(2)}"
+    out = re.sub(r"\bGETDATE\s*\(\s*\)", "current_timestamp()", out, flags=re.IGNORECASE)
+    # 2-arg ISNULL(a, b) -> coalesce(a, b)
+    out = re.sub(r"\bISNULL\s*\(", "coalesce(", out, flags=re.IGNORECASE)
+    out = re.sub(r"\bLEN\s*\(", "length(", out, flags=re.IGNORECASE)
+    # CHARINDEX(sub, s) -> instr(s, sub): swap the two arguments
+    def _charindex(m2):
+        inner = m2.group(1)
+        parts = _split_top_level_comma(inner)
+        if parts and len(parts) == 2:
+            return f"instr({parts[1]}, {parts[0]})"
+        return m2.group(0)
+    out = re.sub(r"\bCHARINDEX\s*\(([^()]*)\)", _charindex, out, flags=re.IGNORECASE)
+
+    # DATEDIFF(unit, start, end) -> Spark datediff/timestampdiff forms
+    def _datediff(m2):
+        inner = _split_top_level_comma(m2.group(1))
+        if not inner or len(inner) != 3:
+            return m2.group(0)
+        unit = _TSQL_DATEDIFF_UNITS.get(inner[0].strip().lower())
+        if unit is None:
+            return m2.group(0)
+        if unit == "day":
+            return f"datediff({inner[2]}, {inner[1]})"
+        return f"timestampdiff({unit.upper()}, {inner[1]}, {inner[2]})"
+    out = re.sub(r"\bDATEDIFF\s*\(([^()]*)\)", _datediff, out, flags=re.IGNORECASE)
+    return out
+
+
+def _split_top_level_comma(text: str):
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _rewrite_bigquery(query: str) -> str:
+    return re.sub(r"\bSAFE_DIVIDE\s*\(", "try_divide(", query, flags=re.IGNORECASE)
+
+
+def _rewrite_snowflake(query: str) -> str:
+    out = re.sub(r"\bIFF\s*\(", "if(", query, flags=re.IGNORECASE)
+    out = re.sub(r"\bSYSDATE\s*\(\s*\)", "current_timestamp()", out, flags=re.IGNORECASE)
+    return out
+
+
+def _rewrite_oracle(query: str) -> str:
+    # SYSDATE +/- n means days in Oracle date arithmetic
+    out = re.sub(r"\bSYSDATE\s*([+-])\s*(\d+(?:\.\d+)?)\b",
+                 r"current_timestamp() \1 INTERVAL \2 DAY",
+                 query, flags=re.IGNORECASE)
+    out = re.sub(r"\bSYSDATE\b", "current_timestamp()", out, flags=re.IGNORECASE)
+    return out
+
+
+_DIALECT_REWRITES = {
+    "tsql": _rewrite_tsql, "sqlserver": _rewrite_tsql, "mssql": _rewrite_tsql,
+    "bigquery": _rewrite_bigquery,
+    "snowflake": _rewrite_snowflake,
+    "oracle": _rewrite_oracle,
+}

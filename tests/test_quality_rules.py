@@ -139,3 +139,32 @@ def test_dimension_filter(spark):
     run = SparkContractEngine(spark).test(contract, tables={"transcripts": df},
                                           dimension="completeness")
     assert run.checks == []  # none of these checks default to completeness
+
+
+def test_dialect_rewrites_execute_on_spark(spark):
+    """Round-2 dialect shim constructs must both rewrite AND execute."""
+    from datacontract_cli_spark.checks.dialect import to_spark_sql
+
+    df = spark.createDataFrame(
+        [("a", 5, "2024-01-01 00:00:00", "2024-01-03 06:00:00")],
+        "name string, x int, a string, b string")
+    df.selectExpr("name", "x", "cast(a as timestamp) a",
+                  "cast(b as timestamp) b").createOrReplaceTempView("dlt")
+
+    cases = [
+        ("SELECT TOP 1 LEN(name) AS l FROM dlt WHERE ISNULL(x, 0) > 1", "tsql",
+         lambda r: r[0]["l"] == 1),
+        ("SELECT DATEDIFF(day, a, b) AS d, DATEDIFF(hh, a, b) AS h, "
+         "CHARINDEX('a', name) AS i FROM dlt", "tsql",
+         lambda r: (r[0]["d"], r[0]["h"], r[0]["i"]) == (2, 54, 1)),
+        ("SELECT SAFE_DIVIDE(x, 0) AS s, SAFE_DIVIDE(x, 5) AS t FROM dlt", "bigquery",
+         lambda r: r[0]["s"] is None and r[0]["t"] == 1.0),
+        ("SELECT IFF(x > 1, 'y', 'n') AS v FROM dlt", "snowflake",
+         lambda r: r[0]["v"] == "y"),
+        ("SELECT count(*) AS n FROM dlt WHERE a < SYSDATE - 1", "oracle",
+         lambda r: r[0]["n"] == 1),
+    ]
+    for q, dialect, check in cases:
+        rewritten = to_spark_sql(q, dialect)
+        rows = spark.sql(rewritten).collect()
+        assert check(rows), (q, rewritten, rows)
