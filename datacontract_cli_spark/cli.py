@@ -42,6 +42,14 @@ def build_parser() -> argparse.ArgumentParser:
                      choices=["odcs", "jsonschema", "sql", "avro", "spark"])
     exp.add_argument("--schema", dest="schema_name", default="all")
     exp.add_argument("--output", default=None, help="write to this path (default stdout)")
+
+    imp = sub.add_parser("import", help="derive a contract from data or a schema")
+    imp.add_argument("--format", required=True,
+                     choices=["parquet", "orc", "csv", "json", "avro", "jsonschema"])
+    imp.add_argument("--source", required=True, help="file or schema path")
+    imp.add_argument("--name", default="model", help="model name for file imports")
+    imp.add_argument("--output", default=None, help="write contract YAML here (default stdout)")
+    imp.add_argument("--master", default=None)
     return p
 
 
@@ -49,6 +57,27 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
     from datacontract_cli_spark.model.contract import load_contract
+
+    if args.command == "import":
+        from datacontract_cli_spark import export as _export
+        from datacontract_cli_spark.sources import importers
+        if args.format == "avro":
+            contract = importers.import_avro_schema(args.source)
+        elif args.format == "jsonschema":
+            contract = importers.import_jsonschema(args.source, name=args.name)
+        else:
+            import os as _os
+            from datacontract_cli_spark.session import get_spark
+            master = args.master or f"local[{_os.environ.get('SPARK_GRAFT_CPUS', '4')}]"
+            spark = get_spark("dcspark-import", master=master)
+            contract = importers.import_file(spark, args.source, args.format, args.name)
+        text = _export.to_odcs_yaml(contract)
+        if args.output:
+            with open(args.output, "w", encoding="utf-8") as f:
+                f.write(text)
+        else:
+            print(text)
+        return 0
 
     if args.command == "export":
         import json as _json
