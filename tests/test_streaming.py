@@ -62,3 +62,39 @@ def test_streaming_sessionization(spark, stream_dir):
     rows = result.collect()
     assert len(rows) == spark.read.parquet(stream_dir).select("conv_id").distinct().count()
     assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_streaming_jsonschema_validation(spark, tmp_path):
+    """The variant-expression JSON-Schema validator is stateless per row, so
+    the SAME compiled errors column runs on a stream: invalid-document
+    counts per micro-batch window."""
+    import json
+
+    from datacontract_cli_spark.operators.jsonschema import compile_errors_column
+
+    docs = [
+        {"id": "12345678", "n": 5},
+        {"id": "bad", "n": 5},          # pattern violation
+        {"id": "12345678", "n": -1},    # minimum violation
+        {"id": "12345678", "n": 2},
+    ]
+    src = tmp_path / "js"
+    src.mkdir()
+    (src / "a.txt").write_text("\n".join(json.dumps(d) for d in docs))
+
+    schema = {"type": "object", "required": ["id"],
+              "properties": {"id": {"type": "string", "pattern": "^[0-9]{8}$"},
+                             "n": {"type": "integer", "minimum": 0}}}
+    stream = spark.readStream.format("text").load(str(src))
+    errors = compile_errors_column("value", schema)
+    agg = (stream.select(errors.alias("errors"))
+           .agg(F.count(F.lit(1)).alias("rows"),
+                F.sum((F.size("errors") > 0).cast("long")).alias("invalid")))
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("js_stream").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    row = spark.table("js_stream").collect()[0]
+    assert row["rows"] == 4 and row["invalid"] == 2
