@@ -345,7 +345,8 @@ def _q_winnow_dups(spark, sf):
     oracle reproduces the exact pair set."""
     docs = _t(spark, sf, "documents")
     return (
-        dedup.winnow_shared_pairs(docs, "doc_id", k=8, window=4, min_shared=30)
+        dedup.winnow_shared_pairs(docs, "doc_id", k=8, window=4, min_shared=30,
+                                  max_doc_freq=50)
         .select("id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared"))
         .orderBy("id_a", "id_b")
     )
@@ -860,10 +861,11 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def _winnow_oracle(k: int = 8, window: int = 4, min_shared: int = 30) -> str:
+def _winnow_oracle(k: int = 8, window: int = 4, min_shared: int = 30,
+                   max_doc_freq: int = 50) -> str:
     """DuckDB SQL replicating dedup.winnow_shared_pairs exactly: char k-gram
-    md5 hashes -> per-window minima -> distinct fingerprints -> inverted-
-    index pair counts."""
+    md5 hashes -> per-window minima -> distinct fingerprints -> stop-gram
+    doc-frequency filter -> inverted-index pair counts."""
     p = dedup.MINHASH_MD5_P
     return (
         "WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) "
@@ -874,7 +876,9 @@ def _winnow_oracle(k: int = 8, window: int = 4, min_shared: int = 30) -> str:
         "f AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, "
         f"greatest(len(h) - {window - 1}, 1)), i -> list_min(h[i:i+{window - 1}]))) "
         "AS fp FROM g), "
-        "inv AS (SELECT doc_id, unnest(fp) AS fv FROM f) "
+        "inv0 AS (SELECT doc_id, unnest(fp) AS fv FROM f), "
+        "inv AS (SELECT * FROM inv0 WHERE fv IN ("
+        f"SELECT fv FROM inv0 GROUP BY fv HAVING count(*) <= {max_doc_freq})) "
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared "
         "FROM inv a JOIN inv b ON a.fv = b.fv AND a.doc_id < b.doc_id "
         f"GROUP BY 1, 2 HAVING count(*) >= {min_shared}"

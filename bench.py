@@ -35,6 +35,10 @@ BENCH_QUERIES = [
     "minhash_near_dups",
     "cosine_topk",
     "dedup_exact",
+    # round-2 additions (r01 keys above stay 1:1 comparable)
+    "winnow_dups",
+    "bpe_token_stats",
+    "simhash_near_dups",
 ]
 
 TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "1000000"))

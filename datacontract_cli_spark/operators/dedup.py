@@ -540,24 +540,33 @@ def winnow_fingerprints(col: Column, k: int = 8, window: int = 4) -> Column:
     Pure Column expression on the shared md5 hash family — one pass, no
     shuffle, reproducible by an external SQL oracle. Short docs (< k chars)
     fingerprint as the single hash of the whole normalized text."""
-    t = normalized_text(col)
-    n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: md5_hash_long(F.substring(t, i, k), 8) % F.lit(MINHASH_MD5_P),
-    )
-    # bind the gram array ONCE via a fold lambda variable: referencing the
-    # `grams` expression directly inside the window transform would inline
-    # the whole k-gram construction into every window (O(n^2) md5 calls per
-    # document after projection collapse — measured as a hang at 500 docs)
-    return F.aggregate(
-        F.array(grams),
-        F.array().cast("array<long>"),
-        lambda _acc, g: F.array_distinct(
+    # Every intermediate (normalized string, gram-hash array) is bound ONCE
+    # through a fold lambda variable. Referencing such an expression directly
+    # inside a per-element lambda re-evaluates it per element (the
+    # normalization per gram is O(n^2) chars/doc, the gram array per window
+    # O(n^2) md5 calls/doc — both measured as order-of-magnitude slowdowns).
+    def fingerprints_from_grams(g: Column) -> Column:
+        return F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(F.size(g) - F.lit(window - 1), F.lit(1))),
                 lambda i: F.array_min(F.slice(g, i, window)),
             )
+        )
+
+    def grams_of(t: Column) -> Column:
+        n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: md5_hash_long(F.substring(t, i, k), 8) % F.lit(MINHASH_MD5_P),
+        )
+
+    return F.aggregate(
+        F.array(normalized_text(col)),
+        F.array().cast("array<long>"),
+        lambda _acc, t: F.aggregate(
+            F.array(grams_of(t)),
+            F.array().cast("array<long>"),
+            lambda _acc2, g: fingerprints_from_grams(g),
         ),
     )
 
