@@ -326,6 +326,14 @@ def _q_token_stats(spark, sf):
     )
 
 
+def _q_histogram_totalprice(spark, sf):
+    """Equi-width histogram (explicit bounds so both engines compute the
+    same bucket float math)."""
+    from datacontract_cli_spark.operators.profile import histogram
+    orders = _t(spark, sf, "orders")
+    return histogram(orders, "o_totalprice", 5, lo=0.0, hi=600000.0)
+
+
 def _q_bpe_token_stats(spark, sf):
     """Token counts under the BPE-ish regex tokenizer (words / numbers /
     single symbols) — the portable-pattern analogue of a GPT-2-style
@@ -613,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pairs_exact": _q_embedding_pairs_exact,
         "bpe_token_stats": _q_bpe_token_stats,
         "winnow_dups": _q_winnow_dups,
+        "histogram_totalprice": _q_histogram_totalprice,
     }
 
 
@@ -848,6 +857,16 @@ def oracle_sql() -> dict[str, str]:
             "'[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n FROM documents)"
         ),
         "winnow_dups": _winnow_oracle(),
+        "histogram_totalprice": (
+            # same float math as Spark's width_bucket with explicit bounds:
+            # width = (hi-lo)/n, bucket = floor(v/width)+1, v==hi folds back
+            "SELECT bucket, round((bucket - 1) * 120000.0::DOUBLE, 6) AS lo, "
+            "round(bucket * 120000.0::DOUBLE, 6) AS hi, count(*) AS n FROM ("
+            "SELECT CASE WHEN o_totalprice::DOUBLE = 600000.0 THEN 5 "
+            "ELSE CAST(floor(o_totalprice::DOUBLE / 120000.0::DOUBLE) AS BIGINT) + 1 END "
+            "AS bucket FROM orders WHERE o_totalprice IS NOT NULL) "
+            "GROUP BY bucket ORDER BY bucket"
+        ),
         "minhash_near_dups": _minhash_md5_oracle(),
         "simhash_near_dups": _simhash_md5_oracle(),
         "embedding_near_dups": (

@@ -127,3 +127,37 @@ def profile_df(df: DataFrame, columns: Optional[Sequence[str]] = None,
     return spark.createDataFrame(
         rows, "column string, n_rows bigint, null_count bigint, n_distinct bigint, min_value string, max_value string"
     )
+
+
+def histogram(df: DataFrame, column: str, n_buckets: int = 10,
+              lo: Optional[float] = None, hi: Optional[float] = None) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bucket, lo, hi, n).
+
+    Two passes when bounds are not given (one scalar min/max aggregate, one
+    map-side-combinable grouped count) — at scale both are single-scan
+    partial+final aggregates; rows below/above explicit bounds land in
+    buckets 0 and n_buckets+1 (width_bucket semantics)."""
+    col = F.col(column).cast("double")
+    if lo is None or hi is None:
+        row = df.agg(F.min(col), F.max(col)).collect()[0]
+        lo = float(row[0]) if lo is None else lo
+        hi = float(row[1]) if hi is None else hi
+    if hi <= lo:
+        hi = lo + 1.0
+    width = (hi - lo) / n_buckets
+    bucket = F.width_bucket(col, F.lit(lo), F.lit(hi), F.lit(n_buckets))
+    # width_bucket puts v == hi into bucket n_buckets+1; fold it back so the
+    # max value belongs to the last bucket (histogram convention)
+    bucket = F.when(col == hi, F.lit(n_buckets)).otherwise(bucket)
+    return (
+        df.filter(col.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.round(F.lit(lo) + (F.col("bucket") - 1) * F.lit(width), 6).alias("lo"),
+            F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 6).alias("hi"),
+            "n",
+        )
+        .orderBy("bucket")
+    )
