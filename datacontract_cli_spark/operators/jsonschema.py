@@ -335,7 +335,17 @@ def _arrow_errors(df: DataFrame, json_col: str, schema: Dict[str, Any],
     def kernel(batches):
         import jsonschema
 
-        validator = jsonschema.Draft7Validator(json.loads(schema_json))
+        # reference semantics come from fastjsonschema, whose "integer" is
+        # STRICT (5.0 is not an integer); the jsonschema library's draft-07
+        # type checker accepts integral floats — redefine it so both our
+        # engines and the reference agree
+        strict_int = jsonschema.Draft7Validator.TYPE_CHECKER.redefine(
+            "integer",
+            lambda checker, inst: isinstance(inst, int) and not isinstance(inst, bool),
+        )
+        validator_cls = jsonschema.validators.extend(
+            jsonschema.Draft7Validator, type_checker=strict_int)
+        validator = validator_cls(json.loads(schema_json))
         for pdf in batches:
             errors = []
             for txt in pdf[json_col]:
