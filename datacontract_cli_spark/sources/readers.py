@@ -202,13 +202,25 @@ def _looks_like_array(path: str) -> bool:
         return False
 
 
+def decode_kafka_batch(raw: DataFrame, obj: SchemaObject) -> DataFrame:
+    """Decode a kafka-shaped frame (binary ``value`` column, as produced by
+    ``spark.read.format('kafka')``) into the contract's typed columns via
+    one ``from_json`` per row. Split out from :func:`_read_kafka` so the
+    decode semantics are testable without the connector jar (absent from
+    this image) — the jar only supplies the topic scan."""
+    from pyspark.sql import functions as F
+
+    schema = contract_schema(obj)
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("v")
+    ).select("v.*")
+
+
 def _read_kafka(spark: SparkSession, server: Server, obj: SchemaObject) -> DataFrame:
     """Batch-consume a topic to its latest offsets and decode JSON values —
     the design the reference itself used before moving decoding into Python
     (noted at datacontract/engines/ibis/connections/kafka.py:8-13).
     Requires the spark-sql-kafka package on the classpath."""
-    from pyspark.sql import functions as F
-
     topic = server.options.get("topic") or obj.table
     raw = (
         spark.read.format("kafka")
@@ -218,7 +230,4 @@ def _read_kafka(spark: SparkSession, server: Server, obj: SchemaObject) -> DataF
         .option("endingOffsets", "latest")
         .load()
     )
-    schema = contract_schema(obj)
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("v")
-    ).select("v.*")
+    return decode_kafka_batch(raw, obj)

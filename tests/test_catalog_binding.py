@@ -62,3 +62,44 @@ def test_missing_catalog_table_errors_cleanly(spark):
     assert run.result is ResultEnum.error
     assert all(c.result is ResultEnum.error for c in run.checks)
     assert any("Could not bind server" in (c.reason or "") for c in run.checks)
+
+
+def test_kafka_decode_path_without_connector(spark):
+    """The kafka binding's decode half runs on a synthetic kafka-shaped
+    frame (binary key/value/topic/partition/offset columns) — only the
+    topic scan itself needs the absent connector jar."""
+    import json
+
+    from datacontract_cli_spark.model.contract import load_contract_str
+    from datacontract_cli_spark.sources.readers import decode_kafka_batch
+
+    contract = load_contract_str("""
+id: kafka-shape
+version: 1.0.0
+schema:
+  - name: events
+    properties:
+      - name: event_id
+        logicalType: integer
+        required: true
+      - name: kind
+        logicalType: string
+""")
+    msgs = [{"event_id": 1, "kind": "a"}, {"event_id": 2, "kind": None},
+            {"event_id": None, "kind": "c"}]
+    rows = [(b"k", json.dumps(m).encode(), "events", 0, i)
+            for i, m in enumerate(msgs)]
+    raw = spark.createDataFrame(
+        rows, "key binary, value binary, topic string, partition int, offset long")
+    decoded = decode_kafka_batch(raw, contract.schema_objects[0])
+    assert decoded.columns == ["event_id", "kind"]
+    assert [r.asDict() for r in decoded.orderBy("event_id").collect()] == [
+        {"event_id": None, "kind": "c"},
+        {"event_id": 1, "kind": "a"},
+        {"event_id": 2, "kind": None},
+    ]
+    # engine runs on the decoded frame end-to-end
+    run = SparkContractEngine(spark).test(contract, tables={"events": decoded})
+    by = {c.key: c for c in run.checks}
+    assert by["events__event_id__field_required"].result is ResultEnum.failed
+    assert by["events__event_id__field_required"].diagnostics["value"] == 1
