@@ -106,9 +106,16 @@ class PartitionedValidator:
 
     # -- execution -----------------------------------------------------------
     def run(self, df: DataFrame, specs: List[CheckSpec], model: str,
-            source_path: Optional[str] = None) -> Dict[int, BucketVerdict]:
+            source_path: Optional[str] = None,
+            distinct_cols: Optional[List[str]] = None) -> Dict[int, BucketVerdict]:
         """Validate every (remaining) bucket; returns ALL bucket verdicts
-        (cached + newly computed)."""
+        (cached + newly computed).
+
+        ``distinct_cols``: per-bucket MERGEABLE HLL sketches
+        (hll_sketch_agg, Apache DataSketches) for these columns are stored
+        base64 in the manifest; fold() unions them for a global
+        approx-distinct WITHOUT rescanning — the resume-safe way to keep
+        table-wide distinct counts while validating incrementally."""
         done = self.completed_buckets(model)
         key_col = resolve_column(df, self.partition_key)
         if key_col is None:
@@ -143,6 +150,10 @@ class PartitionedValidator:
                 # bucket-local when the duplicate key includes/derives the
                 # partition key: computed as a dedicated grouped job below
                 continue
+        for c in distinct_cols or []:
+            rc = resolve_column(df, c)
+            if rc is not None:
+                exprs.append(F.hll_sketch_agg(F.col(rc)).alias(f"__hll_{c}__"))
 
         rows = work.groupBy(_BUCKET).agg(*exprs).collect()
 
@@ -169,6 +180,11 @@ class PartitionedValidator:
             row_count = int(d[_ROW_COUNT_ALIAS])
             results: Dict[str, str] = {}
             metrics: Dict[str, Any] = {"row_count": row_count}
+            for c in distinct_cols or []:
+                sk = d.get(f"__hll_{c}__")
+                if sk is not None:
+                    import base64
+                    metrics[f"hll_sketch::{c}"] = base64.b64encode(bytes(sk)).decode()
             for spec, alias in evaluators:
                 value = d[alias] if alias in d else None
                 value = int(value) if value is not None else 0
@@ -203,6 +219,8 @@ class PartitionedValidator:
         severity = {"failed": 0, "warning": 1, "passed": 2}
         for v in verdicts.values():
             for k, val in v.metrics.items():
+                if k.startswith("hll_sketch::"):
+                    continue  # binary sketches union via fold_distinct()
                 totals[k] = totals.get(k, 0) + (val or 0)
             for k, res in v.results.items():
                 cur = results.get(k)
@@ -210,3 +228,25 @@ class PartitionedValidator:
                     results[k] = res
         return {"metrics": totals, "results": results,
                 "n_buckets_validated": len(verdicts)}
+
+    @staticmethod
+    def fold_distinct(spark, verdicts: Dict[int, BucketVerdict]) -> Dict[str, int]:
+        """Global approx-distinct per sketched column by UNIONING the
+        per-bucket HLL sketches from the manifest — no table rescan. The
+        sketches are mergeable (DataSketches HLL), so resumed runs and
+        incremental buckets compose exactly like a fresh full pass."""
+        import base64
+
+        by_col: Dict[str, List[bytes]] = {}
+        for v in verdicts.values():
+            for k, val in v.metrics.items():
+                if k.startswith("hll_sketch::") and val:
+                    by_col.setdefault(k.split("::", 1)[1], []).append(
+                        base64.b64decode(val))
+        out: Dict[str, int] = {}
+        for col, sketches in by_col.items():
+            df = spark.createDataFrame([(s,) for s in sketches], "sk binary")
+            est = df.agg(
+                F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("d")).collect()[0]["d"]
+            out[col] = int(est)
+        return out

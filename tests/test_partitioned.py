@@ -104,3 +104,41 @@ def test_non_monotonic_join_matches_window(spark):
     vw = convchecks.non_monotonic_ts_count(corrupted).first()[0]
     vj = convchecks.non_monotonic_ts_count_join(corrupted).first()[0]
     assert vw == vj > 0
+
+
+def test_hll_sketches_fold_across_resume(spark, tmp_path):
+    """Per-bucket HLL sketches union to the table-wide distinct count — and
+    the union over a RESUMED run (half the buckets from the manifest, half
+    freshly computed) equals the full-pass estimate."""
+    from datacontract_cli_spark.engine.partitioned import PartitionedValidator
+    from datacontract_cli_spark.checks.spec import CheckSpec, MetricType, Op, Threshold
+
+    df = spark.range(4000).selectExpr(
+        "concat('conv-', cast(id % 800 as string)) as conv_id",
+        "cast(id % 7 as int) as turn_idx",
+        "concat('u', cast(id % 321 as string)) as user")
+    specs = [CheckSpec(key="rc", category="quality", type="row_count", name="rc",
+                       model="t", metric=MetricType.ROW_COUNT,
+                       threshold=Threshold(Op.GT, 0))]
+
+    ckpt = str(tmp_path / "ckpt")
+    pv = PartitionedValidator(spark, checkpoint_dir=ckpt, n_buckets=8)
+    # first run: only 5 buckets (simulate a crash by filtering input)
+    import pyspark.sql.functions as F
+    bucket = F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("int")
+    partial = df.filter(bucket < 5)
+    v1 = pv.run(partial, specs, "t", distinct_cols=["user"])
+    assert len(v1) == 5
+    # resume: full input, remaining buckets only get computed
+    v2 = pv.run(df, specs, "t", distinct_cols=["user"])
+    assert len(v2) == 8
+    est = PartitionedValidator.fold_distinct(spark, v2)
+    assert abs(est["user"] - 321) <= 321 * 0.05  # HLL within 5%
+    # fresh single-pass estimate matches the resumed union
+    pv2 = PartitionedValidator(spark, checkpoint_dir=str(tmp_path / "ckpt2"), n_buckets=8)
+    v_full = pv2.run(df, specs, "t", distinct_cols=["user"])
+    est_full = PartitionedValidator.fold_distinct(spark, v_full)
+    assert est == est_full
+    # numeric metrics still fold (sketches excluded from sums)
+    folded = PartitionedValidator.fold(v2)
+    assert folded["metrics"]["row_count"] == 4000
