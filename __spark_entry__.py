@@ -326,6 +326,44 @@ def _q_token_stats(spark, sf):
     )
 
 
+def _q_partitioned_validation(spark, sf):
+    """The north-rule centerpiece IN the correctness gate: per-bucket
+    verdicts over hash buckets of user_id, folded to global metrics — the
+    fold must equal plain global SQL counts (bucketing must not change any
+    metric)."""
+    from datacontract_cli_spark.checks.spec import CheckSpec, MetricType, Op, Threshold
+    from datacontract_cli_spark.engine.partitioned import PartitionedValidator
+
+    ev = _t(spark, sf, "events")
+    specs = [
+        CheckSpec(key="missing_et", category="schema", type="field_required",
+                  name="m", model="events", field="event_type",
+                  metric=MetricType.MISSING_COUNT, threshold=Threshold(Op.EQ, 0),
+                  missing_values=["error"]),
+        CheckSpec(key="invalid_val", category="schema", type="field_maximum",
+                  name="i", model="events", field="value",
+                  metric=MetricType.INVALID_COUNT, threshold=Threshold(Op.EQ, 0),
+                  valid_max=10.0),
+        # duplicate key CONTAINS the partition key, so bucket-local counts
+        # sum exactly (engine/partitioned.py module docstring)
+        CheckSpec(key="dup_event", category="schema", type="field_unique",
+                  name="d", model="events", field=None,
+                  metric=MetricType.DUPLICATE_COUNT, threshold=Threshold(Op.EQ, 0),
+                  columns=["user_id", "event_id"]),
+    ]
+    pv = PartitionedValidator(spark, checkpoint_dir=None,
+                              partition_key="user_id", n_buckets=16)
+    verdicts = pv.run(ev, specs, "events")
+    folded = PartitionedValidator.fold(verdicts)
+    m = folded["metrics"]
+    return spark.createDataFrame(
+        [(int(folded["n_buckets_validated"]), int(m["row_count"]),
+          int(m["missing_et"]), int(m["invalid_val"]), int(m["dup_event"]))],
+        "n_buckets bigint, row_count bigint, missing_et bigint, "
+        "invalid_val bigint, dup_event bigint",
+    )
+
+
 def _q_histogram_totalprice(spark, sf):
     """Equi-width histogram (explicit bounds so both engines compute the
     same bucket float math)."""
@@ -622,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "winnow_dups": _q_winnow_dups,
         "histogram_totalprice": _q_histogram_totalprice,
+        "partitioned_validation": _q_partitioned_validation,
     }
 
 
@@ -857,6 +896,16 @@ def oracle_sql() -> dict[str, str]:
             "'[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n FROM documents)"
         ),
         "winnow_dups": _winnow_oracle(),
+        "partitioned_validation": (
+            # the per-bucket fold must equal the plain global counts
+            "SELECT 16::BIGINT AS n_buckets, count(*) AS row_count, "
+            "count(*) FILTER (WHERE event_type IS NULL OR event_type = 'error') "
+            "AS missing_et, "
+            "count(*) FILTER (WHERE value > 10.0) AS invalid_val, "
+            "(SELECT count(*) FROM (SELECT user_id, event_id FROM events "
+            "GROUP BY user_id, event_id HAVING count(*) > 1)) AS dup_event "
+            "FROM events"
+        ),
         "histogram_totalprice": (
             # same float math as Spark's width_bucket with explicit bounds:
             # width = (hi-lo)/n, bucket = floor(v/width)+1, v==hi folds back
