@@ -142,3 +142,29 @@ def test_hll_sketches_fold_across_resume(spark, tmp_path):
     # numeric metrics still fold (sketches excluded from sums)
     folded = PartitionedValidator.fold(v2)
     assert folded["metrics"]["row_count"] == 4000
+
+
+def test_ordering_check_formulations_agree(spark):
+    """The skew-fragile window formulation and the skew-immune adjacency
+    join compute the same non-monotonic-turn count on dense turn indices
+    (synthesized transcripts are dense by construction; density itself is
+    checked independently by turn_density_violations)."""
+    import datetime as dt
+
+    from datacontract_cli_spark.operators import convchecks
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    for conv in range(300):
+        for turn in range(6):
+            ts = base + dt.timedelta(minutes=turn)
+            if conv % 5 == 0 and turn == 3:  # one out-of-order turn per 5th conv
+                ts = base - dt.timedelta(minutes=1)
+            rows.append((f"conv-{conv}", turn, ts))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp")
+    win = convchecks.non_monotonic_ts_count(df).collect()[0][0]
+    adj = convchecks.non_monotonic_ts_count_join(df).collect()[0][0]
+    # each seeded conv: turn 3 is earlier than turn 2 AND turn 4 is later
+    # than turn 3? turn4.ts > turn3.ts (base+4min > base-1min, monotonic) —
+    # exactly ONE violation per seeded conversation
+    assert win == adj == 60
