@@ -91,9 +91,18 @@ def _describe(q: QualityRule) -> str:
 
 
 def _evaluate(q: QualityRule, value: Any) -> Tuple[bool, str]:
-    """One constraint against one file's metadata value."""
-    def num(v):
-        return v.timestamp() if isinstance(v, dt.datetime) else v
+    """One constraint against one file's metadata value. Datetime metadata
+    compares against ISO-8601 string bounds (the YAML-native spelling);
+    both sides normalize to epoch seconds before comparing."""
+    def norm(v):
+        if isinstance(v, dt.datetime):
+            return v.timestamp()
+        if isinstance(v, str) and isinstance(value, dt.datetime):
+            parsed = dt.datetime.fromisoformat(v)
+            if parsed.tzinfo is None:
+                parsed = parsed.replace(tzinfo=dt.timezone.utc)
+            return parsed.timestamp()
+        return v
 
     if q.arguments and q.arguments.get("pattern") is not None:
         ok = re.search(q.arguments["pattern"], str(value)) is not None
@@ -101,23 +110,23 @@ def _evaluate(q: QualityRule, value: Any) -> Tuple[bool, str]:
     checks = [
         ("must_be", lambda a, b: a == b, "must be"),
         ("must_not_be", lambda a, b: a != b, "must not be"),
-        ("must_be_gt", lambda a, b: num(a) > b, "must be greater than"),
-        ("must_be_ge", lambda a, b: num(a) >= b, "must be greater or equal to"),
-        ("must_be_lt", lambda a, b: num(a) < b, "must be less than"),
-        ("must_be_le", lambda a, b: num(a) <= b, "must be less or equal to"),
+        ("must_be_gt", lambda a, b: a > b, "must be greater than"),
+        ("must_be_ge", lambda a, b: a >= b, "must be greater or equal to"),
+        ("must_be_lt", lambda a, b: a < b, "must be less than"),
+        ("must_be_le", lambda a, b: a <= b, "must be less or equal to"),
     ]
     for attr, op, word in checks:
         bound = getattr(q, attr)
         if bound is not None:
-            if not op(value, bound):
+            if not op(norm(value), norm(bound)):
                 return False, f"{value} {word} {bound}"
     if q.must_be_between is not None:
         lo, hi = q.must_be_between
-        if not (lo <= num(value) <= hi):
+        if not (norm(lo) <= norm(value) <= norm(hi)):
             return False, f"{value} must be between {lo} and {hi}"
     if q.must_not_be_between is not None:
         lo, hi = q.must_not_be_between
-        if lo <= num(value) <= hi:
+        if norm(lo) <= norm(value) <= norm(hi):
             return False, f"{value} must not be between {lo} and {hi}"
     return True, ""
 
@@ -182,13 +191,22 @@ def _check_property(run: Run, schema_name: str, prop: Property,
                         f"All {len(files)} file(s) have a value for '{prop.name}'."))
     for i, q in enumerate(prop.quality or []):
         violations = []
-        for f in files:
-            value = extractor(f)
-            if value is None:
-                continue  # required: true catches missing
-            ok, why = _evaluate(q, value)
-            if not ok:
-                violations.append((f.name, why))
+        try:
+            for f in files:
+                value = extractor(f)
+                if value is None:
+                    continue  # required: true catches missing
+                ok, why = _evaluate(q, value)
+                if not ok:
+                    violations.append((f.name, why))
+        except Exception as e:  # noqa: BLE001 — bad constraint: error, not crash
+            _append(run, key=f"{key_base}__file_quality_{i}", category="quality",
+                    type="file_property_quality",
+                    name=f"Check schema[{schema_name}].properties[{prop.name}] "
+                         f"has {_describe(q)}",
+                    model=schema_name, field=prop.name, result=ResultEnum.error,
+                    reason=f"Constraint could not be evaluated: {e}")
+            continue
         desc = _describe(q)
         details = "; ".join(f"{n}: {w}" for n, w in violations[:5])
         if len(violations) > 5:

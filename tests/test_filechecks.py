@@ -100,3 +100,37 @@ def test_blob_schema_bad_location_is_error(spark):
     run = SparkContractEngine(spark).test(contract)
     lst = run.check("exports__file_list")
     assert lst is not None and lst.result is ResultEnum.error
+
+
+def test_lastmodified_iso_bound_and_bad_constraint(spark, blob_dir):
+    contract = load_contract_str("""
+id: blob-ts
+version: 1.0.0
+schema:
+  - name: exports
+    logicalType: blob
+    properties:
+      - name: lastModified
+        logicalType: timestamp
+        quality:
+          - type: library
+            mustBeGreaterThan: "2000-01-01T00:00:00"
+          - type: library
+            mustBeLessThan: "2000-01-01T00:00:00"
+      - name: size
+        logicalType: integer
+        quality:
+          - type: library
+            mustBeGreaterThan: "not-a-number"
+servers:
+  - server: local
+    type: local
+    location: "{dir}"
+""".replace("{dir}", blob_dir))
+    run = SparkContractEngine(spark).test(contract)
+    by = {c.key: c for c in run.checks}
+    # ISO bound against real datetime metadata: files newer than 2000 pass >
+    assert by["exports__lastModified__file_quality_0"].result is ResultEnum.passed
+    assert by["exports__lastModified__file_quality_1"].result is ResultEnum.failed
+    # incomparable bound -> error, not a crash
+    assert by["exports__size__file_quality_0"].result is ResultEnum.error
