@@ -471,8 +471,16 @@ class SparkContractEngine:
         dup_alias = "__dc_dup__"
         try:
             grouped = df.groupBy(*[F.col(c) for c in resolved]).agg(*exprs)
-            finals = [refold[a](F.col(a)).alias(a) for a in refold]
-            finals.append(count_if(F.col(_ROW_COUNT_ALIAS) > 1, dup_alias))
+            # an EMPTY table leaves the final fold with NULL sums (unlike a
+            # plain count aggregate) — coalesce the count-style refolds to 0
+            finals = [
+                (F.coalesce(refold[a](F.col(a)), F.lit(0)).alias(a)
+                 if refold[a] is F.sum else refold[a](F.col(a)).alias(a))
+                for a in refold
+            ]
+            finals.append(F.coalesce(
+                F.sum(F.when(F.col(_ROW_COUNT_ALIAS) > 1, 1).otherwise(0)),
+                F.lit(0)).alias(dup_alias))
             row = grouped.agg(*finals).collect()[0].asDict()
         except Exception as e:  # noqa: BLE001
             logger.warning("merged agg+duplicates job failed (%s); "

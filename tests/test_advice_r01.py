@@ -237,3 +237,25 @@ schema:
     assert by["t__b__field_required"].result is ResultEnum.failed
     assert by["t__k__field_primary_key_unique"].result is ResultEnum.failed  # 'x' twice
     assert by["t__k__field_primary_key_unique"].diagnostics["value"] == 1
+
+
+def test_merged_path_empty_table(spark):
+    """Empty input: counts are 0, SLAs report no timestamp — not a crash
+    (the merged fold's sums are NULL over zero groups, unlike plain count)."""
+    contract = load_contract_str("""
+id: mergedempty
+version: 0.1.0
+schema:
+  - name: t
+    properties:
+      - name: k
+        logicalType: string
+        required: true
+        primaryKey: true
+""")
+    df = spark.createDataFrame([], "k string")
+    run = SparkContractEngine(spark).test(contract, tables={"t": df})
+    by = {c.key: c for c in run.checks}
+    assert by["t__k__field_primary_key_unique"].result is ResultEnum.passed
+    assert by["t__k__field_required"].result is ResultEnum.passed
+    assert by["t__k__field_required"].diagnostics["row_count"] == 0
