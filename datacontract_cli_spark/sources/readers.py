@@ -188,7 +188,10 @@ def read_json_lines_df(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     if fmt == "json" and _looks_like_array(path):
         whole = spark.read.text(path, wholetext=True)
         elems = F.try_variant_get(F.try_parse_json(F.col("value")), "$", "array<variant>")
-        return whole.select(F.explode(elems).alias("v")).select(
+        # explode_OUTER: a file that fails to parse as an array must surface
+        # as one null document (which validation flags), not silently
+        # vanish into zero rows
+        return whole.select(F.explode_outer(elems).alias("v")).select(
             F.to_json(F.col("v")).alias("value"))
     return spark.read.text(path).filter("trim(value) != ''")
 

@@ -196,3 +196,14 @@ def test_json_array_file_validation(spark, tmp_path):
     check = run.check("sts_data__json_schema")
     assert check.result is ResultEnum.failed
     assert check.diagnostics == {"row_count": 2, "invalid_count": 1}
+
+
+def test_corrupt_array_file_is_flagged_not_silent(spark, tmp_path):
+    p = tmp_path / "sts_data.json"
+    p.write_text("[ this is not json ]][")
+    yaml = CONTRACT_YAML.replace("format: jsonl", "format: json")
+    run = SparkContractEngine(spark).test(
+        load_contract_str(yaml.replace("{path}", str(p))))
+    check = run.check("sts_data__json_schema")
+    assert check.result is ResultEnum.failed
+    assert check.diagnostics["invalid_count"] >= 1
