@@ -167,6 +167,22 @@ def property_matches(expected: Property, actual: Property, path: str = "") -> Tu
             return True, None  # bare object matches any struct
         actual_children = {c.name.lower(): c for c in (actual.properties or [])}
         for child in expected.properties:
+            if child.column.startswith("^"):
+                # patternProperties: the declared name is a key REGEX —
+                # every actual key matching it must satisfy the child schema;
+                # zero matches is fine (patternProperties never requires keys)
+                import re as _re
+
+                try:
+                    rx = _re.compile(child.column)
+                except _re.error:
+                    continue
+                for name, got in actual_children.items():
+                    if rx.search(name):
+                        ok, reason = property_matches(child, got, f"{here}.{name}")
+                        if not ok:
+                            return False, reason
+                continue
             got = actual_children.get(child.column.lower())
             if got is None:
                 return False, f"field '{here}.{child.name}': missing in actual schema"

@@ -230,6 +230,24 @@ def _is_legacy_dcs(doc: Dict[str, Any]) -> bool:
     return "models" in doc and "schema" not in doc
 
 
+# DCS type spellings -> the 9 ODCS logical categories (reference
+# imports/dcs_importer.py:578-610; None = not representable in ODCS)
+_DCS_TYPE_MAP = {
+    "string": "string", "text": "string", "varchar": "string", "char": "string",
+    "integer": "integer", "int": "integer", "long": "integer", "bigint": "integer",
+    "float": "number", "double": "number", "decimal": "number",
+    "numeric": "number", "number": "number",
+    "boolean": "boolean", "bool": "boolean",
+    "timestamp": "timestamp", "timestamp_tz": "timestamp",
+    "timestamp_ntz": "timestamp", "datetime": "timestamp",
+    "date": "date",
+    "array": "array",
+    "object": "object", "record": "object", "struct": "object",
+    "time": None, "map": None, "interval": None, "bytes": None,
+    "binary": None, "null": None,
+}
+
+
 def _convert_legacy_field(name: str, f: Dict[str, Any]) -> Property:
     """Legacy DCS field → ODCS-ish Property (reference: imports/dcs_importer.py)."""
     options: Dict[str, Any] = {}
@@ -247,9 +265,12 @@ def _convert_legacy_field(name: str, f: Dict[str, Any]) -> Property:
             options[dst] = f[src]
     nested = f.get("fields")
     items = f.get("items")
+    raw_type = f.get("type")
+    logical = (_DCS_TYPE_MAP.get(raw_type.lower(), raw_type)
+               if isinstance(raw_type, str) else raw_type)
     return Property(
         name=name,
-        logical_type=f.get("type"),
+        logical_type=logical,
         physical_type=f.get("physicalType") or f.get("config", {}).get("physicalType")
         if isinstance(f.get("config"), dict)
         else f.get("physicalType"),

@@ -330,7 +330,7 @@ def _arrow_errors(df: DataFrame, json_col: str, schema: Dict[str, Any],
     import pandas as pd
 
     schema_json = json.dumps(schema)
-    out_fields = ", ".join(f"`{c}` {dict(df.dtypes)[c]}" for c in keep_cols)
+    out_fields = "".join(f"`{c}` {dict(df.dtypes)[c]}, " for c in keep_cols)
 
     def kernel(batches):
         import jsonschema
@@ -367,7 +367,7 @@ def _arrow_errors(df: DataFrame, json_col: str, schema: Dict[str, Any],
             res["errors"] = errors
             yield res
 
-    return df.mapInPandas(kernel, f"{out_fields}, errors array<string>")
+    return df.mapInPandas(kernel, f"{out_fields}errors array<string>")
 
 
 # --------------------------------------------------------------------------

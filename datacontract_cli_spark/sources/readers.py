@@ -141,11 +141,24 @@ def cast_to_contract(raw: DataFrame, obj: SchemaObject) -> DataFrame:
 
     if not obj.properties:
         return raw
+
+    def _castable(p) -> bool:
+        # patternProperties children are key REGEXES, not fixed struct
+        # fields — such columns keep their source type (row-level checks
+        # handle them via the jsonschema engine)
+        for c in p.properties or []:
+            if c.column.startswith("^") or not _castable(c):
+                return False
+        return p.items is None or _castable(p.items)
+
     lowered = {c.lower(): c for c in raw.columns}
     cols = []
     for p in obj.properties:
-        target = contract_spark_type(p)
         src = lowered.get(p.column.lower())
+        if src is not None and not _castable(p):
+            cols.append(F.col(f"`{src}`").alias(p.column))
+            continue
+        target = contract_spark_type(p)
         if src is None:
             cols.append(F.lit(None).cast(target).alias(p.column))
         else:
@@ -161,7 +174,7 @@ def _read_file(spark: SparkSession, path: str, fmt: str, obj: SchemaObject) -> D
         # columns; the contract-typed view is cast_to_contract() on top
         return spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     if fmt in ("json", "jsonl", "ndjson"):
-        multiline = fmt == "json" and _looks_like_array(path)
+        multiline = fmt == "json" and _is_multiline_json(path)
         return spark.read.option("multiLine", str(multiline).lower()).json(path)
     if fmt == "orc":
         # native Spark SQL datasource (no extra jar); same typed-scan
@@ -185,14 +198,19 @@ def read_json_lines_df(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     validation purposes)."""
     from pyspark.sql import functions as F
 
-    if fmt == "json" and _looks_like_array(path):
+    if fmt == "json" and _is_multiline_json(path):
         whole = spark.read.text(path, wholetext=True)
-        elems = F.try_variant_get(F.try_parse_json(F.col("value")), "$", "array<variant>")
-        # explode_OUTER: a file that fails to parse as an array must surface
-        # as one null document (which validation flags), not silently
-        # vanish into zero rows
-        return whole.select(F.explode_outer(elems).alias("v")).select(
-            F.to_json(F.col("v")).alias("value"))
+        if _looks_like_array(path):
+            elems = F.try_variant_get(F.try_parse_json(F.col("value")), "$",
+                                      "array<variant>")
+            # explode_OUTER: a file that fails to parse as an array must
+            # surface as one null document (which validation flags), not
+            # silently vanish into zero rows
+            return whole.select(F.explode_outer(elems).alias("v")).select(
+                F.to_json(F.col("v")).alias("value"))
+        # single pretty-printed object: one document per file
+        return whole.select(
+            F.to_json(F.try_parse_json(F.col("value"))).alias("value"))
     return spark.read.text(path).filter("trim(value) != ''")
 
 
@@ -203,6 +221,26 @@ def _looks_like_array(path: str) -> bool:
         return head.startswith(b"[")
     except OSError:
         return False
+
+
+def _is_multiline_json(path: str) -> bool:
+    """A .json file needs multiLine mode when it is a top-level array OR a
+    single pretty-printed object (the reference's local-json-complex fixture
+    shape). ndjson — one complete object per line — stays line mode,
+    detected by the first line parsing as standalone JSON."""
+    import json as _json
+
+    if _looks_like_array(path):
+        return True
+    try:
+        with open(path, "r", encoding="utf-8", errors="replace") as f:
+            first_line = f.readline().strip()
+        if not first_line:
+            return False
+        _json.loads(first_line)
+        return False  # first line is a complete document: ndjson
+    except (_json.JSONDecodeError, OSError):
+        return True
 
 
 def decode_kafka_batch(raw: DataFrame, obj: SchemaObject) -> DataFrame:
