@@ -60,3 +60,16 @@ def test_local_json_complex_fixture(spark):
     js = run.check("sts_data__json_schema")
     assert js.result is ResultEnum.passed
     assert js.diagnostics == {"row_count": 1, "invalid_count": 0}
+
+
+def test_reference_csv_fixture(spark):
+    """The reference's csv fixture (DCS 0.9.3, schema-evolution 5-column
+    variant tolerated) validates clean — matching its upstream expectation
+    (tests/test_test_csv.py)."""
+    for f in ("sample_data.csv", "sample_data_5_column.csv"):
+        c = load_contract(f"{FIXTURES}/csv/data/datacontract.yaml")
+        c.servers[0].path = f"{FIXTURES}/csv/data/{f}"
+        run = SparkContractEngine(spark).test(c)
+        assert run.result is ResultEnum.passed, (f, [
+            (ch.key, ch.result.value, ch.reason) for ch in run.checks
+            if ch.result is not ResultEnum.passed])
