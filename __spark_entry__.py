@@ -326,6 +326,33 @@ def _q_token_stats(spark, sf):
     )
 
 
+def _q_streaming_counts(spark, sf):
+    """Structured Streaming IN the gate: a bounded file stream of events
+    driven to completion; hourly event-time windows with missing/invalid
+    counts must equal the batch date_trunc aggregation (DuckDB oracle)."""
+    from datacontract_cli_spark.streaming import checks as sc
+
+    specs = [
+        _spec(key="missing_et", field="event_type",
+              metric=MetricType.MISSING_COUNT, missing_values=["error"]),
+        _spec(key="invalid_val", field="value", valid_max=10.0),
+    ]
+    out = sc.run_batch_smoke(
+        spark, f"{sf}/events.parquet",
+        # watermarks require TIMESTAMP (the table stores TIMESTAMP_NTZ)
+        lambda s: sc.streaming_check_counts(
+            s.withColumn("ts", F.col("ts").cast("timestamp")), specs,
+            ts_col="ts", window="1 hour", watermark="0 seconds"),
+        name="gate_stream_counts",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("row_count").cast("long").alias("row_count"),
+        F.col("missing_et").cast("long").alias("missing_et"),
+        F.col("invalid_val").cast("long").alias("invalid_val"),
+    ).orderBy("hour")
+
+
 def _q_partitioned_validation(spark, sf):
     """The north-rule centerpiece IN the correctness gate: per-bucket
     verdicts over hash buckets of user_id, folded to global metrics — the
@@ -661,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dups": _q_winnow_dups,
         "histogram_totalprice": _q_histogram_totalprice,
         "partitioned_validation": _q_partitioned_validation,
+        "streaming_counts": _q_streaming_counts,
     }
 
 
@@ -896,6 +924,14 @@ def oracle_sql() -> dict[str, str]:
             "'[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n FROM documents)"
         ),
         "winnow_dups": _winnow_oracle(),
+        "streaming_counts": (
+            "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, "
+            "count(*) AS row_count, "
+            "count(*) FILTER (WHERE event_type IS NULL OR event_type = 'error') "
+            "AS missing_et, "
+            "count(*) FILTER (WHERE value > 10.0) AS invalid_val "
+            "FROM events GROUP BY 1 ORDER BY 1"
+        ),
         "partitioned_validation": (
             # the per-bucket fold must equal the plain global counts
             "SELECT 16::BIGINT AS n_buckets, count(*) AS row_count, "

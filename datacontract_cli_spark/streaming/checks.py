@@ -87,13 +87,17 @@ def run_batch_smoke(spark, source_parquet: str, build_query, name: str = "stream
                     schema=None) -> DataFrame:
     """Drive a bounded parquet-backed stream through ``build_query`` to
     completion via a memory sink; returns the collected result table."""
+    import os
+
     if schema is None:
         schema = spark.read.parquet(source_parquet).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "8")
-        .parquet(source_parquet)
-    )
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", "8")
+    if os.path.isfile(source_parquet):
+        # the file stream source requires a DIRECTORY; a single-file input
+        # streams via its parent dir + a glob filter on the file name
+        reader = reader.option("pathGlobFilter", os.path.basename(source_parquet))
+        source_parquet = os.path.dirname(source_parquet)
+    stream = reader.parquet(source_parquet)
     out = build_query(stream)
     q = out.writeStream.outputMode("complete").format("memory").queryName(name).start()
     try:
