@@ -83,3 +83,70 @@ def conversation_state_stream(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas variant (the successor API)
+# ---------------------------------------------------------------------------
+
+try:  # the StatefulProcessor API landed in Spark 4.0
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class ConversationProcessor(StatefulProcessor):
+        """Same per-conversation incremental validation on the modern
+        transformWithState API: typed ValueState instead of a packed tuple,
+        explicit handle lifecycle, RocksDB-backed state store."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "conv", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            (conv_id,) = key
+            if self._state.exists():
+                n_turns, max_turn, dup_turns, ts_reg, last_ts = self._state.get()
+                seen = {max_turn}
+            else:
+                n_turns, max_turn, dup_turns, ts_reg, last_ts = 0, -1, 0, 0, float("-inf")
+                seen = set()
+            for pdf in rows:
+                pdf = pdf.sort_values("ts")
+                for turn_idx, ts in zip(pdf["turn_idx"], pdf["ts"]):
+                    ts_val = ts.timestamp() if hasattr(ts, "timestamp") else float(ts)
+                    if turn_idx in seen:
+                        dup_turns += 1
+                    seen.add(int(turn_idx))
+                    if ts_val < last_ts:
+                        ts_reg += 1
+                    last_ts = max(last_ts, ts_val)
+                    max_turn = max(max_turn, int(turn_idx))
+                    n_turns += 1
+            self._state.update((n_turns, max_turn, dup_turns, ts_reg, last_ts))
+            yield pd.DataFrame([{
+                "conv_id": conv_id, "n_turns": n_turns, "max_turn": max_turn,
+                "dup_turns": dup_turns, "ts_regressions": ts_reg,
+                "completed": False,
+            }])
+
+        def close(self) -> None:
+            pass
+
+    def conversation_state_stream_tws(stream: DataFrame) -> DataFrame:
+        """transformWithStateInPandas formulation (requires the RocksDB state
+        store provider, bundled with Spark 4, AND the python `protobuf`
+        package for the streaming runner — absent from this image, so this
+        path is exercisable only on a cluster with protobuf installed; the
+        applyInPandasWithState formulation above is the executed one)."""
+        return (
+            stream.select("conv_id", "turn_idx", "ts")
+            .groupBy("conv_id")
+            .transformWithStateInPandas(
+                statefulProcessor=ConversationProcessor(),
+                outputStructType=OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+except ImportError:  # pragma: no cover — older Spark
+    ConversationProcessor = None
+    conversation_state_stream_tws = None
