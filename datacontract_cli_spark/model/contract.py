@@ -355,21 +355,44 @@ def _convert_legacy_servicelevels(sl: Any) -> List["SLAProperty"]:
     return out
 
 
+def _dict_at(doc: Dict[str, Any], key: str) -> Dict[str, Any]:
+    v = doc.get(key)
+    if v is None:
+        return {}
+    if not isinstance(v, dict):
+        raise ValueError(f"contract element '{key}' must be a mapping, got {type(v).__name__}")
+    return v
+
+
+def _list_at(doc: Dict[str, Any], key: str) -> List[Any]:
+    v = doc.get(key)
+    if v is None:
+        return []
+    if not isinstance(v, list):
+        raise ValueError(f"contract element '{key}' must be a list, got {type(v).__name__}")
+    return [x for x in v if isinstance(x, dict)]
+
+
 def _from_legacy(doc: Dict[str, Any]) -> DataContract:
     schema_objects = []
-    for model_name, m in (doc.get("models") or {}).items():
-        props = [_convert_legacy_field(n, f) for n, f in (m.get("fields") or {}).items()]
+    for model_name, m in _dict_at(doc, "models").items():
+        if not isinstance(m, dict):
+            raise ValueError(f"model '{model_name}' must be a mapping")
+        props = [_convert_legacy_field(n, f)
+                 for n, f in _dict_at(m, "fields").items() if isinstance(f, dict)]
         schema_objects.append(
             SchemaObject(
                 name=model_name,
                 logical_type=m.get("type") or "table",
                 properties=props,
-                quality=[QualityRule.from_dict(q) for q in (m.get("quality") or [])],
+                quality=[QualityRule.from_dict(q) for q in _list_at(m, "quality")],
             )
         )
-    info = doc.get("info") or {}
+    info = _dict_at(doc, "info")
     servers = []
-    for name, s in (doc.get("servers") or {}).items():
+    for name, s in _dict_at(doc, "servers").items():
+        if not isinstance(s, dict):
+            raise ValueError(f"server '{name}' must be a mapping")
         d = dict(s)
         d["server"] = name
         servers.append(Server.from_dict(d))
@@ -385,14 +408,13 @@ def _from_legacy(doc: Dict[str, Any]) -> DataContract:
 
 
 def _from_odcs(doc: Dict[str, Any]) -> DataContract:
-    servers = doc.get("servers") or []
     return DataContract(
         id=doc.get("id"),
         version=doc.get("version"),
         name=doc.get("name"),
-        schema_objects=[SchemaObject.from_dict(s) for s in (doc.get("schema") or [])],
-        servers=[Server.from_dict(s) for s in servers],
-        sla_properties=[SLAProperty.from_dict(s) for s in (doc.get("slaProperties") or [])],
+        schema_objects=[SchemaObject.from_dict(s) for s in _list_at(doc, "schema")],
+        servers=[Server.from_dict(s) for s in _list_at(doc, "servers")],
+        sla_properties=[SLAProperty.from_dict(s) for s in _list_at(doc, "slaProperties")],
     )
 
 

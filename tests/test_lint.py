@@ -160,3 +160,47 @@ def test_cli_lint_rejects_invalid(tmp_path):
                        capture_output=True, text=True, cwd="/root/repo")
     assert r.returncode == 0
     assert r.stdout.startswith("OK:")
+
+
+def test_loader_never_crashes_on_fuzzed_documents():
+    """Shape-fuzz the loader + check compiler: arbitrary nested YAML
+    documents must either load or raise a clean ValueError/TypeError —
+    never AttributeError-style crashes (the ADVICE-1 servicelevels bug
+    class)."""
+    import yaml
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from datacontract_cli_spark.checks.compile import compile_checks
+    from datacontract_cli_spark.model.contract import load_contract_str
+
+    keys = st.sampled_from([
+        "id", "version", "schema", "models", "servers", "servicelevels",
+        "slaProperties", "info", "name", "properties", "fields", "type",
+        "logicalType", "required", "quality", "items", "logicalTypeOptions",
+        "metric", "property", "value", "unit", "element", "pattern", "enum",
+        "minimum", "physicalType", "customProperties", "threshold",
+        "dataContractSpecification", "retention", "freshness",
+        "timestampField", "period", "mustBe", "arguments"])
+    vals = st.recursive(
+        st.one_of(st.none(), st.booleans(), st.integers(-5, 5),
+                  st.sampled_from(["x", "P1Y", "25h", "table", "string",
+                                   "library", "rowCount", "1.0.0", "orders.ts"])),
+        lambda c: st.one_of(st.lists(c, max_size=3),
+                            st.dictionaries(keys, c, max_size=3)),
+        max_leaves=10)
+
+    @settings(max_examples=150, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(d=st.dictionaries(keys, vals, max_size=5))
+    def run(d):
+        try:
+            text = yaml.safe_dump(d)
+        except Exception:
+            return
+        try:
+            compile_checks(load_contract_str(text))
+        except (ValueError, TypeError):
+            pass  # clean rejection
+
+    run()
