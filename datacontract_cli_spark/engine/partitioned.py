@@ -157,6 +157,22 @@ class PartitionedValidator:
 
         rows = work.groupBy(_BUCKET).agg(*exprs).collect()
 
+        # buckets with NO rows produce no group — they are still VALIDATED
+        # (zero rows, all counts 0): record them so resume never rescans an
+        # empty bucket and n_buckets_validated always reaches n_buckets
+        seen_buckets = {r[_BUCKET] for r in rows}
+        todo = (set(range(self.n_buckets)) - set(done)) - seen_buckets
+        if todo:
+            from pyspark.sql import Row as _Row
+            field_names = [f.name for f in
+                           work.groupBy(_BUCKET).agg(*exprs).schema.fields]
+            rows = list(rows) + [
+                _Row(**{n: (b if n == _BUCKET
+                            else 0 if n == _ROW_COUNT_ALIAS else None)
+                        for n in field_names})
+                for b in sorted(todo)
+            ]
+
         # bucket-local duplicate counts (one job per distinct key tuple)
         dup_specs = [s for s in specs if s.metric is MetricType.DUPLICATE_COUNT]
         dup_values: Dict[str, Dict[int, int]] = {}

@@ -121,15 +121,20 @@ def test_hll_sketches_fold_across_resume(spark, tmp_path):
                        model="t", metric=MetricType.ROW_COUNT,
                        threshold=Threshold(Op.GT, 0))]
 
+    import json as _json
+    import os
+
     ckpt = str(tmp_path / "ckpt")
     pv = PartitionedValidator(spark, checkpoint_dir=ckpt, n_buckets=8)
-    # first run: only 5 buckets (simulate a crash by filtering input)
-    import pyspark.sql.functions as F
-    bucket = F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("int")
-    partial = df.filter(bucket < 5)
-    v1 = pv.run(partial, specs, "t", distinct_cols=["user"])
-    assert len(v1) == 5
-    # resume: full input, remaining buckets only get computed
+    # full run, then simulate a crash by deleting 3 buckets' manifest lines
+    v0 = pv.run(df, specs, "t", distinct_cols=["user"])
+    assert len(v0) == 8
+    manifest = os.path.join(ckpt, "t.manifest.jsonl")
+    kept = [l for l in open(manifest) if _json.loads(l)["bucket"] >= 3]
+    open(manifest, "w").writelines(kept)
+    pv = PartitionedValidator(spark, checkpoint_dir=ckpt, n_buckets=8)
+    assert len(pv.completed_buckets("t")) == 5
+    # resume: only the 3 missing buckets recompute
     v2 = pv.run(df, specs, "t", distinct_cols=["user"])
     assert len(v2) == 8
     est = PartitionedValidator.fold_distinct(spark, v2)
