@@ -266,3 +266,26 @@ class PartitionedValidator:
                 F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("d")).collect()[0]["d"]
             out[col] = int(est)
         return out
+
+
+def per_file_verdicts(df: DataFrame, specs: List[CheckSpec]) -> DataFrame:
+    """Per-INPUT-FILE verdicts: the same agg-able check batch grouped by the
+    hidden ``_metadata.file_path`` column of file sources — pinpoints WHICH
+    files carry violations without a second scan (at warehouse scale this is
+    the 'quarantine the bad file' primitive). One grouped aggregation,
+    map-side combinable; output one row per file with per-check violation
+    counts."""
+    exprs = [F.count(F.lit(1)).alias("row_count")]
+    for i, spec in enumerate(specs):
+        col = resolve_column(df, spec.field) if spec.field else None
+        if spec.metric is MetricType.MISSING_COUNT and col:
+            exprs.append(count_if(missing_condition(df, col, spec), spec.key))
+        elif spec.metric is MetricType.INVALID_COUNT and col:
+            cond = invalid_condition(df, col, spec)
+            if cond is not None:
+                exprs.append(count_if(cond, spec.key))
+    return (
+        df.groupBy(F.col("_metadata.file_path").alias("file"))
+        .agg(*exprs)
+        .orderBy("file")
+    )

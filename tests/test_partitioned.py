@@ -173,3 +173,37 @@ def test_ordering_check_formulations_agree(spark):
     # than turn 3? turn4.ts > turn3.ts (base+4min > base-1min, monotonic) —
     # exactly ONE violation per seeded conversation
     assert win == adj == 60
+
+
+def test_per_file_verdicts(spark, tmp_path):
+    """Per-file verdicts via _metadata.file_path: file-level counts sum to
+    the global counts and every input file gets a row."""
+    import glob
+
+    from datacontract_cli_spark.checks.spec import CheckSpec, MetricType, Op, Threshold
+    from datacontract_cli_spark.engine.partitioned import per_file_verdicts
+
+    df = spark.range(1000).selectExpr(
+        "cast(id as int) id",
+        "case when id % 100 = 7 then null else concat('u', id % 50) end as user",
+        "cast(id % 20 as double) as v")
+    out = str(tmp_path / "files")
+    df.repartition(4).write.parquet(out)
+
+    specs = [
+        CheckSpec(key="missing_user", category="schema", type="field_required",
+                  name="m", model="t", field="user",
+                  metric=MetricType.MISSING_COUNT, threshold=Threshold(Op.EQ, 0)),
+        CheckSpec(key="invalid_v", category="schema", type="field_maximum",
+                  name="i", model="t", field="v",
+                  metric=MetricType.INVALID_COUNT, threshold=Threshold(Op.EQ, 0),
+                  valid_max=15.0),
+    ]
+    read = spark.read.parquet(out)
+    verdicts = per_file_verdicts(read, specs).collect()
+    n_files = len(glob.glob(out + "/part-*.parquet"))
+    assert len(verdicts) == n_files == 4
+    assert sum(r["row_count"] for r in verdicts) == 1000
+    assert sum(r["missing_user"] for r in verdicts) == 10
+    assert sum(r["invalid_v"] for r in verdicts) == 1000 / 20 * 4  # v in {16..19}
+    assert all(r["file"].startswith("file:") for r in verdicts)
