@@ -111,9 +111,18 @@ Reproduce: `python tools/skew_bench.py {n_convs} {turns} {hot}`
     prior = open(path_md).read() if os.path.exists(path_md) else ""
     marker = "\n## Skew evidence"
     if marker in prior:
-        prior = prior.split(marker, 1)[0].rstrip() + "\n"
-    with open(path_md, "w") as f:
-        f.write(prior + section)
+        # replace ONLY this section: everything up to the marker, plus
+        # whatever sections FOLLOW it (truncating the tail would destroy
+        # the as-of / per-query / data-size sections appended later)
+        head, rest = prior.split(marker, 1)
+        nxt = rest.find("\n## ")
+        tail = rest[nxt:] if nxt != -1 else ""
+        prior = head.rstrip() + "\n" + section + tail
+        with open(path_md, "w") as f:
+            f.write(prior)
+    else:
+        with open(path_md, "w") as f:
+            f.write(prior + section)
 
 
 if __name__ == "__main__":
