@@ -416,10 +416,12 @@ def _q_winnow_dups(spark, sf):
     """Winnowing-fingerprint candidate pairs (MOSS): shared k-gram
     fingerprints via inverted-index join; md5 hash family so the DuckDB
     oracle reproduces the exact pair set."""
+    import os
     docs = _t(spark, sf, "documents")
+    family = os.environ.get("DCSPARK_WINNOW_FAMILY", "md5")
     return (
         dedup.winnow_shared_pairs(docs, "doc_id", k=8, window=4, min_shared=30,
-                                  max_doc_freq=50)
+                                  max_doc_freq=50, hash_family=family)
         .select("id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared"))
         .orderBy("id_a", "id_b")
     )
@@ -475,11 +477,13 @@ def _q_ngram_jaccard_dups(spark, sf):
 
 
 def _q_simhash_near_dups(spark, sf):
+    import os
     docs = _t(spark, sf, "documents")
     # md5 hash family: the oracle brute-forces hamming over all pairs, which
     # ALSO proves the pigeonhole word-blocking is exhaustive for hamming<=3
+    family = os.environ.get("DCSPARK_SIMHASH_FAMILY", "md5")
     return dedup.simhash_near_duplicates(
-        docs, "doc_id", max_hamming=3, hash_family="md5"
+        docs, "doc_id", max_hamming=3, hash_family=family
     ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 

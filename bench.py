@@ -76,6 +76,14 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    # The bench measures the PRODUCTION hash kernels (codegen'd xxhash64).
+    # The md5 kernels exist solely so the DuckDB oracle can reproduce the
+    # LSH pair sets bit-for-bit; they stay the default for the correctness
+    # gate (same queries() entries, no env override there).
+    os.environ.setdefault("DCSPARK_MINHASH_KERNEL", "expr")
+    os.environ.setdefault("DCSPARK_SIMHASH_FAMILY", "xxhash64")
+    os.environ.setdefault("DCSPARK_WINNOW_FAMILY", "xxhash64")
+
     import __spark_entry__ as entry_mod
     from datacontract_cli_spark.session import get_spark
 
@@ -99,6 +107,8 @@ def main() -> None:
         df = fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # queries must not leak persisted state into later measurements
+        spark.catalog.clearCache()
 
     # north-star workload: validated turns/sec over transcripts
     tpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -108,10 +118,15 @@ def main() -> None:
     run = _validate_transcripts(spark, tpath)
     timings["transcripts_validation"] = round(time.perf_counter() - t0, 3)
     # steady state (plan compile + JIT amortized — the per-round number that
-    # reflects sustained throughput on a long-running cluster)
-    t0 = time.perf_counter()
-    run = _validate_transcripts(spark, tpath)
-    validate_sec = time.perf_counter() - t0
+    # reflects sustained throughput on a long-running cluster). Median of 3
+    # warm runs: single-shot numbers in this sandbox swing 2-3x, which made
+    # the round-2 headline metric noise-dominated.
+    warm = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run = _validate_transcripts(spark, tpath)
+        warm.append(time.perf_counter() - t0)
+    validate_sec = sorted(warm)[1]
     timings["transcripts_validation_warm"] = round(validate_sec, 3)
     turns_per_sec = round(n_turns / validate_sec, 1)
 

@@ -127,38 +127,64 @@ _TSQL_DATEDIFF_UNITS = {
 }
 
 
+def _rewrite_call(query: str, name: str, transform) -> str:
+    """Rewrite every ``name(...)`` call with a paren-BALANCED argument capture
+    (a ``[^()]*`` regex silently skips any call whose arguments contain a
+    nested function call, leaving untranslated T-SQL for Spark to choke on).
+    ``transform(inner)`` returns the replacement text or None to leave the
+    call untouched."""
+    pattern = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pattern.search(query, pos)
+        if not m:
+            return query
+        open_idx = query.index("(", m.start())
+        close = _matched_paren(query, open_idx)
+        if close < 0:
+            return query
+        repl = transform(query[open_idx + 1:close])
+        if repl is None:
+            pos = close + 1
+            continue
+        query = query[:m.start()] + repl + query[close + 1:]
+        pos = m.start() + len(repl)
+
+
 def _rewrite_tsql(query: str) -> str:
     # [bracketed identifiers] -> `backticks`
     out = re.sub(r"\[([A-Za-z_][\w ]*)\]", r"`\1`", query)
-    # SELECT TOP n ... -> SELECT ... LIMIT n  (top-level only, no ORDER BY capture)
+    # SELECT TOP n ... -> SELECT ... LIMIT n. Skip only when the query
+    # already ends in a top-level LIMIT clause — NOT whenever the substring
+    # "limit" appears anywhere (e.g. a column named limit_value).
     m = re.match(r"(?is)^(\s*SELECT)\s+TOP\s+(\d+)\s+(.*)$", out)
-    if m and "limit" not in out.lower():
+    if m and not re.search(r"(?is)\bLIMIT\s+\d+\s*;?\s*$", out):
         out = f"{m.group(1)} {m.group(3).rstrip().rstrip(';')} LIMIT {m.group(2)}"
     out = re.sub(r"\bGETDATE\s*\(\s*\)", "current_timestamp()", out, flags=re.IGNORECASE)
     # 2-arg ISNULL(a, b) -> coalesce(a, b)
     out = re.sub(r"\bISNULL\s*\(", "coalesce(", out, flags=re.IGNORECASE)
     out = re.sub(r"\bLEN\s*\(", "length(", out, flags=re.IGNORECASE)
+
     # CHARINDEX(sub, s) -> instr(s, sub): swap the two arguments
-    def _charindex(m2):
-        inner = m2.group(1)
+    def _charindex(inner):
         parts = _split_top_level_comma(inner)
         if parts and len(parts) == 2:
             return f"instr({parts[1]}, {parts[0]})"
-        return m2.group(0)
-    out = re.sub(r"\bCHARINDEX\s*\(([^()]*)\)", _charindex, out, flags=re.IGNORECASE)
+        return None
+    out = _rewrite_call(out, "CHARINDEX", _charindex)
 
     # DATEDIFF(unit, start, end) -> Spark datediff/timestampdiff forms
-    def _datediff(m2):
-        inner = _split_top_level_comma(m2.group(1))
+    def _datediff(inner_text):
+        inner = _split_top_level_comma(inner_text)
         if not inner or len(inner) != 3:
-            return m2.group(0)
+            return None
         unit = _TSQL_DATEDIFF_UNITS.get(inner[0].strip().lower())
         if unit is None:
-            return m2.group(0)
+            return None
         if unit == "day":
             return f"datediff({inner[2]}, {inner[1]})"
         return f"timestampdiff({unit.upper()}, {inner[1]}, {inner[2]})"
-    out = re.sub(r"\bDATEDIFF\s*\(([^()]*)\)", _datediff, out, flags=re.IGNORECASE)
+    out = _rewrite_call(out, "DATEDIFF", _datediff)
     return out
 
 

@@ -298,6 +298,8 @@ def minhash_candidates(
     # would otherwise inline the (shingles × K hashes) expression into every
     # band column AND both sides of the self-join — recomputing it 2×17 times
     # per document. At warehouse scale this is a persisted signatures table.
+    # Scoped: unpersisted below once the (small) pair set is materialized —
+    # a leaked signature cache per call was the round-2 warm-bench regression.
     sig = sig.persist()
     sig.count()
     # one row per (doc, band); the bucket is a hash of that band's signature
@@ -346,9 +348,17 @@ def minhash_candidates(
             lambda v: v == 1,
         )
     )
-    return pairs.select(
+    out = pairs.select(
         "id_a", "id_b", (agree / F.lit(num_hashes)).alias("est_jaccard")
     )
+    # Eagerly materialize the candidate pairs (orders of magnitude smaller
+    # than the signatures), then release the signature cache. The returned
+    # frame stays persisted — callers may unpersist() when done; the
+    # ContextCleaner reclaims it on GC otherwise.
+    out = out.persist()
+    out.count()
+    sig.unpersist()
+    return out
 
 
 def minhash_near_duplicates(
@@ -522,16 +532,23 @@ def simhash_near_duplicates(
         F.filter(F.zip_with("bits_a", "bits_b", lambda x, y: (x != y).cast("int")),
                  lambda v: v == 1)
     )
-    return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
+    out = cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+    # Same scoped-persist discipline as minhash_candidates: materialize the
+    # small pair set, release the fingerprint cache (round-2 leak fix).
+    out = out.persist()
+    out.count()
+    s.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
 # winnowing fingerprints (Schleimer, Wilkerson, Aiken — MOSS, SIGMOD 2003)
 # ---------------------------------------------------------------------------
 
-def winnow_fingerprints(col: Column, k: int = 8, window: int = 4) -> Column:
+def winnow_fingerprints(col: Column, k: int = 8, window: int = 4,
+                        hash_family: str = "md5") -> Column:
     """Document fingerprint set by winnowing: hash every character k-gram of
     the normalized text, slide a window of ``window`` hashes, keep each
     window's minimum, dedupe. Guarantees any shared substring of length
@@ -553,11 +570,19 @@ def winnow_fingerprints(col: Column, k: int = 8, window: int = 4) -> Column:
             )
         )
 
+    def gram_hash(g: Column) -> Column:
+        # md5: the DuckDB-shared family (oracle-reproducible, interpreted —
+        # no codegen). xxhash64: the production family — codegen'd JVM hash,
+        # ~5x faster; same winnowing guarantees, not externally reproducible.
+        if hash_family == "xxhash64":
+            return F.xxhash64(g)
+        return md5_hash_long(g, 8) % F.lit(MINHASH_MD5_P)
+
     def grams_of(t: Column) -> Column:
         n_grams = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
         return F.transform(
             F.sequence(F.lit(1), n_grams),
-            lambda i: md5_hash_long(F.substring(t, i, k), 8) % F.lit(MINHASH_MD5_P),
+            lambda i: gram_hash(F.substring(t, i, k)),
         )
 
     return F.aggregate(
@@ -579,6 +604,7 @@ def winnow_shared_pairs(
     window: int = 4,
     min_shared: int = 2,
     max_doc_freq: Optional[int] = None,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs sharing >= min_shared winnowing fingerprints.
 
@@ -592,7 +618,7 @@ def winnow_shared_pairs(
     the join linear."""
     fp = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
-        winnow_fingerprints(F.col(text_col), k, window).alias("fp"),
+        winnow_fingerprints(F.col(text_col), k, window, hash_family).alias("fp"),
     )
     inv = fp.select("id", F.explode("fp").alias("f"))
     if max_doc_freq is not None:

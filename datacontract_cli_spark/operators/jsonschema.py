@@ -150,7 +150,11 @@ def _needs_arrow(schema: Dict[str, Any]) -> bool:
         return False
     if "patternProperties" in schema:
         return True
-    for sub in (schema.get("properties") or {}).values():
+    for key, sub in (schema.get("properties") or {}).items():
+        # variant path brackets quote with ' or "; a key containing BOTH has
+        # no expressible path — validate such schemas via the Arrow engine
+        if "'" in key and '"' in key:
+            return True
         if _needs_arrow(sub):
             return True
     items = schema.get("items")
@@ -180,11 +184,30 @@ def _type_pred(node: Column, jt: str) -> Column:
     return F.lit(True)
 
 
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _path_segment(key: str) -> str:
+    """One variant-path step. Spark's variant path grammar has no backtick
+    quoting (``$.`a.b``` silently extracts nothing) — non-identifier keys
+    must use bracket syntax ``$['a.b']`` / ``$["q't"]`` (verified live; no
+    escape sequence exists, so a key with both quote styles is routed to the
+    Arrow engine by :func:`_needs_arrow`)."""
+    if _IDENT_RE.match(key):
+        return "." + key
+    if "'" not in key:
+        return "['" + key + "']"
+    return '["' + key + '"]'
+
+
+def variant_path(path: List[str]) -> str:
+    return "$" + "".join(_path_segment(p) for p in path)
+
+
 def _node(vcol: Column, path: List[str]) -> Column:
     if not path:
         return vcol
-    jpath = "$." + ".".join(f"`{p}`" if "." in p or " " in p else p for p in path)
-    return F.try_variant_get(vcol, jpath, "variant")
+    return F.try_variant_get(vcol, variant_path(path), "variant")
 
 
 def _as_string(node: Column) -> Column:
@@ -202,6 +225,25 @@ def _present(node: Column) -> Column:
 
 def _is_json_null(node: Column) -> Column:
     return F.is_variant_null(node)
+
+
+def _enum_member_pred(node: Column, is_str: Column, sval: Column,
+                      is_num: Column, nval: Column, values: List[Any]) -> Column:
+    """TRUE iff the present value is a member of ``values`` — never SQL NULL
+    (a JSON-null value makes ``sval.isin`` NULL, which an un-coalesced ~ok
+    would silently swallow)."""
+    non_null = [v for v in values if v is not None]
+    if non_null and all(isinstance(v, str) for v in non_null):
+        ok = is_str & sval.isin(non_null)
+    elif non_null and all(isinstance(v, (int, float)) and not isinstance(v, bool)
+                          for v in non_null):
+        ok = is_num & nval.isin([float(v) for v in non_null])
+    elif non_null:  # mixed enums: compare canonical string form
+        ok = sval.isin([json.dumps(v) if not isinstance(v, str) else v
+                        for v in non_null])
+    else:
+        ok = F.lit(False)
+    return F.coalesce(ok, F.lit(False)) | (_is_json_null(node) & F.lit(None in values))
 
 
 def _keyword_errors(node: Column, schema: Dict[str, Any], label: str) -> List[Column]:
@@ -250,16 +292,18 @@ def _keyword_errors(node: Column, schema: Dict[str, Any], label: str) -> List[Co
             errs.append(F.when(present & is_num & ~ok,
                                F.lit(f"{label} must be {word} {bound}")))
 
-    if "enum" in schema:
-        values = schema["enum"]
-        if all(isinstance(v, str) for v in values):
-            ok = is_str & sval.isin(values)
-        elif all(isinstance(v, (int, float)) and not isinstance(v, bool) for v in values):
-            ok = is_num & nval.isin([float(v) for v in values])
-        else:  # mixed enums: compare canonical string form
-            ok = sval.isin([json.dumps(v) if not isinstance(v, str) else v for v in values])
-        errs.append(F.when(present & ~ok,
-                           F.lit(f"{label} must be one of {values}")))
+    for kw, values in (("enum", schema.get("enum")),
+                       ("const", [schema["const"]] if "const" in schema else None)):
+        if values is None:
+            continue
+        # JSON Schema: enum/const apply to EVERY instance value including
+        # JSON null — null passes only when null is itself a member
+        # (reference arbiter: the jsonschema lib, check_jsonschema.py:90-114)
+        ok = _enum_member_pred(node, is_str, sval, is_num, nval, values)
+        word = "one of" if kw == "enum" else "same as"
+        shown = values if kw == "enum" else values[0]
+        errs.append(F.when(_present(node) & ~ok,
+                           F.lit(f"{label} must be {word} {shown}")))
 
     # nested object keywords
     for key in schema.get("required") or []:
@@ -294,8 +338,14 @@ def _item_valid(node: Column, schema: Dict[str, Any]) -> Column:
     sval = _as_string(node)
     if "pattern" in schema:
         ok = ok & (~_type_pred(node, "string") | sval.rlike(schema["pattern"]))
-    if "enum" in schema and all(isinstance(v, str) for v in schema["enum"]):
-        ok = ok & sval.isin(schema["enum"])
+    if "enum" in schema:
+        ok = ok & _enum_member_pred(node, _type_pred(node, "string"), sval,
+                                    _type_pred(node, "number"), _as_double(node),
+                                    schema["enum"])
+    if "const" in schema:
+        ok = ok & _enum_member_pred(node, _type_pred(node, "string"), sval,
+                                    _type_pred(node, "number"), _as_double(node),
+                                    [schema["const"]])
     for key in schema.get("required") or []:
         ok = ok & _present(_node(node, [key]))
     for key, sub in (schema.get("properties") or {}).items():
@@ -314,11 +364,21 @@ def compile_errors_column(json_col: str, schema: Dict[str, Any]) -> Column:
     for key, sub in (schema.get("properties") or {}).items():
         errs.extend(_keyword_errors(_node(v, [key]), sub, f"data.{key}"))
     arr = F.filter(F.array(*errs), lambda e: e.isNotNull()) if errs else F.array().cast("array<string>")
-    return (
+    out = (
         F.when(F.col(json_col).isNull(), F.array(F.lit("data must not be null")))
         .when(v.isNull(), F.array(F.lit("data is not parseable JSON")))
-        .otherwise(arr)
     )
+    # root type: a scalar document like `5` violates {"type": "object"} even
+    # when no required/properties keyword fires (reference fastjsonschema:
+    # "data must be object")
+    root = schema.get("type")
+    if root is not None:
+        types = root if isinstance(root, list) else [root]
+        root_ok = F.lit(False)
+        for t in types:
+            root_ok = root_ok | (_type_pred(v, t) if t != "null" else _is_json_null(v))
+        out = out.when(~root_ok, F.array(F.lit(f"data must be {' or '.join(types)}")))
+    return out.otherwise(arr)
 
 
 # --------------------------------------------------------------------------
@@ -412,7 +472,8 @@ def json_schema_violations(
     if pk_col and pk_col not in df.columns:
         df = df.withColumn(
             "__dc_pk__",
-            F.try_variant_get(F.try_parse_json(F.col(json_col)), f"$.{pk_col}", "string"),
+            F.try_variant_get(F.try_parse_json(F.col(json_col)),
+                              variant_path([pk_col]), "string"),
         )
         pk_col = "__dc_pk__"
     keep = [pk_col] if pk_col else []

@@ -139,9 +139,19 @@ class IVFIndex:
         n = np.linalg.norm(x, axis=-1, keepdims=True)
         return x / np.where(n == 0, 1.0, n)
 
-    def fit(self, df: DataFrame, vec_col: str, sample: int = 10_000) -> "IVFIndex":
-        frac = min(1.0, sample / max(df.count(), 1))
-        rows = df.select(vec_col).sample(frac, seed=self.seed).collect()
+    def fit(self, df: DataFrame, vec_col: str, sample: int = 10_000,
+            sample_fraction: float = 0.5) -> "IVFIndex":
+        """Train centroids on a driver-side sample WITHOUT a full count() of
+        the table (sizing the fraction by count() means a full scan of a
+        100 TB table before training starts). A fixed-fraction sample is
+        capped at ``sample`` rows via limit() — which stops the scan early —
+        and topped up with a plain limit() when the fraction under-delivers
+        on tiny tables. At warehouse scale pass a small ``sample_fraction``
+        (e.g. 1e-4) so the sample is drawn across the whole table."""
+        sel = df.select(vec_col)
+        rows = sel.sample(sample_fraction, seed=self.seed).limit(sample).collect()
+        if len(rows) < min(sample, max(4 * self.n_cells, 64)):
+            rows = sel.limit(sample).collect()
         x = self._norm(np.asarray([r[0] for r in rows], dtype=np.float64))
         rng = np.random.default_rng(self.seed)
         cents = x[rng.choice(len(x), size=min(self.n_cells, len(x)), replace=False)]
@@ -201,6 +211,7 @@ def embedding_near_duplicates(
     seed: int = 42,
     dim: Optional[int] = None,
     num_tables: int = 4,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine ≥ threshold. LSH-blocked: only pairs
     landing in the same sign-bucket of ANY of ``num_tables`` independent
@@ -209,23 +220,27 @@ def embedding_near_duplicates(
     One table misses a near-pair whenever a vector sits close to a
     hyperplane (measured: 2/10 planted cos≈0.999 pairs missed at L=1);
     with L independent tables the miss probability decays as
-    (1 - p^nbits)^L — ~5e-6 at cos 0.999, nbits=12, L=4. The shuffle
-    carries (id, table, bucket) — L rows per vector, not L copies of the
-    vector payload."""
+    (1 - p^nbits)^L — ~5e-6 at cos 0.999, nbits=12, L=4.
+
+    Scale shape: the exploded frame carries ONLY (id, table, bucket) —
+    never the vector payload — so the banded self-join shuffles 3 scalar
+    columns × L rows per vector. Candidate pairs are deduped while still
+    payload-free, then the vectors join back by id for exact scoring:
+    with ``broadcast_candidates`` (default) those are two broadcast hash
+    joins — the 100 TB base table is scanned, never shuffled. Set it False
+    when the candidate set itself is too large to broadcast; AQE then picks
+    the join strategy."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    vec = F.col(vec_col).cast("array<double>")
     buckets = F.array(*[
-        RandomHyperplaneLSH(dim, nbits=nbits, seed=seed + t).bucket_expr(F.col("v"))
+        RandomHyperplaneLSH(dim, nbits=nbits, seed=seed + t).bucket_expr(vec)
         for t in range(num_tables)
     ])
-    assigned = base.select(
-        "id", "v", F.posexplode(buckets).alias("table", "__bucket__")
+    assigned = df.select(
+        F.col(id_col).alias("id"), F.posexplode(buckets).alias("table", "__bucket__")
     )
-    pairs = (
+    cand = (
         assigned.alias("a")
         .join(
             assigned.alias("b"),
@@ -235,13 +250,15 @@ def embedding_near_duplicates(
                 F.col("a.id") < F.col("b.id"),
             ],
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    if broadcast_candidates:
+        cand = F.broadcast(cand)
+    va = df.select(F.col(id_col).alias("id_a"), vec.alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), vec.alias("vb"))
+    pairs = (
+        cand.join(va, "id_a").join(vb, "id_b")
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
     )
     return pairs.filter(F.col("cosine_sim") >= threshold)

@@ -214,9 +214,30 @@ def read_json_lines_df(spark: SparkSession, path: str, fmt: str) -> DataFrame:
     return spark.read.text(path).filter("trim(value) != ''")
 
 
+def _probe_path(path: str) -> Optional[str]:
+    """A local file we can sniff for JSON layout: the path itself, or the
+    first .json file inside a local directory. None for remote schemes and
+    unreadable paths — callers must then default to LINE mode (ndjson), the
+    dominant layout, rather than multiLine (which silently reads only the
+    first document per file)."""
+    import glob
+    import os
+
+    if "://" in path and not path.startswith("file://"):
+        return None
+    local = path[7:] if path.startswith("file://") else path
+    if os.path.isdir(local):
+        inner = sorted(glob.glob(os.path.join(local, "*.json")))
+        return inner[0] if inner else None
+    return local if os.path.isfile(local) else None
+
+
 def _looks_like_array(path: str) -> bool:
+    probe = _probe_path(path)
+    if probe is None:
+        return False
     try:
-        with open(path, "rb") as f:
+        with open(probe, "rb") as f:
             head = f.read(64).lstrip()
         return head.startswith(b"[")
     except OSError:
@@ -227,20 +248,26 @@ def _is_multiline_json(path: str) -> bool:
     """A .json file needs multiLine mode when it is a top-level array OR a
     single pretty-printed object (the reference's local-json-complex fixture
     shape). ndjson — one complete object per line — stays line mode,
-    detected by the first line parsing as standalone JSON."""
+    detected by the first line parsing as standalone JSON. Unprobeable paths
+    (remote schemes, unreadable files) default to line mode."""
     import json as _json
 
     if _looks_like_array(path):
         return True
+    probe = _probe_path(path)
+    if probe is None:
+        return False
     try:
-        with open(path, "r", encoding="utf-8", errors="replace") as f:
+        with open(probe, "r", encoding="utf-8", errors="replace") as f:
             first_line = f.readline().strip()
         if not first_line:
             return False
         _json.loads(first_line)
         return False  # first line is a complete document: ndjson
-    except (_json.JSONDecodeError, OSError):
+    except _json.JSONDecodeError:
         return True
+    except OSError:
+        return False
 
 
 def decode_kafka_batch(raw: DataFrame, obj: SchemaObject) -> DataFrame:

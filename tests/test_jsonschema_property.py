@@ -32,7 +32,10 @@ def prop_schema(draw):
             schema["maxLength"] = draw(st.integers(3, 8))
         if draw(st.booleans()):
             schema["enum"] = draw(st.lists(st.sampled_from(
-                ["aa", "bb", "cc", "07", "x"]), min_size=1, max_size=3, unique=True))
+                ["aa", "bb", "cc", "07", "x", None]), min_size=1, max_size=3,
+                unique=True))
+        elif draw(st.booleans()):
+            schema["const"] = draw(st.sampled_from(["aa", "07", None]))
     if jt in ("integer", "number"):
         if draw(st.booleans()):
             schema["minimum"] = draw(st.integers(-5, 2))

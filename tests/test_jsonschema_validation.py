@@ -207,3 +207,99 @@ def test_corrupt_array_file_is_flagged_not_silent(spark, tmp_path):
     check = run.check("sts_data__json_schema")
     assert check.result is ResultEnum.failed
     assert check.diagnostics["invalid_count"] >= 1
+
+
+def _col_verdicts(spark, schema, docs):
+    rows = [(json.dumps(d),) for d in docs]
+    df = spark.createDataFrame(rows, "value string")
+    out = js.validate_json_rows(df, "value", schema, keep_cols=["value"],
+                                engine="column").collect()
+    by_val = {r["value"]: list(r["errors"]) for r in out}
+    return [by_val[json.dumps(d)] for d in docs]
+
+
+def test_null_rejected_by_enum_unless_member(spark):
+    """VERDICT r02 wrong answer: enum must reject JSON null unless null is a
+    member (jsonschema-lib semantics, reference check_jsonschema.py:90-114)."""
+    schema = {"type": "object", "properties": {
+        "gamma": {"type": ["string", "null"], "enum": ["aa"]},
+        "delta": {"type": ["string", "null"], "enum": ["aa", None]},
+        "num": {"type": ["integer", "null"], "enum": [1, 2]},
+    }}
+    errs = _col_verdicts(spark, schema, [
+        {"gamma": None},        # null not in enum -> invalid
+        {"gamma": "aa"},        # member -> valid
+        {"delta": None},        # null IS a member -> valid
+        {"num": None},          # null not in numeric enum -> invalid
+        {"num": 2},             # member -> valid
+        {},                     # absent key -> enum does not apply
+    ])
+    assert [len(e) > 0 for e in errs] == [True, False, False, True, False, False]
+
+
+def test_const_keyword(spark):
+    schema = {"type": "object", "properties": {
+        "k": {"type": ["string", "null"], "const": "x"}}}
+    errs = _col_verdicts(spark, schema, [{"k": "x"}, {"k": "y"}, {"k": None}, {}])
+    assert [len(e) > 0 for e in errs] == [False, True, True, False]
+
+
+def test_enum_inside_array_items_rejects_null(spark):
+    schema = {"type": "object", "properties": {
+        "arr": {"type": "array", "items": {"type": ["string", "null"],
+                                           "enum": ["a", "b"]}}}}
+    errs = _col_verdicts(spark, schema, [
+        {"arr": ["a", "b"]}, {"arr": ["a", None]}, {"arr": ["c"]}, {"arr": []},
+    ])
+    assert [len(e) > 0 for e in errs] == [False, True, True, False]
+
+
+def test_non_identifier_property_names_resolve(spark):
+    """ADVICE r02: Spark variant paths have no backtick quoting — dotted or
+    spaced keys must use bracket syntax or presence checks silently fail."""
+    schema = {"type": "object",
+              "properties": {"a.b": {"type": "integer"},
+                             "x y": {"type": "string"},
+                             "q't": {"type": "integer"}},
+              "required": ["a.b"]}
+    errs = _col_verdicts(spark, schema, [
+        {"a.b": 5, "x y": "s", "q't": 1},   # valid
+        {"a.b": "nope"},                      # type violation on dotted key
+        {"x y": "s"},                         # missing required dotted key
+    ])
+    assert errs[0] == []
+    assert any("a.b" in e for e in errs[1])
+    assert any("a.b" in e for e in errs[2])
+
+
+def test_both_quote_styles_in_key_falls_back_to_arrow(spark):
+    key = "a'b\"c"
+    schema = {"type": "object", "properties": {key: {"type": "integer"}},
+              "required": [key]}
+    assert js._needs_arrow(schema)
+    rows = [(json.dumps({key: 1}),), (json.dumps({key: "s"}),)]
+    df = spark.createDataFrame(rows, "value string")
+    out = js.validate_json_rows(df, "value", schema, keep_cols=[], engine="auto")
+    assert [len(r["errors"]) for r in out.collect()] == [0, 1]
+
+
+def test_scalar_root_document_is_invalid(spark):
+    """ADVICE r02: '5' must fail {"type": "object"} even with no required
+    keys (reference fastjsonschema: 'data must be object')."""
+    schema = {"type": "object", "properties": {"x": {"type": "integer"}}}
+    rows = [("5",), ("\"s\"",), ("[1,2]",), ("null",), ("{}",), ('{"x": 1}',)]
+    df = spark.createDataFrame(rows, "value string")
+    out = js.validate_json_rows(df, "value", schema, keep_cols=["value"],
+                                engine="column").collect()
+    bad = {r["value"]: len(r["errors"]) > 0 for r in out}
+    assert bad == {"5": True, "\"s\"": True, "[1,2]": True, "null": True,
+                   "{}": False, '{"x": 1}': False}
+
+
+def test_pk_extraction_with_non_identifier_name(spark):
+    schema = {"type": "object", "properties": {"v": {"type": "integer"}}}
+    docs = [{"order id": "A", "v": 1}, {"order id": "B", "v": "bad"}]
+    df = spark.createDataFrame([(json.dumps(d),) for d in docs], "value string")
+    n, bad, msgs = js.json_schema_violations(df, "value", schema, pk_col="order id")
+    assert (n, bad) == (2, 1)
+    assert msgs and msgs[0].startswith("#B: ")

@@ -128,3 +128,33 @@ def test_minhash_md5_affine_actually_permutes():
     assert max(a) * h + max(b) < (1 << 63)
     wrapped = sum(1 for k in range(64) if (a[k] * h + b[k]) >= p)
     assert wrapped > 32  # most permutations wrap => not monotone in h
+
+
+def test_embedding_near_dup_shuffles_carry_no_vector_payload(spark):
+    """VERDICT r02: the banded self-join must shuffle (id, table, bucket)
+    only — the vector payload joins back by id AFTER pair dedup (broadcast
+    hash joins), so no Exchange in the plan carries an array<double>."""
+    import numpy as np
+    rng = np.random.default_rng(0)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = similarity.embedding_near_duplicates(df, threshold=0.9, nbits=6, dim=8)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "array<double>" not in line, line
+    # and the join-back is broadcast (base table scanned, never shuffled)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_fit_plan_has_no_full_count(spark):
+    """VERDICT r02: IVFIndex.fit must not run a count() over the full table
+    just to size its sample fraction."""
+    import numpy as np
+    from unittest.mock import patch
+    rng = np.random.default_rng(1)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    with patch.object(type(df), "count", side_effect=AssertionError("full count in fit")):
+        idx = similarity.IVFIndex(n_cells=8, seed=42).fit(df, "embedding")
+    assert idx.centroids is not None and len(idx.centroids) == 8

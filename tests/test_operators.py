@@ -197,9 +197,11 @@ def test_orphan_count(spark):
     assert refintegrity.orphan_count(child, "k", parent, "k") == 1  # only 3; NULL skipped
 
 
-def test_winnow_guarantee(spark):
+@pytest.mark.parametrize("family", ["md5", "xxhash64"])
+def test_winnow_guarantee(spark, family):
     """Winnowing guarantee: any shared substring of length >= k + window - 1
-    yields at least one shared fingerprint; disjoint texts share none."""
+    yields at least one shared fingerprint; disjoint texts share none.
+    Holds for both the oracle (md5) and production (xxhash64) hash families."""
     from pyspark.sql import functions as F
 
     shared = "zqxjkwvyp bmfgthrdl cnslaoeiu"  # 29 chars >= 8 + 4 - 1
@@ -209,10 +211,12 @@ def test_winnow_guarantee(spark):
         (3, "totally 12345 unrelated !!! content graph"),
     ], "doc_id int, text string")
     fp = {r["doc_id"]: set(r["fp"]) for r in df.select(
-        "doc_id", dedup.winnow_fingerprints(F.col("text"), 8, 4).alias("fp")).collect()}
+        "doc_id", dedup.winnow_fingerprints(F.col("text"), 8, 4,
+                                            family).alias("fp")).collect()}
     assert fp[1] & fp[2], "shared substring must produce a shared fingerprint"
     assert not (fp[1] & fp[3])
-    pairs = dedup.winnow_shared_pairs(df, "doc_id", min_shared=1).collect()
+    pairs = dedup.winnow_shared_pairs(df, "doc_id", min_shared=1,
+                                      hash_family=family).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
 
 
