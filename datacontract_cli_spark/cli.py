@@ -45,9 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     imp = sub.add_parser("import", help="derive a contract from data or a schema")
     imp.add_argument("--format", required=True,
-                     choices=["parquet", "orc", "csv", "json", "avro", "jsonschema"])
+                     choices=["parquet", "orc", "csv", "json", "avro",
+                              "jsonschema", "sql"])
     imp.add_argument("--source", required=True, help="file or schema path")
     imp.add_argument("--name", default="model", help="model name for file imports")
+    imp.add_argument("--dialect", default=None,
+                     help="SQL dialect for --format sql (postgres, tsql, ...)")
     imp.add_argument("--output", default=None, help="write contract YAML here (default stdout)")
     imp.add_argument("--master", default=None)
     return p
@@ -65,6 +68,13 @@ def main(argv: list[str] | None = None) -> int:
             contract = importers.import_avro_schema(args.source)
         elif args.format == "jsonschema":
             contract = importers.import_jsonschema(args.source, name=args.name)
+        elif args.format == "sql":
+            from datacontract_cli_spark.sources.sql_ddl import import_sql_file
+            try:
+                contract = import_sql_file(args.source, dialect=args.dialect)
+            except (OSError, ValueError) as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
         else:
             import os as _os
             from datacontract_cli_spark.session import get_spark

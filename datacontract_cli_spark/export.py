@@ -62,7 +62,22 @@ def _property_dict(p: Property) -> Dict[str, Any]:
     if p.classification:
         d["classification"] = p.classification
     if p.options:
-        d["logicalTypeOptions"] = dict(p.options)
+        opts = dict(p.options)
+        # customProperties ride in options internally (contract.from_dict);
+        # ODCS serializes them as a top-level [{property, value}] list, with
+        # description promoted to its own field
+        custom = opts.pop("customProperties", None)
+        if isinstance(custom, dict):
+            custom = dict(custom)
+            desc = custom.pop("description", None)
+            if desc is not None:
+                d["description"] = desc
+            if custom:
+                d["customProperties"] = [
+                    {"property": k, "value": v} for k, v in custom.items()
+                ]
+        if opts:
+            d["logicalTypeOptions"] = opts
     if p.properties:
         d["properties"] = [_property_dict(c) for c in p.properties]
     if p.items is not None:
