@@ -39,7 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
     exp = sub.add_parser("export", help="export the contract to another format")
     exp.add_argument("contract")
     exp.add_argument("--format", required=True,
-                     choices=["odcs", "jsonschema", "sql", "avro", "spark"])
+                     choices=["odcs", "jsonschema", "sql", "avro", "spark",
+                              "sodacl", "dbt", "dbt-sources", "dbt-staging",
+                              "html", "markdown", "mermaid"])
+    exp.add_argument("--server", default=None,
+                     help="server name (dbt adapter resolution)")
     exp.add_argument("--schema", dest="schema_name", default="all")
     exp.add_argument("--output", default=None, help="write to this path (default stdout)")
 
@@ -105,6 +109,33 @@ def main(argv: list[str] | None = None) -> int:
             text = _export.to_sql_ddl(contract, args.schema_name)
         elif args.format == "avro":
             text = _json.dumps(_export.to_avro_schema(contract, args.schema_name), indent=2)
+        elif args.format == "sodacl":
+            from datacontract_cli_spark.export_sodacl import to_sodacl_yaml
+            text = to_sodacl_yaml(contract, args.schema_name)
+        elif args.format == "dbt":
+            from datacontract_cli_spark.export_dbt import to_dbt_models_yaml
+            text = to_dbt_models_yaml(contract, args.server)
+        elif args.format == "dbt-sources":
+            from datacontract_cli_spark.export_dbt import to_dbt_sources_yaml
+            text = to_dbt_sources_yaml(contract, args.server)
+        elif args.format == "dbt-staging":
+            from datacontract_cli_spark.export_dbt import to_dbt_staging_sql
+            name = args.schema_name
+            if name == "all":
+                if len(contract.schema_objects) != 1:
+                    print("error: dbt-staging needs --schema <model>", file=sys.stderr)
+                    return 1
+                name = contract.schema_objects[0].name
+            text = to_dbt_staging_sql(contract, name)
+        elif args.format == "html":
+            from datacontract_cli_spark.export_docs import to_html
+            text = to_html(contract)
+        elif args.format == "markdown":
+            from datacontract_cli_spark.export_docs import to_markdown
+            text = to_markdown(contract)
+        elif args.format == "mermaid":
+            from datacontract_cli_spark.export_docs import to_mermaid
+            text = to_mermaid(contract) or ""
         else:  # spark
             objs = [o for o in contract.schema_objects
                     if args.schema_name == "all" or o.name == args.schema_name]

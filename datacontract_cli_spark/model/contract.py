@@ -84,6 +84,8 @@ class Property:
     primary_key: bool = False
     primary_key_position: Optional[int] = None
     classification: Optional[str] = None
+    description: Optional[str] = None
+    tags: Optional[List[str]] = None
     # engine extension: a Spark SQL expression defining a derived column
     # (e.g. "length(text)") — materialized before checks run, so quality
     # rules (drift, ranges) can target computed metrics
@@ -121,6 +123,8 @@ class Property:
             primary_key=bool(d.get("primaryKey", False)),
             primary_key_position=d.get("primaryKeyPosition"),
             classification=d.get("classification"),
+            description=d.get("description") if isinstance(d.get("description"), str) else None,
+            tags=list(d["tags"]) if isinstance(d.get("tags"), list) else None,
             expression=d.get("expression"),
             options=options,
             properties=[Property.from_dict(c) for c in children] if children else None,
@@ -134,6 +138,8 @@ class SchemaObject:
     name: str
     physical_name: Optional[str] = None
     logical_type: str = "table"  # table | blob
+    physical_type: Optional[str] = None  # table | view | ...
+    description: Optional[str] = None
     properties: List[Property] = dc_field(default_factory=list)
     quality: List[QualityRule] = dc_field(default_factory=list)
 
@@ -147,6 +153,8 @@ class SchemaObject:
             name=d.get("name") or "",
             physical_name=d.get("physicalName"),
             logical_type=d.get("logicalType") or "table",
+            physical_type=d.get("physicalType"),
+            description=d.get("description") if isinstance(d.get("description"), str) else None,
             properties=[Property.from_dict(p) for p in (d.get("properties") or [])],
             quality=[QualityRule.from_dict(q) for q in (d.get("quality") or [])],
         )
@@ -200,6 +208,8 @@ class DataContract:
     id: Optional[str] = None
     version: Optional[str] = None
     name: Optional[str] = None
+    description: Optional[str] = None  # ODCS description.purpose or string
+    owner: Optional[str] = None  # ODCS team.name
     schema_objects: List[SchemaObject] = dc_field(default_factory=list)
     servers: List[Server] = dc_field(default_factory=list)
     sla_properties: List[SLAProperty] = dc_field(default_factory=list)
@@ -278,6 +288,8 @@ def _convert_legacy_field(name: str, f: Dict[str, Any]) -> Property:
         unique=bool(f.get("unique", False)),
         primary_key=bool(f.get("primaryKey") or f.get("primary", False)),
         classification=f.get("classification"),
+        description=f.get("description") if isinstance(f.get("description"), str) else None,
+        tags=list(f["tags"]) if isinstance(f.get("tags"), list) else None,
         options=options,
         properties=[_convert_legacy_field(n, c) for n, c in (nested or {}).items()] or None,
         items=_convert_legacy_field("items", items) if isinstance(items, dict) else None,
@@ -384,6 +396,7 @@ def _from_legacy(doc: Dict[str, Any]) -> DataContract:
             SchemaObject(
                 name=model_name,
                 logical_type=m.get("type") or "table",
+                description=m.get("description") if isinstance(m.get("description"), str) else None,
                 properties=props,
                 quality=[QualityRule.from_dict(q) for q in _list_at(m, "quality")],
             )
@@ -401,6 +414,8 @@ def _from_legacy(doc: Dict[str, Any]) -> DataContract:
         id=doc.get("id"),
         version=info.get("version"),
         name=info.get("title"),
+        description=info.get("description") if isinstance(info.get("description"), str) else None,
+        owner=info.get("owner") if isinstance(info.get("owner"), str) else None,
         schema_objects=schema_objects,
         servers=servers,
         sla_properties=slas,
@@ -408,10 +423,17 @@ def _from_legacy(doc: Dict[str, Any]) -> DataContract:
 
 
 def _from_odcs(doc: Dict[str, Any]) -> DataContract:
+    desc = doc.get("description")
+    if isinstance(desc, dict):
+        desc = desc.get("purpose")
+    team = doc.get("team")
+    owner = team.get("name") if isinstance(team, dict) else None
     return DataContract(
         id=doc.get("id"),
         version=doc.get("version"),
         name=doc.get("name"),
+        description=desc if isinstance(desc, str) else None,
+        owner=owner,
         schema_objects=[SchemaObject.from_dict(s) for s in _list_at(doc, "schema")],
         servers=[Server.from_dict(s) for s in _list_at(doc, "servers")],
         sla_properties=[SLAProperty.from_dict(s) for s in _list_at(doc, "slaProperties")],
