@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     lint = sub.add_parser("lint", help="parse + structurally check a contract")
     lint.add_argument("contract")
 
+    clog = sub.add_parser("changelog", help="diff two contract versions")
+    clog.add_argument("v1", help="the source (before) contract YAML")
+    clog.add_argument("v2", help="the target (after) contract YAML")
+
     exp = sub.add_parser("export", help="export the contract to another format")
     exp.add_argument("contract")
     exp.add_argument("--format", required=True,
@@ -145,6 +149,16 @@ def main(argv: list[str] | None = None) -> int:
                 f.write(text)
         else:
             print(text)
+        return 0
+
+    if args.command == "changelog":
+        from datacontract_cli_spark.changelog import build_changelog, render_text
+        try:
+            result = build_changelog(args.v1, args.v2)
+        except (OSError, ValueError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        print(render_text(result))
         return 0
 
     if args.command == "lint":

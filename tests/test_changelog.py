@@ -1,0 +1,120 @@
+"""Changelog tests — the reference's tests/test_changelog.py expectations
+(run against the reference's own integration fixtures) plus diff-engine
+unit cases for the normalization and rollup rules."""
+
+from datacontract_cli_spark.changelog import (
+    ChangelogType,
+    build_changelog,
+    diff_contracts,
+    normalize,
+    render_text,
+)
+
+V1 = "/root/reference/tests/fixtures/changelog/integration/changelog_integration_v1.yaml"
+V2 = "/root/reference/tests/fixtures/changelog/integration/changelog_integration_v2.yaml"
+
+
+def test_changelog_has_changes():
+    assert build_changelog(V1, V2).has_changes()
+
+
+def test_changelog_no_changes():
+    result = build_changelog(V1, V1)
+    assert not result.has_changes()
+    assert result.entries == [] and result.summary == []
+
+
+def test_changelog_entry_types():
+    types = {e.type for e in build_changelog(V1, V2).entries}
+    assert types == {ChangelogType.added, ChangelogType.removed, ChangelogType.updated}
+
+
+def test_changelog_summary_is_rolled_up():
+    result = build_changelog(V1, V2)
+    assert len(result.summary) < len(result.entries)
+
+
+def test_changelog_summary_paths_match_reference_golden():
+    paths = [e.path for e in build_changelog(V1, V2).summary]
+    # the exact summary table of the reference's golden_changelog_text.txt
+    assert paths == [
+        "schema.customers",
+        "schema.orders.properties.customer_id",
+        "schema.orders.properties.order_date",
+        "schema.orders.properties.order_id",
+        "schema.orders.properties.region",
+        "schema.orders.properties.total_amount",
+        "slaProperties.availability",
+        "version",
+    ]
+    result = build_changelog(V1, V2)
+    assert result.counts("summary") == {"added": 2, "updated": 5, "removed": 1}
+
+
+def test_changelog_entry_values():
+    changed = [e for e in build_changelog(V1, V2).entries
+               if e.path == "schema.orders.properties.order_date.logicalType"]
+    assert len(changed) == 1
+    assert changed[0].type is ChangelogType.updated
+    assert (changed[0].old_value, changed[0].new_value) == ("string", "date")
+
+
+def test_changelog_labels():
+    result = build_changelog(V1, V2)
+    assert result.v1 == V1 and result.v2 == V2
+
+
+def test_normalize_keys_lists_semantically():
+    doc = {"schema": [
+        {"name": "orders", "properties": [{"name": "id", "logicalType": "string"}]},
+        {"name": "customers", "properties": []},
+    ]}
+    n = normalize(doc)
+    assert set(n["schema"]) == {"orders", "customers"}
+    assert n["schema"]["orders"]["properties"]["id"] == {"logicalType": "string"}
+
+
+def test_insertion_mid_list_is_not_a_spurious_update():
+    v1 = {"schema": [{"name": "orders", "physicalType": "table"}]}
+    v2 = {"schema": [{"name": "customers", "physicalType": "view"},
+                     {"name": "orders", "physicalType": "table"}]}
+    result = diff_contracts(v1, v2)
+    assert [(e.path, e.type) for e in result.summary] == \
+        [("schema.customers", ChangelogType.added)]
+
+
+def test_scalar_list_items_diff_as_sets():
+    v1 = {"tags": ["pii", "core"]}
+    v2 = {"tags": ["core", "new"]}
+    result = diff_contracts(v1, v2)
+    detail = {(e.path, e.type) for e in result.entries}
+    assert detail == {("tags.pii", ChangelogType.removed),
+                      ("tags.new", ChangelogType.added)}
+    # summary rolls list items up to the list path; add+remove -> Updated
+    assert [(e.path, e.type) for e in result.summary] == \
+        [("tags", ChangelogType.updated)]
+
+
+def test_mixed_add_remove_on_same_parent_becomes_updated():
+    v1 = {"schema": [{"name": "t", "properties": [
+        {"name": "a", "logicalType": "string", "businessName": "Old"}]}]}
+    v2 = {"schema": [{"name": "t", "properties": [
+        {"name": "a", "logicalType": "string", "classification": "pii"}]}]}
+    result = diff_contracts(v1, v2)
+    assert [(e.path, e.type) for e in result.summary] == \
+        [("schema.t.properties.a", ChangelogType.updated)]
+
+
+def test_render_text_contains_tables():
+    text = render_text(build_changelog(V1, V2))
+    assert "Summary" in text and "Details" in text
+    assert "[ 2 Added ]  [ 5 Updated ]  [ 1 Removed ]" in text
+    assert "schema.customers.properties.email.classification" in text
+
+
+def test_cli_changelog(capsys):
+    from datacontract_cli_spark.cli import main
+    assert main(["changelog", V1, V2]) == 0
+    out = capsys.readouterr().out
+    assert "schema.customers" in out
+    assert main(["changelog", V1, "/nonexistent.yaml"]) == 1
