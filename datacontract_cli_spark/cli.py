@@ -12,6 +12,31 @@ import argparse
 import sys
 
 
+_INIT_TEMPLATE = """\
+apiVersion: v3.1.0
+kind: DataContract
+id: my-data-contract
+name: My Data Contract
+version: 0.0.1
+status: draft
+servers:
+  - server: local
+    type: local
+    format: parquet
+    path: ./data/{model}.parquet
+schema:
+  - name: my_table
+    logicalType: table
+    properties:
+      - name: id
+        logicalType: string
+        required: true
+        primaryKey: true
+      - name: created_at
+        logicalType: timestamp
+"""
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="datacontract-cli-spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -29,12 +54,21 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--quality-id", dest="quality_id", default=None)
     t.add_argument("--tag", default=None)
     t.add_argument("--include-failed-samples", action="store_true")
+    t.add_argument("--inline-references", action="store_true",
+                   help="resolve authoritativeDefinitions references and "
+                        "inline the fetched definitions")
     t.add_argument("--output", default=None, help="write results to this path")
     t.add_argument("--output-format", default="json", choices=["json", "junit"])
     t.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
 
     lint = sub.add_parser("lint", help="parse + structurally check a contract")
     lint.add_argument("contract")
+
+    ini = sub.add_parser("init", help="create an empty data contract")
+    ini.add_argument("location", nargs="?", default="datacontract.yaml")
+    ini.add_argument("--template", default=None,
+                     help="path of a template contract to copy")
+    ini.add_argument("--overwrite", action="store_true")
 
     clog = sub.add_parser("changelog", help="diff two contract versions")
     clog.add_argument("v1", help="the source (before) contract YAML")
@@ -151,6 +185,21 @@ def main(argv: list[str] | None = None) -> int:
             print(text)
         return 0
 
+    if args.command == "init":
+        import os as _os
+        if not args.overwrite and _os.path.exists(args.location):
+            print("File already exists, use --overwrite to overwrite")
+            return 1
+        if args.template:
+            with open(args.template, "r", encoding="utf-8") as f:
+                text = f.read()
+        else:
+            text = _INIT_TEMPLATE
+        with open(args.location, "w", encoding="utf-8") as f:
+            f.write(text)
+        print(f"data contract written to {args.location}")
+        return 0
+
     if args.command == "changelog":
         from datacontract_cli_spark.changelog import build_changelog, render_text
         try:
@@ -186,7 +235,12 @@ def main(argv: list[str] | None = None) -> int:
     from datacontract_cli_spark.output import writers
     from datacontract_cli_spark.session import get_spark
 
-    contract = load_contract(args.contract)
+    try:
+        contract = load_contract(args.contract,
+                                 inline_references=args.inline_references)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
     spark = get_spark("datacontract-test", master=args.master)
     engine = SparkContractEngine(spark, include_failed_samples=args.include_failed_samples)
     run = engine.test(

@@ -440,15 +440,18 @@ def _from_odcs(doc: Dict[str, Any]) -> DataContract:
     )
 
 
-def load_contract_str(text: str) -> DataContract:
+def load_contract_str(text: str, inline_references: bool = False) -> DataContract:
     doc = yaml.safe_load(text)
     if not isinstance(doc, dict):
         raise ValueError("contract YAML must be a mapping")
     if _is_legacy_dcs(doc):
         return _from_legacy(doc)
+    if inline_references:
+        from datacontract_cli_spark.model.definitions import inline_definitions
+        inline_definitions(doc)
     return _from_odcs(doc)
 
 
-def load_contract(path: str) -> DataContract:
+def load_contract(path: str, inline_references: bool = False) -> DataContract:
     with open(path, "r", encoding="utf-8") as f:
-        return load_contract_str(f.read())
+        return load_contract_str(f.read(), inline_references=inline_references)

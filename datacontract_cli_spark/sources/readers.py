@@ -101,6 +101,8 @@ def bind_server_with_raw(
     view split (duckdb_connection.py:100-135)."""
     if server is None:
         raise ValueError("contract has no server to bind")
+    if (server.type or "").lower() == "api":
+        server = _materialize_api_server(server)
     fmt = (server.format or "parquet").lower()
     stype = (server.type or "local").lower()
 
@@ -131,6 +133,42 @@ def bind_server_with_raw(
         else:
             raise ValueError(f"unsupported server type: {server.type}")
     return tables, raw_tables
+
+
+def _materialize_api_server(server: Server) -> Server:
+    """API (HTTP) server source: GET the response once, stage it as a local
+    JSON file, and continue as a plain local json server (reference:
+    engines/data_contract_test.py:261-288 process_api_response). An optional
+    Authorization header comes from $DATACONTRACT_API_HEADER_AUTHORIZATION.
+    Connection errors raise ValueError -> the run surfaces result 'error'."""
+    import atexit
+    import tempfile
+    from urllib.request import Request, urlopen
+
+    url = server.location or server.path
+    if not url:
+        raise ValueError("api server needs a 'location' URL")
+    headers = {}
+    auth = os.environ.get("DATACONTRACT_API_HEADER_AUTHORIZATION")
+    if auth:
+        headers["Authorization"] = auth
+    try:
+        with urlopen(Request(url, headers=headers), timeout=30) as resp:  # noqa: S310
+            status = getattr(resp, "status", 200)
+            if status >= 400:
+                raise ValueError(
+                    f"Failed to fetch API response from {url}: HTTP {status}")
+            body = resp.read()
+    except ValueError:
+        raise
+    except Exception as e:
+        raise ValueError(f"Failed to fetch API response from {url}: {e}") from e
+    tmp_dir = tempfile.TemporaryDirectory(prefix="datacontract_spark_api_")
+    atexit.register(tmp_dir.cleanup)
+    staged = os.path.join(tmp_dir.name, "api_response.json")
+    with open(staged, "wb") as f:
+        f.write(body)
+    return Server(server="api_local", type="local", format="json", path=staged)
 
 
 def cast_to_contract(raw: DataFrame, obj: SchemaObject) -> DataFrame:

@@ -58,3 +58,22 @@ def test_cli_lint(tmp_path):
     )
     assert proc.returncode == 0
     assert "OK: 1 schema object(s), 3 properties" in proc.stdout
+
+
+def test_cli_init(tmp_path, capsys, monkeypatch):
+    from datacontract_cli_spark.cli import main
+    from datacontract_cli_spark.model.lint import lint_str
+
+    target = tmp_path / "datacontract.yaml"
+    assert main(["init", str(target)]) == 0
+    assert target.exists()
+    assert lint_str(target.read_text()) == []  # template lints clean
+    # refuses overwrite without the flag
+    assert main(["init", str(target)]) == 1
+    assert main(["init", str(target), "--overwrite"]) == 0
+    # template copy
+    src = tmp_path / "tpl.yaml"
+    src.write_text("apiVersion: v3.1.0\nkind: DataContract\nid: x\nversion: 1.0.0\n")
+    out2 = tmp_path / "c2.yaml"
+    assert main(["init", str(out2), "--template", str(src)]) == 0
+    assert out2.read_text().startswith("apiVersion")
