@@ -79,7 +79,9 @@ def build_parser() -> argparse.ArgumentParser:
     exp.add_argument("--format", required=True,
                      choices=["odcs", "jsonschema", "sql", "avro", "spark",
                               "sodacl", "dbt", "dbt-sources", "dbt-staging",
-                              "html", "markdown", "mermaid"])
+                              "html", "markdown", "mermaid",
+                              "great-expectations", "pydantic", "sqlalchemy",
+                              "dbml", "protobuf", "go"])
     exp.add_argument("--server", default=None,
                      help="server name (dbt adapter resolution)")
     exp.add_argument("--schema", dest="schema_name", default="all")
@@ -88,7 +90,7 @@ def build_parser() -> argparse.ArgumentParser:
     imp = sub.add_parser("import", help="derive a contract from data or a schema")
     imp.add_argument("--format", required=True,
                      choices=["parquet", "orc", "csv", "json", "avro",
-                              "jsonschema", "sql"])
+                              "jsonschema", "sql", "dbt", "bigquery", "unity"])
     imp.add_argument("--source", required=True, help="file or schema path")
     imp.add_argument("--name", default="model", help="model name for file imports")
     imp.add_argument("--dialect", default=None,
@@ -115,6 +117,15 @@ def main(argv: list[str] | None = None) -> int:
             try:
                 contract = import_sql_file(args.source, dialect=args.dialect)
             except (OSError, ValueError) as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
+        elif args.format in ("dbt", "bigquery", "unity"):
+            loaders = {"dbt": importers.import_dbt_manifest_file,
+                       "bigquery": importers.import_bigquery_json_file,
+                       "unity": importers.import_unity_json_file}
+            try:
+                contract = loaders[args.format](args.source)
+            except (OSError, ValueError, KeyError) as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 1
         else:
@@ -174,6 +185,31 @@ def main(argv: list[str] | None = None) -> int:
         elif args.format == "mermaid":
             from datacontract_cli_spark.export_docs import to_mermaid
             text = to_mermaid(contract) or ""
+        elif args.format == "great-expectations":
+            from datacontract_cli_spark.export_code import to_great_expectations
+            name = args.schema_name
+            if name == "all":
+                if len(contract.schema_objects) != 1:
+                    print("error: great-expectations needs --schema <model>",
+                          file=sys.stderr)
+                    return 1
+                name = contract.schema_objects[0].name
+            text = to_great_expectations(contract, name)
+        elif args.format == "pydantic":
+            from datacontract_cli_spark.export_code import to_pydantic
+            text = to_pydantic(contract)
+        elif args.format == "sqlalchemy":
+            from datacontract_cli_spark.export_code import to_sqlalchemy
+            text = to_sqlalchemy(contract)
+        elif args.format == "dbml":
+            from datacontract_cli_spark.export_code import to_dbml
+            text = to_dbml(contract)
+        elif args.format == "protobuf":
+            from datacontract_cli_spark.export_code import to_protobuf
+            text = to_protobuf(contract)
+        elif args.format == "go":
+            from datacontract_cli_spark.export_code import to_go
+            text = to_go(contract)
         else:  # spark
             objs = [o for o in contract.schema_objects
                     if args.schema_name == "all" or o.name == args.schema_name]

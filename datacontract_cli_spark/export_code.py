@@ -1,0 +1,364 @@
+"""Code/schema-generator exporters: great-expectations, pydantic,
+sqlalchemy, dbml, protobuf, go.
+
+Reference behavior (one module per format under datacontract/export/):
+great_expectations_exporter.py (JSON suite: ordered-column expectation,
+per-field type/unique/length/bounds/enum expectations, engine-specific type
+names, engine=great-expectations quality rules merged), pydantic_exporter.py
+(BaseModel per schema object, Optional for non-required, nested classes for
+objects, list[T] for arrays), sqlalchemy_exporter.py (declarative Column
+per property with nullable/primary_key/comment), dbml_exporter.py (Project
++ Table blocks with pk/unique/not null/note attributes and Ref lines from
+relationships), protobuf_exporter.py (proto3 messages, repeated for arrays,
+nested messages for objects, enums from enum options), go_exporter.py
+(struct per model with json tags). Output here is behavior-matched, not
+AST/byte-matched: same information, same type decisions."""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+from datacontract_cli_spark.model.contract import DataContract, Property, SchemaObject
+
+
+def _opt(prop: Property, key: str) -> Any:
+    return (prop.options or {}).get(key)
+
+
+def _enum_of(prop: Property) -> Optional[List[Any]]:
+    from datacontract_cli_spark.export_dbt import _enum_values
+    return _enum_values(prop)
+
+
+# ---------------------------------------------------------------------------
+# great expectations
+# ---------------------------------------------------------------------------
+
+def _gx_type(prop: Property, engine: Optional[str]) -> Optional[str]:
+    declared = prop.physical_type or prop.logical_type
+    if declared is None:
+        return None
+    if engine == "spark":
+        from datacontract_cli_spark.model.contract import SchemaObject as _SO
+        from datacontract_cli_spark.sources.readers import contract_schema
+        try:
+            field = contract_schema(_SO(name="x", properties=[prop])).fields[0]
+            return type(field.dataType).__name__
+        except Exception:
+            return declared
+    if engine == "pandas":
+        pandas_map = {"string": "object", "integer": "int64", "number": "float64",
+                      "boolean": "bool", "timestamp": "datetime64[ns, UTC]",
+                      "timestamp_ntz": "datetime64[ns]", "date": "datetime64[ns]",
+                      "array": "object", "object": "object"}
+        return pandas_map.get((prop.logical_type or "").lower(), "object")
+    return declared
+
+
+def to_great_expectations(contract: DataContract, schema_name: str,
+                          suite_name: Optional[str] = None,
+                          engine: Optional[str] = None) -> str:
+    obj = contract.schema_object(schema_name)
+    if obj is None:
+        raise ValueError(f"Schema '{schema_name}' not found in data contract.")
+    expectations: List[Dict[str, Any]] = []
+    expectations.extend(_gx_quality(obj.quality))
+    expectations.append({
+        "type": "expect_table_columns_to_match_ordered_list",
+        "kwargs": {"column_list": [p.name for p in obj.properties]},
+        "meta": {},
+    })
+    for prop in obj.properties:
+        t = _gx_type(prop, engine)
+        if t is not None:
+            expectations.append({"type": "expect_column_values_to_be_of_type",
+                                 "kwargs": {"column": prop.name, "type_": t},
+                                 "meta": {}})
+        if prop.unique:
+            expectations.append({"type": "expect_column_values_to_be_unique",
+                                 "kwargs": {"column": prop.name}, "meta": {}})
+        if _opt(prop, "minLength") is not None or _opt(prop, "maxLength") is not None:
+            expectations.append({
+                "type": "expect_column_value_lengths_to_be_between",
+                "kwargs": {"column": prop.name,
+                           "min_value": _opt(prop, "minLength"),
+                           "max_value": _opt(prop, "maxLength")},
+                "meta": {}})
+        if _opt(prop, "minimum") is not None or _opt(prop, "maximum") is not None:
+            expectations.append({
+                "type": "expect_column_values_to_be_between",
+                "kwargs": {"column": prop.name,
+                           "min_value": _opt(prop, "minimum"),
+                           "max_value": _opt(prop, "maximum")},
+                "meta": {}})
+        enum = _enum_of(prop)
+        if enum:
+            expectations.append({"type": "expect_column_values_to_be_in_set",
+                                 "kwargs": {"column": prop.name, "value_set": enum},
+                                 "meta": {}})
+        expectations.extend(_gx_quality(prop.quality, prop.name))
+    name = suite_name or f"{obj.name}.{contract.version}"
+    return json.dumps({"name": name, "expectations": expectations, "meta": {}},
+                      indent=2)
+
+
+def _gx_quality(rules, field_name: Optional[str] = None) -> List[Dict[str, Any]]:
+    out = []
+    for q in rules or []:
+        if (q.engine or "").lower() in ("great-expectations", "greatexpectations") \
+                and q.implementation:
+            impl = q.implementation
+            if isinstance(impl, str):
+                try:
+                    impl = yaml.safe_load(impl)
+                except yaml.YAMLError:
+                    continue
+            if field_name is not None and isinstance(impl, dict):
+                impl["column"] = field_name
+            out.append(impl)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pydantic
+# ---------------------------------------------------------------------------
+
+_PY_TYPES = {"string": "str", "integer": "int", "number": "float",
+             "boolean": "bool", "timestamp": "datetime.datetime",
+             "timestamp_ntz": "datetime.datetime", "date": "datetime.date",
+             "time": "datetime.time", "bytes": "bytes"}
+
+
+def _camel(name: str) -> str:
+    return "".join(w.capitalize() or "_" for w in re.split(r"[^0-9a-zA-Z]+", name))
+
+
+def _py_type(prop: Property, nested: List[str], prefix: str) -> str:
+    lt = (prop.logical_type or "").lower()
+    if lt == "array":
+        inner = (_py_type(prop.items, nested, prefix)
+                 if prop.items is not None else "typing.Any")
+        return f"list[{inner}]"
+    if lt == "object":
+        cls = f"{prefix}{_camel(prop.name)}"
+        nested.append(_pydantic_class(cls, prop.properties or [], nested))
+        return cls
+    return _PY_TYPES.get(lt, "typing.Any")
+
+
+def _pydantic_class(name: str, props: List[Property], nested: List[str]) -> str:
+    lines = [f"class {name}(pydantic.BaseModel):"]
+    if not props:
+        lines.append("    pass")
+    for p in props:
+        t = _py_type(p, nested, name)
+        if not p.required:
+            t = f"typing.Optional[{t}]"
+        lines.append(f"    {p.name}: {t}")
+    return "\n".join(lines)
+
+
+def to_pydantic(contract: DataContract) -> str:
+    nested: List[str] = []
+    classes = [_pydantic_class(_camel(o.name), o.properties, nested)
+               for o in contract.schema_objects]
+    header = "import datetime\nimport typing\n\nimport pydantic\n"
+    return "\n\n\n".join([header] + nested + classes) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# sqlalchemy
+# ---------------------------------------------------------------------------
+
+_SA_TYPES = {"string": "String", "integer": "Integer", "number": "Numeric",
+             "boolean": "Boolean", "timestamp": "DateTime", "timestamp_ntz": "DateTime",
+             "date": "Date", "time": "Time", "bytes": "LargeBinary",
+             "object": "JSON", "array": "ARRAY"}
+
+
+def _sa_column(prop: Property) -> str:
+    lt = (prop.logical_type or "string").lower()
+    sa = _SA_TYPES.get(lt, "String")
+    if sa == "String":
+        sa = f"String({_opt(prop, 'maxLength')})"
+    elif sa == "ARRAY":
+        inner = _SA_TYPES.get((prop.items.logical_type or "string").lower(), "String") \
+            if prop.items is not None else "String"
+        sa = f"ARRAY({inner})"
+    args = [sa, f"nullable={not prop.required}",
+            f"comment={prop.description!r}"]
+    if prop.primary_key:
+        args.append("primary_key=True")
+    return f"    {prop.column} = Column({', '.join(args)})"
+
+
+def to_sqlalchemy(contract: DataContract, server_schema: Optional[str] = None) -> str:
+    out = ["from sqlalchemy import ARRAY, Boolean, Column, Date, DateTime, "
+           "Integer, JSON, LargeBinary, Numeric, String, Time",
+           "from sqlalchemy.orm import declarative_base", "",
+           "Base = declarative_base()", ""]
+    for obj in contract.schema_objects:
+        out.append(f"class {_camel(obj.name)}(Base):")
+        out.append(f"    __tablename__ = {obj.table!r}")
+        out.append("    __table_args__ = {'comment': %r, 'schema': %r}"
+                   % (obj.description, server_schema))
+        for p in obj.properties:
+            out.append(_sa_column(p))
+        out.append("")
+    return "\n".join(out)
+
+
+# ---------------------------------------------------------------------------
+# dbml
+# ---------------------------------------------------------------------------
+
+def _dbml_field(prop: Property) -> str:
+    attrs = []
+    if prop.primary_key:
+        attrs.append("pk")
+    if prop.unique:
+        attrs.append("unique")
+    attrs.append("not null" if prop.required else "null")
+    if prop.description:
+        attrs.append(f'note: "{prop.description}"')
+    ftype = prop.logical_type or prop.physical_type or "unknown"
+    return f"    {prop.column} {ftype} [{', '.join(attrs)}]"
+
+
+def to_dbml(contract: DataContract) -> str:
+    out = ["/*",
+           f"Generated by datacontract-cli-spark for datacontract "
+           f"{contract.name or ''} ({contract.id}) version {contract.version}",
+           "Using Logical Datacontract Types for the field types", "*/",
+           f'Project "{contract.name or contract.id}" {{']
+    if contract.description:
+        out.append(f"    note: '''{contract.description.strip()}'''")
+    out.append("}")
+    refs: List[str] = []
+    for obj in contract.schema_objects:
+        out.append("")
+        out.append(f"Table {obj.table} {{")
+        if obj.description:
+            out.append(f'    note: "{obj.description.strip()}"')
+        for p in obj.properties:
+            out.append(_dbml_field(p))
+            custom = (p.options or {}).get("customProperties") or {}
+            ref = custom.get("references")
+            if ref and "." in str(ref):
+                refs.append(f"Ref: {obj.table}.{p.column} > {ref}")
+        out.append("}")
+    out.extend(refs)
+    return "\n".join(out) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# protobuf
+# ---------------------------------------------------------------------------
+
+_PROTO_TYPES = {"string": "string", "integer": "int64", "number": "double",
+                "boolean": "bool", "timestamp": "string", "date": "string",
+                "time": "string", "bytes": "bytes"}
+
+
+def _proto_field_type(prop: Property, nested: List[str], indent: str) -> str:
+    lt = (prop.logical_type or "string").lower()
+    if lt == "object":
+        name = _camel(prop.name)
+        nested.append(_proto_message(name, prop.properties or [], indent))
+        return name
+    return _PROTO_TYPES.get(lt, "string")
+
+
+def _proto_message(name: str, props: List[Property], indent: str = "") -> str:
+    nested: List[str] = []
+    fields = []
+    n = 1
+    for p in props:
+        lt = (p.logical_type or "string").lower()
+        if lt == "array":
+            inner = (p.items if p.items is not None
+                     else Property(name=p.name, logical_type="string"))
+            t = _proto_field_type(Property(name=p.name,
+                                           logical_type=inner.logical_type,
+                                           properties=inner.properties),
+                                  nested, indent + "  ")
+            fields.append(f"{indent}  repeated {t} {p.name} = {n};")
+        else:
+            t = _proto_field_type(p, nested, indent + "  ")
+            mod = "" if p.required else "optional "
+            if lt == "object":
+                mod = ""
+            fields.append(f"{indent}  {mod}{t} {p.name} = {n};")
+        n += 1
+    body = "\n\n".join(nested + ["\n".join(fields)]) if nested else "\n".join(fields)
+    return f"{indent}message {name} {{\n{body}\n{indent}}}"
+
+
+def to_protobuf(contract: DataContract, package: str = "example") -> str:
+    out = ['syntax = "proto3";', "", f"package {package};", ""]
+    enums: List[str] = []
+    for obj in contract.schema_objects:
+        for p in obj.properties:
+            enum = _enum_of(p)
+            if enum and all(isinstance(v, str) for v in enum):
+                ename = _camel(p.name)
+                lines = [f"enum {ename} {{", f"  {ename.upper()}_UNKNOWN = 0;"]
+                for i, v in enumerate(enum, start=1):
+                    const = re.sub(r"[^0-9A-Z]+", "_", v.upper())
+                    lines.append(f"  {ename.upper()}_{const} = {i};")
+                lines.append("}")
+                enums.append("\n".join(lines))
+    out.extend(e + "\n" for e in enums)
+    for obj in contract.schema_objects:
+        if obj.description:
+            out.append(f"// {obj.description.strip()}")
+        out.append(_proto_message(_camel(obj.name), obj.properties))
+        out.append("")
+    return "\n".join(out)
+
+
+# ---------------------------------------------------------------------------
+# go
+# ---------------------------------------------------------------------------
+
+_GO_TYPES = {"string": "string", "integer": "int64", "number": "float64",
+             "boolean": "bool", "timestamp": "time.Time", "date": "time.Time",
+             "bytes": "[]byte"}
+
+
+def _go_type(prop: Property, nested: List[str]) -> str:
+    lt = (prop.logical_type or "string").lower()
+    if lt == "array":
+        inner = _go_type(prop.items, nested) if prop.items is not None else "interface{}"
+        return "[]" + inner
+    if lt == "object":
+        name = _camel(prop.name)
+        nested.append(_go_struct(name, prop.properties or []))
+        return name
+    return _GO_TYPES.get(lt, "interface{}")
+
+
+def _go_struct(name: str, props: List[Property]) -> str:
+    nested: List[str] = []
+    lines = [f"type {name} struct {{"]
+    for p in props:
+        t = _go_type(p, nested)
+        if not p.required and not t.startswith("[]"):
+            t = "*" + t
+        lines.append(f"    {_camel(p.name)} {t} `json:\"{p.name}\"`")
+    lines.append("}")
+    return "\n\n".join(nested + ["\n".join(lines)])
+
+
+def to_go(contract: DataContract) -> str:
+    bodies = [_go_struct(_camel(o.name), o.properties)
+              for o in contract.schema_objects]
+    needs_time = "time.Time" in "\n".join(bodies)
+    header = "package main\n"
+    if needs_time:
+        header += "\nimport \"time\"\n"
+    return header + "\n" + "\n\n".join(bodies) + "\n"

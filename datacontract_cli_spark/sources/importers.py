@@ -168,3 +168,301 @@ def import_jsonschema(schema: Any, name: str = "model",
         schema_objects=[SchemaObject(name=schema.get("title") or name,
                                      properties=props)],
     )
+
+
+# ---------------------------------------------------------------------------
+# dbt manifest -> contract (reference imports/dbt_importer.py)
+# ---------------------------------------------------------------------------
+
+_DBT_TYPE_MAP = {
+    "string": "string", "varchar": "string", "text": "string", "char": "string",
+    "int": "integer", "integer": "integer", "bigint": "integer",
+    "smallint": "integer",
+    "float": "number", "double": "number", "decimal": "number",
+    "numeric": "number",
+    "boolean": "boolean", "bool": "boolean",
+    # the reference maps datetime/timestamp to "date" for non-bigquery
+    # adapters (dbt_importer.py:287-291) — kept for parity
+    "date": "date", "datetime": "date", "timestamp": "date",
+    "time": "string",
+    "array": "array", "object": "object", "struct": "object", "json": "object",
+}
+
+_BQ_TYPE_MAP = {
+    "STRING": "string", "BYTES": "array", "INTEGER": "integer",
+    "INT64": "integer", "FLOAT": "number", "FLOAT64": "number",
+    "BOOLEAN": "boolean", "BOOL": "boolean", "TIMESTAMP": "timestamp",
+    "DATE": "date", "TIME": "time", "DATETIME": "timestamp",
+    "NUMERIC": "number", "BIGNUMERIC": "number", "GEOGRAPHY": "object",
+    "JSON": "object", "INTERVAL": "string",
+}
+
+
+def _dbt_logical_type(data_type: Optional[str], adapter_type: Optional[str]) -> str:
+    if not data_type:
+        return "string"
+    if adapter_type == "bigquery":
+        mapped = _BQ_TYPE_MAP.get(data_type.upper())
+        if mapped is None:
+            raise ValueError(f"Unsupported type {data_type} in bigquery definition.")
+        return mapped
+    lowered = data_type.lower()
+    for key, value in _DBT_TYPE_MAP.items():
+        if lowered.startswith(key):
+            return value
+    return "string"
+
+
+def _dbt_attached_tests(manifest: Dict[str, Any], model_uid: str):
+    """Generic test nodes attached to a model, skipping conditional (where)
+    tests (reference _iter_attached_tests)."""
+    nodes = manifest.get("nodes") or {}
+    for child_id in (manifest.get("child_map") or {}).get(model_uid, []):
+        child = nodes.get(child_id)
+        if not child or child.get("resource_type") != "test":
+            continue
+        if child.get("test_metadata") is None:
+            continue
+        if (child.get("config") or {}).get("where") is not None:
+            continue
+        yield child
+
+
+def _dbt_primary_keys(manifest: Dict[str, Any], node: Dict[str, Any]) -> list:
+    """dbt ModelNode.infer_primary_key precedence: model constraint > column
+    constraint > unique+not_null tests > enabled unique > disabled unique."""
+    if node.get("resource_type") != "model":
+        return []
+    for c in node.get("constraints") or []:
+        if c.get("type") == "primary_key" and c.get("columns"):
+            return list(c["columns"])
+    for col_name, col in (node.get("columns") or {}).items():
+        if any(c.get("type") == "primary_key" for c in col.get("constraints") or []):
+            return [col_name]
+    enabled, disabled, not_null = set(), set(), set()
+    for t in _dbt_attached_tests(manifest, node["unique_id"]):
+        meta = t.get("test_metadata") or {}
+        kwargs = meta.get("kwargs") or {}
+        cols = ([kwargs["column_name"]] if isinstance(kwargs.get("column_name"), str)
+                else [c for c in kwargs.get("combination_of_columns") or []
+                      if isinstance(c, str)])
+        if not cols:
+            continue
+        if meta.get("name") in ("unique", "unique_combination_of_columns"):
+            target = enabled if (t.get("config") or {}).get("enabled", True) else disabled
+            target.update(cols)
+        elif meta.get("name") == "not_null":
+            not_null.update(cols)
+    both = [c for c in not_null if c in enabled or c in disabled]
+    if both:
+        return both
+    return list(enabled) or list(disabled)
+
+
+def import_dbt_manifest(manifest: Dict[str, Any],
+                        dbt_nodes: Optional[list] = None,
+                        resource_types: Optional[list] = None) -> DataContract:
+    """dbt manifest.json -> contract: one schema object per model node with
+    column types (adapter-aware), required/unique from tests AND constraints,
+    inferred primary keys, descriptions and tags."""
+    resource_types = resource_types or ["model"]
+    metadata = manifest.get("metadata") or {}
+    project = metadata.get("project_name")
+    adapter = metadata.get("adapter_type")
+    objects = []
+    for node in (manifest.get("nodes") or {}).values():
+        if node.get("resource_type") not in resource_types:
+            continue
+        if dbt_nodes and node.get("name") not in dbt_nodes:
+            continue
+        uid = node["unique_id"]
+        pks = _dbt_primary_keys(manifest, node)
+        single_pk = pks[0] if len(pks) == 1 else None
+        # foreign keys from relationships tests -> customProperties.references
+        references: Dict[str, str] = {}
+        all_nodes = manifest.get("nodes") or {}
+        for t in _dbt_attached_tests(manifest, uid):
+            meta = t.get("test_metadata") or {}
+            if meta.get("name") != "relationships" or t.get("attached_node") != uid:
+                continue
+            targets = [n for n in (t.get("depends_on") or {}).get("nodes") or []
+                       if n != uid]
+            target = all_nodes.get(targets[0]) if targets else None
+            col, fld = t.get("column_name"), (meta.get("kwargs") or {}).get("field")
+            if target and col and fld:
+                references[col] = f"{target['name']}.{fld}"
+        tests_by_col: Dict[str, set] = {}
+        for t in _dbt_attached_tests(manifest, uid):
+            col = t.get("column_name")
+            if col:
+                tests_by_col.setdefault(col, set()).add(
+                    (t.get("test_metadata") or {}).get("name"))
+        props = []
+        for col in (node.get("columns") or {}).values():
+            name = col.get("name")
+            constraints = {c.get("type") for c in col.get("constraints") or []}
+            tests = tests_by_col.get(name, set())
+            options = ({"customProperties": {"references": references[name]}}
+                       if name in references else {})
+            props.append(Property(
+                name=name,
+                logical_type=_dbt_logical_type(col.get("data_type"), adapter),
+                physical_type=col.get("data_type"),
+                description=col.get("description") or None,
+                required="not_null" in constraints | tests,
+                unique="unique" in constraints | tests,
+                primary_key=name == single_pk,
+                primary_key_position=1 if name == single_pk else None,
+                options=options,
+            ))
+        obj = SchemaObject(
+            name=node.get("name"),
+            physical_name=node.get("name"),
+            physical_type=(node.get("config") or {}).get("materialized"),
+            description=node.get("description") or None,
+            properties=props,
+        )
+        objects.append(obj)
+    return DataContract(
+        id=(project.lower().replace(" ", "-") if project else "my-data-contract"),
+        name=project,
+        version="1.0.0",
+        schema_objects=objects,
+    )
+
+
+def import_dbt_manifest_file(path: str, **kwargs) -> DataContract:
+    with open(path, "r", encoding="utf-8") as f:
+        return import_dbt_manifest(json.load(f), **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# BigQuery table JSON -> contract (reference imports/bigquery_importer.py)
+# ---------------------------------------------------------------------------
+
+def _bq_property(field: Dict[str, Any]) -> Property:
+    name = field.get("name")
+    required = field.get("mode") == "REQUIRED"
+    repeated = field.get("mode") == "REPEATED"
+    ftype = field.get("type")
+    description = field.get("description")
+    if ftype in ("RECORD", "STRUCT"):
+        nested = [_bq_property(f) for f in field.get("fields", [])]
+        if repeated:
+            return Property(name=name, logical_type="array", description=description,
+                            items=Property(name="items", logical_type="object",
+                                           physical_type=ftype, properties=nested))
+        return Property(name=name, logical_type="object", physical_type=ftype,
+                        description=description, required=required,
+                        properties=nested)
+    if ftype == "RANGE":
+        # range of date/datetime/timestamp — multiple values, maps to array
+        elem = field.get("rangeElementType", {}).get("type", "STRING")
+        return Property(name=name, logical_type="array", physical_type="RANGE",
+                        description=description, required=required,
+                        items=Property(name="items",
+                                       logical_type=_BQ_TYPE_MAP.get(elem, "string"),
+                                       physical_type=elem))
+    logical = _BQ_TYPE_MAP.get(ftype)
+    if logical is None:
+        raise ValueError(f"Unsupported type {ftype} in bigquery json definition.")
+    opts: Dict[str, Any] = {}
+    if ftype == "STRING" and field.get("maxLength") is not None:
+        opts["maxLength"] = int(field["maxLength"])
+    if ftype in ("NUMERIC", "BIGNUMERIC"):
+        custom = {}
+        if field.get("precision") is not None:
+            custom["precision"] = int(field["precision"])
+        if field.get("scale") is not None:
+            custom["scale"] = int(field["scale"])
+        if custom:
+            opts["customProperties"] = custom
+    if repeated:
+        return Property(name=name, logical_type="array", description=description,
+                        items=Property(name="items", logical_type=logical,
+                                       physical_type=ftype, options=opts))
+    return Property(name=name, logical_type=logical, physical_type=ftype,
+                    description=description, required=required, options=opts)
+
+
+def import_bigquery_json(doc: Dict[str, Any]) -> DataContract:
+    """BigQuery tables.get JSON -> contract (table type TABLE/EXTERNAL/
+    SNAPSHOT -> table, VIEW/MATERIALIZED_VIEW -> view)."""
+    ref = doc.get("tableReference", {})
+    bq_type = doc.get("type", "TABLE")
+    physical = "view" if bq_type in ("VIEW", "MATERIALIZED_VIEW") else "table"
+    obj = SchemaObject(
+        name=ref.get("tableId", "unknown"),
+        physical_type=physical,
+        description=doc.get("description"),
+        properties=[_bq_property(f)
+                    for f in doc.get("schema", {}).get("fields", [])],
+    )
+    from datacontract_cli_spark.model.contract import Server
+    servers = []
+    if ref.get("projectId") and ref.get("datasetId"):
+        servers = [Server(server="bigquery", type="bigquery",
+                          options={"project": ref["projectId"],
+                                   "dataset": ref["datasetId"]})]
+    return DataContract(id="my-data-contract", version="1.0.0",
+                        schema_objects=[obj], servers=servers)
+
+
+def import_bigquery_json_file(path: str) -> DataContract:
+    with open(path, "r", encoding="utf-8") as f:
+        return import_bigquery_json(json.load(f))
+
+
+# ---------------------------------------------------------------------------
+# Unity Catalog table JSON -> contract (reference imports/unity_importer.py)
+# ---------------------------------------------------------------------------
+
+def import_unity_json(doc: Dict[str, Any]) -> DataContract:
+    """Unity TableInfo JSON -> contract. type_json carries each column's
+    full Spark StructField JSON — parsed with Spark's own type machinery and
+    reflected through the same spark_type_to_property walk the parquet
+    importer uses (genuinely Spark-native, unlike the reference's bespoke
+    JSON walker)."""
+    from pyspark.sql import types as T
+
+    from datacontract_cli_spark.sources.sql_ddl import map_type_from_sql
+
+    props = []
+    for col in doc.get("columns") or []:
+        sql_type = str(col.get("type_text") or "string")
+        logical, fmt = map_type_from_sql(sql_type)
+        required = not col.get("nullable", True)
+        prop = None
+        type_json = col.get("type_json")
+        if type_json:
+            try:
+                field = T.StructField.fromJson(json.loads(type_json))
+                prop = spark_type_to_property(col.get("name"), field.dataType)
+            except Exception:
+                prop = None
+        if prop is None:
+            prop = Property(name=col.get("name"), logical_type=logical)
+        prop.physical_type = sql_type
+        prop.required = required
+        prop.description = col.get("comment")
+        if fmt and prop.logical_type == "string":
+            prop.options = dict(prop.options or {}, format=fmt)
+        props.append(prop)
+    obj = SchemaObject(
+        name=doc.get("name") or doc.get("table_id") or "unknown",
+        physical_type="table",
+        description=doc.get("comment"),
+        properties=props,
+    )
+    from datacontract_cli_spark.model.contract import Server
+    servers = []
+    if doc.get("catalog_name") and doc.get("schema_name"):
+        servers = [Server(server="databricks", type="databricks",
+                          catalog=doc["catalog_name"], schema_=doc["schema_name"])]
+    return DataContract(id="my-data-contract", version="1.0.0",
+                        schema_objects=[obj], servers=servers)
+
+
+def import_unity_json_file(path: str) -> DataContract:
+    with open(path, "r", encoding="utf-8") as f:
+        return import_unity_json(json.load(f))

@@ -1,0 +1,217 @@
+"""Code-generator exporters: great-expectations, pydantic, sqlalchemy,
+dbml, protobuf, go — behavior-matched against the reference's exporter
+modules, exercised on the reference's own export fixture. The pydantic,
+sqlalchemy and go outputs are additionally checked to be syntactically
+valid (compile/ast.parse)."""
+
+import ast
+import json
+
+from datacontract_cli_spark.cli import main
+from datacontract_cli_spark.export_code import (
+    to_dbml,
+    to_go,
+    to_great_expectations,
+    to_protobuf,
+    to_pydantic,
+    to_sqlalchemy,
+)
+from datacontract_cli_spark.model.contract import load_contract, load_contract_str
+
+EXPORT_FIXTURE = "/root/reference/tests/fixtures/export/datacontract.odcs.yaml"
+
+
+def test_great_expectations_suite():
+    contract = load_contract(EXPORT_FIXTURE)
+    suite = json.loads(to_great_expectations(contract, "orders"))
+    assert suite["name"] == "orders.1.0.0"
+    by_type = {}
+    for e in suite["expectations"]:
+        by_type.setdefault(e["type"], []).append(e["kwargs"])
+    assert by_type["expect_table_columns_to_match_ordered_list"][0]["column_list"] == \
+        ["order_id", "order_total", "order_status"]
+    assert {"column": "order_id", "type_": "varchar"} in \
+        by_type["expect_column_values_to_be_of_type"]
+    assert {"column": "order_id"} in by_type["expect_column_values_to_be_unique"]
+    assert {"column": "order_id", "min_value": 8, "max_value": 10} in \
+        by_type["expect_column_value_lengths_to_be_between"]
+    assert {"column": "order_total", "min_value": 0, "max_value": 1000000} in \
+        by_type["expect_column_values_to_be_between"]
+    assert by_type["expect_column_values_to_be_in_set"][0]["value_set"] == \
+        ["pending", "shipped", "delivered"]
+
+
+def test_great_expectations_quality_rules_merge():
+    contract = load_contract_str("""
+apiVersion: v3.1.0
+kind: DataContract
+id: gx
+version: 1.0.0
+schema:
+  - name: t
+    properties:
+      - name: x
+        logicalType: integer
+        quality:
+          - type: custom
+            engine: great-expectations
+            implementation: |
+              type: expect_column_max_to_be_between
+              kwargs:
+                max_value: 5
+""")
+    suite = json.loads(to_great_expectations(contract, "t"))
+    merged = [e for e in suite["expectations"]
+              if e.get("type") == "expect_column_max_to_be_between"]
+    assert merged and merged[0]["column"] == "x"
+
+
+def test_great_expectations_spark_engine_types():
+    contract = load_contract_str("""
+apiVersion: v3.1.0
+kind: DataContract
+id: gx2
+version: 1.0.0
+schema:
+  - name: t
+    properties:
+      - name: s
+        logicalType: string
+      - name: n
+        logicalType: integer
+""")
+    suite = json.loads(to_great_expectations(contract, "t", engine="spark"))
+    types = {e["kwargs"]["column"]: e["kwargs"]["type_"]
+             for e in suite["expectations"]
+             if e["type"] == "expect_column_values_to_be_of_type"}
+    assert types == {"s": "StringType", "n": "LongType"}
+
+
+NESTED_CONTRACT = """
+apiVersion: v3.1.0
+kind: DataContract
+id: code-gen
+version: 1.0.0
+schema:
+  - name: orders
+    properties:
+      - name: order_id
+        logicalType: string
+        required: true
+        primaryKey: true
+      - name: amount
+        logicalType: number
+      - name: created_at
+        logicalType: timestamp
+        required: true
+      - name: tags
+        logicalType: array
+        items:
+          name: item
+          logicalType: string
+          required: true
+      - name: customer
+        logicalType: object
+        properties:
+          - name: email
+            logicalType: string
+            required: true
+"""
+
+
+def test_pydantic_export_is_valid_python():
+    contract = load_contract_str(NESTED_CONTRACT)
+    src = to_pydantic(contract)
+    ast.parse(src)  # must be syntactically valid
+    assert "class Orders(pydantic.BaseModel):" in src
+    assert "order_id: str" in src
+    assert "amount: typing.Optional[float]" in src
+    assert "created_at: datetime.datetime" in src
+    assert "tags: typing.Optional[list[str]]" in src
+    assert "class OrdersCustomer(pydantic.BaseModel):" in src
+    assert "customer: typing.Optional[OrdersCustomer]" in src
+
+
+def test_sqlalchemy_export_is_valid_python():
+    contract = load_contract_str(NESTED_CONTRACT)
+    src = to_sqlalchemy(contract)
+    ast.parse(src)
+    assert "class Orders(Base):" in src
+    assert "__tablename__ = 'orders'" in src
+    assert "order_id = Column(String(None), nullable=False" in src
+    assert "primary_key=True" in src
+    assert "amount = Column(Numeric, nullable=True" in src
+
+
+def test_dbml_export():
+    contract = load_contract_str(NESTED_CONTRACT)
+    out = to_dbml(contract)
+    assert 'Project "code-gen"' in out
+    assert "Table orders {" in out
+    assert "order_id string [pk, not null]" in out
+    assert "amount number [null]" in out
+
+
+def test_dbml_references():
+    contract = load_contract_str("""
+apiVersion: v3.1.0
+kind: DataContract
+id: ref
+version: 1.0.0
+schema:
+  - name: line_items
+    properties:
+      - name: order_id
+        logicalType: string
+        customProperties:
+          - property: references
+            value: orders.order_id
+  - name: orders
+    properties:
+      - name: order_id
+        logicalType: string
+        primaryKey: true
+""")
+    out = to_dbml(contract)
+    assert "Ref: line_items.order_id > orders.order_id" in out
+
+
+def test_protobuf_export():
+    contract = load_contract(EXPORT_FIXTURE)
+    out = to_protobuf(contract)
+    assert 'syntax = "proto3";' in out
+    assert "package example;" in out
+    assert "message Orders {" in out
+    assert "string order_id = 1;" in out
+    # enum from customProperties on order_status
+    assert "enum OrderStatus {" in out
+    assert "ORDERSTATUS_UNKNOWN = 0;" in out
+    assert "ORDERSTATUS_PENDING = 1;" in out
+    nested = load_contract_str(NESTED_CONTRACT)
+    out2 = to_protobuf(nested)
+    assert "repeated string tags" in out2
+    assert "message Customer {" in out2
+    assert "optional double amount" in out2
+
+
+def test_go_export():
+    contract = load_contract_str(NESTED_CONTRACT)
+    out = to_go(contract)
+    assert "type Orders struct {" in out
+    assert 'OrderId string `json:"order_id"`' in out
+    assert 'Amount *float64 `json:"amount"`' in out
+    assert 'Tags []string `json:"tags"`' in out
+    assert "type Customer struct {" in out
+    assert 'import "time"' in out
+
+
+def test_cli_export_code_formats(capsys):
+    for fmt, probe in [("great-expectations", "expect_table_columns"),
+                       ("pydantic", "pydantic.BaseModel"),
+                       ("sqlalchemy", "declarative_base"),
+                       ("dbml", "Project"),
+                       ("protobuf", "proto3"),
+                       ("go", "struct")]:
+        rc = main(["export", EXPORT_FIXTURE, "--format", fmt])
+        assert rc == 0, fmt
+        assert probe in capsys.readouterr().out, fmt

@@ -1,0 +1,108 @@
+"""Round-3 importers: dbt manifest, BigQuery table JSON, Unity Catalog
+table JSON — validated against the reference repo's own import fixtures
+and (for dbt) its committed expected-output contract."""
+
+import yaml
+
+from datacontract_cli_spark.cli import main
+from datacontract_cli_spark.sources import importers
+
+DBT_MANIFEST = "/root/reference/tests/fixtures/dbt/import/manifest_jaffle_duckdb.json"
+DBT_EXPECTED = "/root/reference/tests/fixtures/dbt/import/expected/manifest_jaffle_duckdb.odcs.yaml"
+BQ_SCHEMA = "/root/reference/tests/fixtures/bigquery/import/complete_table_schema.json"
+UNITY_SCHEMA = "/root/reference/tests/fixtures/databricks-unity/import/unity_table_schema.json"
+UNITY_COMPLEX = "/root/reference/tests/fixtures/databricks-unity/import/unity_table_schema_complex_types.json"
+
+
+def test_dbt_manifest_matches_reference_expected_contract():
+    got = importers.import_dbt_manifest_file(DBT_MANIFEST)
+    expected = yaml.safe_load(open(DBT_EXPECTED))
+    assert got.id == expected["id"] == "jaffle_shop"
+    got_models = {o.name: o for o in got.schema_objects}
+    exp_models = {s["name"]: s for s in expected["schema"]}
+    assert set(got_models) == set(exp_models)
+    for name, es in exp_models.items():
+        gp = {p.name: p for p in got_models[name].properties}
+        for ep in es.get("properties") or []:
+            g = gp[ep["name"]]
+            assert g.logical_type == ep.get("logicalType"), (name, ep["name"])
+            assert g.physical_type == ep.get("physicalType"), (name, ep["name"])
+            assert g.required == bool(ep.get("required")), (name, ep["name"])
+            assert g.unique == bool(ep.get("unique")), (name, ep["name"])
+            assert g.primary_key == bool(ep.get("primaryKey")), (name, ep["name"])
+            exp_refs = {c["property"]: c["value"]
+                        for c in ep.get("customProperties") or []}.get("references")
+            got_refs = ((g.options or {}).get("customProperties") or {}).get("references")
+            assert got_refs == exp_refs, (name, ep["name"])
+
+
+def test_dbt_primary_key_inference_orders():
+    got = importers.import_dbt_manifest_file(DBT_MANIFEST)
+    orders = {o.name: o for o in got.schema_objects}["orders"]
+    pk = [p for p in orders.properties if p.primary_key]
+    assert [p.name for p in pk] == ["order_id"]
+    assert pk[0].required and pk[0].unique
+
+
+def test_dbt_node_filter():
+    got = importers.import_dbt_manifest_file(DBT_MANIFEST, dbt_nodes=["orders"])
+    assert [o.name for o in got.schema_objects] == ["orders"]
+
+
+def test_bigquery_schema_import():
+    got = importers.import_bigquery_json_file(BQ_SCHEMA)
+    [obj] = got.schema_objects
+    assert obj.name == "BQ_Example_Table"
+    assert obj.physical_type == "table"
+    by = {p.name: p for p in obj.properties}
+    assert by["Nonnullable_String_field"].required
+    assert by["Maxlength_string_field"].options["maxLength"] == 42
+    assert by["Int_field"].logical_type == "integer"
+    assert by["Numeric_field"].logical_type == "number"
+    # RECORD -> object with nested properties
+    records = [p for p in obj.properties if p.logical_type == "object"]
+    assert records and all(p.properties for p in records)
+    # RANGE -> array of the range element type
+    ranges = [p for p in obj.properties if p.physical_type == "RANGE"]
+    assert ranges and ranges[0].logical_type == "array"
+    [server] = got.servers
+    assert server.type == "bigquery"
+    assert server.options == {"project": "bigquery-test-423213",
+                              "dataset": "test_dataset"}
+
+
+def test_unity_schema_import():
+    got = importers.import_unity_json_file(UNITY_SCHEMA)
+    [obj] = got.schema_objects
+    by = {p.name: p for p in obj.properties}
+    assert by["id"].required and by["id"].logical_type == "integer"
+    assert by["name"].physical_type == "varchar(255)"
+    assert by["salary"].logical_type == "number"
+    assert by["join_date"].logical_type == "date"
+    assert by["is_active"].logical_type == "boolean"
+
+
+def test_unity_complex_types_via_spark_type_json():
+    got = importers.import_unity_json_file(UNITY_COMPLEX)
+    by = {p.name: p for p in got.schema_objects[0].properties}
+    assert by["id_list"].logical_type == "array"
+    assert by["id_list"].items.logical_type == "integer"
+    struct = by["id_struct"]
+    assert struct.logical_type == "object"
+    assert [c.name for c in struct.properties] == ["value"]
+    sl = by["struct_list"]
+    assert sl.logical_type == "array" and sl.items.logical_type == "object"
+    assert [c.name for c in sl.items.properties] == ["key", "value"]
+    # map has no ODCS v3.1 logical type (left unset, physicalType keeps it)
+    assert by["attributes"].logical_type is None
+    assert by["attributes"].physical_type.startswith("map<")
+
+
+def test_cli_import_round3_formats(capsys):
+    for fmt, src, probe in [("dbt", DBT_MANIFEST, "jaffle"),
+                            ("bigquery", BQ_SCHEMA, "BQ_Example_Table"),
+                            ("unity", UNITY_SCHEMA, "test_table")]:
+        rc = main(["import", "--format", fmt, "--source", src])
+        assert rc == 0, fmt
+        assert probe in capsys.readouterr().out, fmt
+    assert main(["import", "--format", "dbt", "--source", "/nonexistent.json"]) == 1
