@@ -58,7 +58,7 @@ def test_bigquery_schema_import():
     assert by["Nonnullable_String_field"].required
     assert by["Maxlength_string_field"].options["maxLength"] == 42
     assert by["Int_field"].logical_type == "integer"
-    assert by["Numeric_field"].logical_type == "number"
+    assert by["Numeric_Field"].logical_type == "number"
     # RECORD -> object with nested properties
     records = [p for p in obj.properties if p.logical_type == "object"]
     assert records and all(p.properties for p in records)
