@@ -60,8 +60,12 @@ def test_bigquery_schema_import():
     assert by["Int_field"].logical_type == "integer"
     assert by["Numeric_Field"].logical_type == "number"
     # RECORD -> object with nested properties
-    records = [p for p in obj.properties if p.logical_type == "object"]
+    records = [p for p in obj.properties if p.physical_type == "RECORD"]
     assert records and all(p.properties for p in records)
+    # REPEATED RECORD -> array of object
+    rec_list = by["Record_List_Field"]
+    assert rec_list.logical_type == "array"
+    assert rec_list.items.logical_type == "object" and rec_list.items.properties
     # RANGE -> array of the range element type
     ranges = [p for p in obj.properties if p.physical_type == "RANGE"]
     assert ranges and ranges[0].logical_type == "array"
