@@ -645,6 +645,65 @@ def _q_asof_join(spark, sf):
     )
 
 
+def _q_interval_join_events(spark, sf):
+    """Key-free interval join (clicks within 120s after each purchase,
+    across ALL users): bucketed equi-join on the 60s epoch bucket recovers
+    a hash join where the naive range predicate would plan a broadcast
+    nested loop. Oracle: DuckDB's native inequality join."""
+    from datacontract_cli_spark.operators.intervaljoin import window_count
+
+    ev = _t(spark, sf, "events")
+    return (
+        window_count(ev, "event_type = 'purchase'", "event_type = 'click'",
+                     window_seconds=120, bucket_seconds=60)
+        .select(F.col("anchor_id").cast("long").alias("anchor_id"),
+                F.col("n_matches").cast("long").alias("n_matches"))
+        .orderBy("anchor_id")
+    )
+
+
+def _q_dedup_clusters(spark, sf):
+    """Connected components over the md5-family minhash near-dup pairs:
+    cluster_id = min doc id of the component (the representative a dedup
+    pipeline keeps). Iterative min-label propagation; the oracle replays it
+    as a DuckDB recursive CTE over the SAME pair set."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, "doc_id", threshold=0.8,
+                                          kernel="md5")
+    out = dedup.connected_components(pairs)
+    pairs.unpersist()
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("cluster_id").cast("long").alias("cluster_id")) \
+              .orderBy("node")
+
+
+def _q_stratified_sample(spark, sf):
+    """Deterministic per-language quota sample (training-data mixing): rank
+    inside each stratum by md5(doc_id) — the shared hash family — so the
+    exact sample is engine-independent."""
+    from datacontract_cli_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf, "documents")
+    return (
+        stratified_sample(docs, "lang", 10, "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+def _q_hash_split(spark, sf):
+    """Leakage-safe train/valid/test assignment by id hash: same id -> same
+    split regardless of partitioning, run order, or engine."""
+    from datacontract_cli_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf, "documents")
+    return (
+        hash_split(docs, "doc_id", {"train": 0.9, "valid": 0.05, "test": 0.05})
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_count": _q_row_count,
@@ -693,6 +752,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_totalprice": _q_histogram_totalprice,
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
+        "interval_join_events": _q_interval_join_events,
+        "dedup_clusters": _q_dedup_clusters,
+        "stratified_sample": _q_stratified_sample,
+        "hash_split": _q_hash_split,
     }
 
 
@@ -958,6 +1021,30 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_near_dups": _minhash_md5_oracle(),
         "simhash_near_dups": _simhash_md5_oracle(),
+        "interval_join_events": (
+            # native inequality join — the Spark side must produce the exact
+            # same pair multiset through the bucketed equi-join
+            "SELECT a.event_id AS anchor_id, count(*) AS n_matches "
+            "FROM events a JOIN events b ON b.ts >= a.ts "
+            "AND b.ts < a.ts + INTERVAL 120 SECOND "
+            "WHERE a.event_type = 'purchase' AND b.event_type = 'click' "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "dedup_clusters": _dedup_clusters_oracle(),
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
+            "ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn FROM documents) "
+            "WHERE rn <= 10 ORDER BY lang, doc_id"
+        ),
+        "hash_split": (
+            "SELECT split, count(*) AS n FROM ("
+            "SELECT CASE WHEN u < 0.9 THEN 'train' WHEN u < 0.95 THEN 'valid' "
+            "ELSE 'test' END AS split FROM ("
+            "SELECT ('0x' || substring(md5(doc_id::VARCHAR || 'split'), 1, 8))"
+            "::BIGINT / 4294967296.0 AS u FROM documents)) "
+            "GROUP BY 1 ORDER BY 1"
+        ),
         "embedding_near_dups": (
             # recall vs exact ground truth: asserts the LSH path misses no
             # pair the brute-force scan finds (n_missed = 0)
@@ -1024,6 +1111,25 @@ def _minhash_md5_oracle(num_hashes: int = 64, bands: int = 16,
         "JOIN sig sb ON sb.doc_id = c.id_b AND sb.k = sa.k GROUP BY c.id_a, c.id_b) "
         "SELECT id_a, id_b, round(est, 4) AS est_jaccard FROM est "
         f"WHERE est >= {threshold}"
+    )
+
+
+def _dedup_clusters_oracle(threshold: float = 0.8) -> str:
+    """Recursive-CTE connected components over the SAME md5-minhash pair set
+    the Spark side clusters: cc(node, label) holds every (node, reachable
+    id); min(label) per node is the component minimum — the cluster_id the
+    iterative min-label propagation converges to."""
+    pairs_sql = _minhash_md5_oracle(threshold=threshold)
+    return (
+        "WITH RECURSIVE mh AS (" + pairs_sql + "), "
+        "edges AS (SELECT id_a AS a, id_b AS b FROM mh "
+        "UNION SELECT id_b, id_a FROM mh), "
+        "cc(node, label) AS ("
+        "SELECT a, a FROM edges "
+        "UNION "
+        "SELECT e.a, cc.label FROM edges e JOIN cc ON cc.node = e.b) "
+        "SELECT node, min(label) AS cluster_id FROM cc GROUP BY node "
+        "ORDER BY node"
     )
 
 

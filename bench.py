@@ -39,6 +39,10 @@ BENCH_QUERIES = [
     "winnow_dups",
     "bpe_token_stats",
     "simhash_near_dups",
+    # round-3 additions
+    "interval_join_events",
+    "stratified_sample",
+    "hash_split",
 ]
 
 TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "1000000"))

@@ -64,6 +64,12 @@ def build_parser() -> argparse.ArgumentParser:
     lint = sub.add_parser("lint", help="parse + structurally check a contract")
     lint.add_argument("contract")
 
+    cat = sub.add_parser("catalog", help="create an HTML catalog of contracts")
+    cat.add_argument("--files", default="*.yaml",
+                     help="glob pattern for contract files (recursive)")
+    cat.add_argument("--output", default="catalog/",
+                     help="output directory for the catalog html")
+
     ini = sub.add_parser("init", help="create an empty data contract")
     ini.add_argument("location", nargs="?", default="datacontract.yaml")
     ini.add_argument("--template", default=None,
@@ -219,6 +225,11 @@ def main(argv: list[str] | None = None) -> int:
                 f.write(text)
         else:
             print(text)
+        return 0
+
+    if args.command == "catalog":
+        from datacontract_cli_spark.catalog import build_catalog
+        build_catalog(files=args.files, output=args.output)
         return 0
 
     if args.command == "init":

@@ -634,3 +634,76 @@ def winnow_shared_pairs(
         .filter(F.col("n_shared") >= min_shared)
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# connected components (dedup clusters)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """(node, cluster_id) for every node appearing in ``pairs`` — cluster_id
+    is the minimum node id of the connected component (the canonical
+    representative a dedup pipeline keeps).
+
+    Iterative min-label propagation with pointer jumping: each round every
+    node takes the min of its own label, its neighbors' labels, AND its
+    label's label (path compression) — O(log diameter) rounds instead of
+    O(diameter), the same doubling idea as the large-star/small-star
+    formulation (Kiveris et al., SoCC'14). Each round is two shuffle-by-key
+    joins + a groupBy; labels persist per round and the previous round
+    unpersists, so peak storage is two label tables."""
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    labels.count()
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels, edges["b"] == labels["node"])
+                .groupBy("a").agg(F.min("label").alias("nmin"))
+            )
+            stepped = (
+                labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+                .select(labels["node"],
+                        F.least(labels["label"],
+                                F.coalesce(neighbor_min["nmin"],
+                                           labels["label"])).alias("label"))
+            )
+            # pointer jump: label <- label(label) — doubles the propagation
+            # distance per round
+            lab2 = stepped.select(F.col("node").alias("lnode"),
+                                  F.col("label").alias("llabel"))
+            new_labels = (
+                stepped.join(lab2, stepped["label"] == lab2["lnode"], "left")
+                .select(stepped["node"],
+                        F.least(stepped["label"],
+                                F.coalesce(lab2["llabel"],
+                                           stepped["label"])).alias("label"))
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+    finally:
+        edges.unpersist()

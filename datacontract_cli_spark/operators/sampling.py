@@ -1,0 +1,79 @@
+"""Deterministic sampling for training-data pipelines.
+
+- :func:`stratified_sample`: per-stratum quota sampling (e.g. N documents
+  per language for a mixing recipe). Rows rank inside their stratum by a
+  content-independent hash of their id (md5 — the shared cross-engine hash
+  family, so an external SQL oracle reproduces the exact sample), and the
+  top ``quota`` per stratum survive. One shuffle on the stratum key; the
+  rank is a window row_number, so each stratum is processed streaming
+  within its partition — no global sort. Deterministic across runs,
+  cluster sizes, and engines: the sample is a pure function of the ids.
+
+- :func:`hash_split`: stable train/validation/test assignment by id hash —
+  the standard leakage-safe split (same id always lands in the same split,
+  regardless of partitioning or run order).
+
+The reference engine has no sampling operators (its LIMIT-5 violation
+sampling is the closest thing, SURVEY §2.6) — this is a beyond-reference
+operator for the training-data lane.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sample_rank_key(id_col: Column) -> Column:
+    """Deterministic, content-independent ranking key: md5 of the id string.
+    md5 (not xxhash64) so external engines can reproduce the exact order."""
+    return F.md5(id_col.cast("string"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    quota: int,
+    id_col: str,
+) -> DataFrame:
+    """Up to ``quota`` rows per stratum, chosen by the hash order of their
+    ids (ties broken by the id itself, so the result is total-ordered)."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        sample_rank_key(F.col(id_col)), F.col(id_col))
+    return (
+        df.withColumn("__rank__", F.row_number().over(w))
+        .filter(F.col("__rank__") <= quota)
+        .drop("__rank__")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named fraction by id
+    hash. Weights must sum to ~1. Same id -> same split, always."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    # first 8 md5 hex chars -> uniform [0, 1)
+    u = F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"),
+                                          F.lit(salt))), 1, 8), 16, 10) \
+        .cast("double") / F.lit(float(1 << 32))
+    expr: Column = F.lit(None).cast("string")
+    names: List[str] = list(weights)
+    bound = 0.0
+    conditions = []
+    for name in names:
+        bound += weights[name] / total
+        conditions.append((name, bound))
+    expr = F.when(u < F.lit(conditions[0][1]), F.lit(conditions[0][0]))
+    for name, b in conditions[1:-1]:
+        expr = expr.when(u < F.lit(b), F.lit(name))
+    if len(conditions) > 1:
+        expr = expr.otherwise(F.lit(conditions[-1][0]))
+    return df.withColumn("split", expr)

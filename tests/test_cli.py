@@ -77,3 +77,27 @@ def test_cli_init(tmp_path, capsys, monkeypatch):
     out2 = tmp_path / "c2.yaml"
     assert main(["init", str(out2), "--template", str(src)]) == 0
     assert out2.read_text().startswith("apiVersion")
+
+
+def test_cli_catalog(tmp_path, capsys, monkeypatch):
+    from datacontract_cli_spark.cli import main
+
+    (tmp_path / "a.yaml").write_text(
+        "apiVersion: v3.1.0\nkind: DataContract\nid: contract-a\n"
+        "name: Contract A\nversion: 1.0.0\n"
+        "schema:\n  - name: t1\n    properties:\n      - name: x\n"
+        "        logicalType: string\n")
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "b.yaml").write_text(
+        "apiVersion: v3.1.0\nkind: DataContract\nid: contract-b\n"
+        "version: 2.0.0\nschema:\n  - name: t2\n    properties: []\n")
+    (tmp_path / "broken.yaml").write_text("]не yaml[")
+    monkeypatch.chdir(tmp_path)
+    assert main(["catalog", "--files", "*.yaml", "--output", "cat/"]) == 0
+    out = capsys.readouterr().out
+    assert "Skipped" in out  # broken file skipped, not fatal
+    index = (tmp_path / "cat" / "index.html").read_text()
+    assert "contract-a" in index and "contract-b" in index
+    assert "a.html" in index and "b.html" in index
+    page = (tmp_path / "cat" / "a.html").read_text()
+    assert "<title>Contract A</title>" in page and "t1" in page

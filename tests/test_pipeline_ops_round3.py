@@ -1,0 +1,151 @@
+"""Round-3 pipeline operators: interval join (key-free range join),
+connected components (dedup clusters), deterministic stratified sampling
+and hash splits."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacontract_cli_spark.operators import dedup
+from datacontract_cli_spark.operators.intervaljoin import interval_join, window_count
+from datacontract_cli_spark.operators.sampling import hash_split, stratified_sample
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_interval_join_exact_pairs(spark):
+    anchors = spark.createDataFrame(
+        [(1, _ts(0), _ts(2)), (2, _ts(10), _ts(12)), (3, _ts(20), _ts(22))],
+        "aid int, w_start timestamp, w_end timestamp")
+    events = spark.createDataFrame(
+        [(100, _ts(0)),          # == start: inclusive
+         (101, _ts(1, 59)),      # inside
+         (102, _ts(2)),          # == end: exclusive
+         (103, _ts(11)),         # inside window 2
+         (104, _ts(30))],        # no window
+        "eid int, ts timestamp")
+    got = {(r["aid"], r["eid"]) for r in
+           interval_join(anchors, events, "w_start", "w_end", "ts",
+                         bucket_seconds=60).collect()}
+    assert got == {(1, 100), (1, 101), (2, 103)}
+
+
+def test_interval_join_no_duplicate_pairs_across_buckets(spark):
+    # window spans many buckets; each match must appear exactly once
+    anchors = spark.createDataFrame([(1, _ts(0), _ts(50))],
+                                    "aid int, w_start timestamp, w_end timestamp")
+    events = spark.createDataFrame([(i, _ts(i)) for i in range(0, 50, 7)],
+                                   "eid int, ts timestamp")
+    rows = interval_join(anchors, events, "w_start", "w_end", "ts",
+                         bucket_seconds=60).collect()
+    assert len(rows) == len({r["eid"] for r in rows}) == 8
+
+
+def test_interval_join_no_nested_loop_in_plan(spark):
+    anchors = spark.createDataFrame([(1, _ts(0), _ts(2))],
+                                    "aid int, w_start timestamp, w_end timestamp")
+    events = spark.createDataFrame([(1, _ts(1))], "eid int, ts timestamp")
+    q = interval_join(anchors, events, "w_start", "w_end", "ts")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_matches_naive_join(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = window_count(ev, "event_type = 'purchase'", "event_type = 'click'",
+                       window_seconds=300, bucket_seconds=60)
+    a = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("anchor_id"), F.col("ts").alias("a_ts"))
+    b = ev.filter("event_type = 'click'").select(F.col("ts").alias("b_ts"))
+    naive = (a.join(b, (F.col("b_ts") >= F.col("a_ts")) &
+                    (F.col("b_ts") < F.col("a_ts") + F.expr("INTERVAL 300 SECOND")))
+             .groupBy("anchor_id").agg(F.count(F.lit(1)).alias("n_matches")))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_interval_join_rejects_unknown_how(spark):
+    df = spark.range(1).select(
+        F.col("id"), F.current_timestamp().alias("s"),
+        F.current_timestamp().alias("e"))
+    with pytest.raises(ValueError):
+        interval_join(df, df, "s", "e", "s", how="full")
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+def test_connected_components_basic(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long")
+    got = {r["node"]: r["cluster_id"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_connected_components_long_chain(spark):
+    # a path graph exercises multi-round propagation
+    n = 12
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)],
+                                  "id_a long, id_b long")
+    got = dedup.connected_components(pairs).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert len(got) == n + 1
+
+
+def test_connected_components_releases_caches(spark):
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    before = len([r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
+    out = dedup.connected_components(pairs)
+    out.collect()
+    after = len([r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
+    # only the final labels frame may stay cached
+    assert after - before <= 1
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+def test_stratified_sample_quota_and_determinism(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s1 = stratified_sample(docs, "lang", 5, "doc_id").select("doc_id", "lang")
+    s2 = stratified_sample(docs.repartition(7), "lang", 5, "doc_id") \
+        .select("doc_id", "lang")
+    r1 = sorted(map(tuple, s1.collect()))
+    r2 = sorted(map(tuple, s2.collect()))
+    assert r1 == r2, "sample must not depend on partitioning"
+    per_lang = {}
+    for _, lang in r1:
+        per_lang[lang] = per_lang.get(lang, 0) + 1
+    assert all(v <= 5 for v in per_lang.values())
+    n_langs = docs.select("lang").distinct().count()
+    assert len(per_lang) == n_langs
+
+
+def test_hash_split_stable_and_complete(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = hash_split(docs, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = docs.count()
+    assert sum(counts.values()) == total
+    assert counts["train"] > counts["valid"] and counts["train"] > counts["test"]
+    # same id -> same split under different partitioning
+    out2 = hash_split(docs.repartition(5), "doc_id",
+                      {"train": 0.8, "valid": 0.1, "test": 0.1})
+    m1 = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    m2 = {r["doc_id"]: r["split"] for r in out2.select("doc_id", "split").collect()}
+    assert m1 == m2
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    docs = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"a": 0.5, "b": 0.2})
