@@ -87,9 +87,12 @@ def build_parser() -> argparse.ArgumentParser:
                               "sodacl", "dbt", "dbt-sources", "dbt-staging",
                               "html", "markdown", "mermaid",
                               "great-expectations", "pydantic", "sqlalchemy",
-                              "dbml", "protobuf", "go"])
+                              "dbml", "protobuf", "go", "bigquery", "dcs",
+                              "custom"])
     exp.add_argument("--server", default=None,
-                     help="server name (dbt adapter resolution)")
+                     help="server name (dbt adapter / bigquery resolution)")
+    exp.add_argument("--template", default=None,
+                     help="Jinja template path for --format custom")
     exp.add_argument("--schema", dest="schema_name", default="all")
     exp.add_argument("--output", default=None, help="write to this path (default stdout)")
 
@@ -216,6 +219,26 @@ def main(argv: list[str] | None = None) -> int:
         elif args.format == "go":
             from datacontract_cli_spark.export_code import to_go
             text = to_go(contract)
+        elif args.format == "bigquery":
+            from datacontract_cli_spark.export_code import to_bigquery_json
+            name = args.schema_name
+            if name == "all" and len(contract.schema_objects) == 1:
+                name = contract.schema_objects[0].name
+            try:
+                text = to_bigquery_json(contract, name, args.server)
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
+        elif args.format == "dcs":
+            from datacontract_cli_spark.export_code import to_dcs_yaml
+            text = to_dcs_yaml(contract)
+        elif args.format == "custom":
+            from datacontract_cli_spark.export_code import to_custom_jinja
+            if not args.template:
+                print("error: --format custom requires --template",
+                      file=sys.stderr)
+                return 1
+            text = to_custom_jinja(contract, args.template, args.schema_name)
         else:  # spark
             objs = [o for o in contract.schema_objects
                     if args.schema_name == "all" or o.name == args.schema_name]

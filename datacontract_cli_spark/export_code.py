@@ -362,3 +362,190 @@ def to_go(contract: DataContract) -> str:
     if needs_time:
         header += "\nimport \"time\"\n"
     return header + "\n" + "\n\n".join(bodies) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# bigquery (reference export/bigquery_exporter.py + map_type_to_bigquery)
+# ---------------------------------------------------------------------------
+
+_BQ_NATIVE = {"STRING", "BYTES", "INT64", "INTEGER", "FLOAT64", "NUMERIC",
+              "BIGNUMERIC", "BOOL", "BOOLEAN", "TIMESTAMP", "DATE", "TIME",
+              "DATETIME", "GEOGRAPHY", "JSON", "RECORD", "STRUCT"}
+
+_BQ_LOGICAL = {"string": "STRING", "varchar": "STRING", "text": "STRING",
+               "json": "JSON", "bytes": "BYTES", "int": "INTEGER",
+               "integer": "INTEGER", "long": "INT64", "bigint": "INT64",
+               "float": "FLOAT64", "double": "FLOAT64", "boolean": "BOOL",
+               "timestamp": "TIMESTAMP", "timestamp_tz": "TIMESTAMP",
+               "timestamp_ntz": "DATETIME", "date": "DATE", "time": "TIME",
+               "number": "NUMERIC", "decimal": "NUMERIC", "numeric": "NUMERIC",
+               "struct": "STRUCT"}
+
+
+def _bq_type(prop: Property) -> Optional[str]:
+    if prop.physical_type:
+        base = prop.physical_type.upper().split("(")[0].strip()
+        if base in _BQ_NATIVE:
+            return prop.physical_type
+    t = prop.physical_type or prop.logical_type
+    if not t:
+        return None
+    params = None
+    if "(" in t and t.endswith(")"):
+        params = t[t.index("(") + 1:-1]
+        t = t[:t.index("(")].strip()
+    lt = t.lower()
+    if lt in ("object", "record") and not prop.properties:
+        result = "JSON"
+    elif lt in ("object", "record", "array"):
+        result = "RECORD"
+    else:
+        result = _BQ_LOGICAL.get(lt)
+    if params and result:
+        return f"{result}({params})"
+    return result
+
+
+def _bq_field(prop: Property) -> Dict[str, Any]:
+    bq_type = _bq_type(prop)
+    field: Dict[str, Any] = {
+        "name": prop.column,
+        "type": bq_type,
+        "mode": "REQUIRED" if prop.required else "NULLABLE",
+        "description": prop.description,
+    }
+    lt = (prop.logical_type or "").lower()
+    if lt == "array":
+        field["mode"] = "REPEATED"
+        if prop.items is not None:
+            if (prop.items.logical_type or "").lower() == "object":
+                field["fields"] = [_bq_field(c) for c in prop.items.properties or []]
+            else:
+                field["type"] = _bq_type(prop.items)
+    elif (bq_type or "").lower() in ("record", "struct"):
+        field["fields"] = [_bq_field(c) for c in prop.properties or []]
+    if (bq_type or "").lower() == "string":
+        field["maxLength"] = _opt(prop, "maxLength")
+    if (bq_type or "").lower() in ("numeric", "bignumeric"):
+        custom = (prop.options or {}).get("customProperties") or {}
+        field["precision"] = int(custom["precision"]) if custom.get("precision") is not None else None
+        field["scale"] = int(custom["scale"]) if custom.get("scale") is not None else None
+    return field
+
+
+def to_bigquery_json(contract: DataContract, schema_name: str,
+                     server_name: Optional[str] = None) -> str:
+    obj = contract.schema_object(schema_name)
+    if obj is None:
+        raise ValueError(f"schema object '{schema_name}' not found")
+    server = contract.server(server_name)
+    if server is None or server.type != "bigquery":
+        raise ValueError("export to bigquery requires a bigquery server in "
+                         "the contract")
+    table = {
+        "kind": "bigquery#table",
+        "tableReference": {
+            "datasetId": server.options.get("dataset"),
+            "projectId": server.options.get("project"),
+            "tableId": obj.table,
+        },
+        "description": obj.description,
+        "schema": {"fields": [_bq_field(p) for p in obj.properties]},
+    }
+    return json.dumps(table, indent=2)
+
+
+# ---------------------------------------------------------------------------
+# custom jinja template (reference export/custom_exporter.py)
+# ---------------------------------------------------------------------------
+
+def to_custom_jinja(contract: DataContract, template_path: str,
+                    schema_name: Optional[str] = None) -> str:
+    """Render a user-supplied Jinja template with the contract (and,
+    optionally, one selected schema object) in context."""
+    import os
+
+    from jinja2 import Environment, FileSystemLoader
+
+    absolute = os.path.abspath(template_path)
+    env = Environment(loader=FileSystemLoader(os.path.dirname(absolute)),
+                      autoescape=False)
+    template = env.get_template(os.path.basename(absolute))
+    context: Dict[str, Any] = {"data_contract": contract}
+    if schema_name and schema_name != "all":
+        obj = contract.schema_object(schema_name)
+        if obj is None:
+            raise ValueError(f"schema object '{schema_name}' not found")
+        context["schema"] = obj
+        context["schema_name"] = schema_name
+    return template.render(**context)
+
+
+# ---------------------------------------------------------------------------
+# legacy DCS (reference export/dcs_exporter.py — ODCS -> Data Contract
+# Specification 1.2 yaml, the inverse of the loader's DCS lane)
+# ---------------------------------------------------------------------------
+
+_DCS_TYPES = {"string": "string", "integer": "integer", "number": "number",
+              "boolean": "boolean", "timestamp": "timestamp", "date": "date",
+              "array": "array", "object": "object"}
+
+
+def _dcs_field(prop: Property) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    t = _DCS_TYPES.get((prop.logical_type or "").lower())
+    if t:
+        out["type"] = t
+    if prop.physical_type:
+        out["config"] = {"physicalType": prop.physical_type}
+    if prop.description:
+        out["description"] = prop.description
+    if prop.required:
+        out["required"] = True
+    if prop.unique:
+        out["unique"] = True
+    if prop.primary_key:
+        out["primaryKey"] = True
+    if prop.classification:
+        out["classification"] = prop.classification
+    for key in ("minLength", "maxLength", "minimum", "maximum", "pattern",
+                "enum", "exclusiveMinimum", "exclusiveMaximum", "format"):
+        v = _opt(prop, key)
+        if v is not None:
+            out[key] = v
+    if prop.properties:
+        out["fields"] = {c.name: _dcs_field(c) for c in prop.properties}
+    if prop.items is not None:
+        out["items"] = _dcs_field(prop.items)
+    return out
+
+
+def to_dcs_yaml(contract: DataContract) -> str:
+    doc: Dict[str, Any] = {
+        "dataContractSpecification": "1.2.0",
+        "id": contract.id,
+        "info": {
+            "title": contract.name or contract.id,
+            "version": contract.version,
+            **({"description": contract.description} if contract.description else {}),
+            **({"owner": contract.owner} if contract.owner else {}),
+        },
+        "models": {
+            obj.name: {
+                **({"description": obj.description} if obj.description else {}),
+                "type": "table",
+                "fields": {p.name: _dcs_field(p) for p in obj.properties},
+            }
+            for obj in contract.schema_objects
+        },
+    }
+    if contract.servers:
+        doc["servers"] = {
+            (s.server or f"server{i}"): {
+                k: v for k, v in (("type", s.type), ("format", s.format),
+                                  ("path", s.path), ("location", s.location))
+                if v is not None
+            }
+            for i, s in enumerate(contract.servers)
+        }
+    return yaml.safe_dump(doc, sort_keys=False)

@@ -215,3 +215,86 @@ def test_cli_export_code_formats(capsys):
         rc = main(["export", EXPORT_FIXTURE, "--format", fmt])
         assert rc == 0, fmt
         assert probe in capsys.readouterr().out, fmt
+
+
+def test_bigquery_export_roundtrips_with_importer(tmp_path):
+    """export bigquery -> import bigquery must reproduce the schema."""
+    import json as _json
+
+    from datacontract_cli_spark.export_code import to_bigquery_json
+    from datacontract_cli_spark.model.contract import Server
+    from datacontract_cli_spark.sources.importers import import_bigquery_json
+
+    contract = load_contract_str(NESTED_CONTRACT)
+    contract.servers = [Server(server="bq", type="bigquery",
+                               options={"project": "p1", "dataset": "d1"})]
+    doc = _json.loads(to_bigquery_json(contract, "orders"))
+    assert doc["tableReference"] == {"datasetId": "d1", "projectId": "p1",
+                                     "tableId": "orders"}
+    fields = {f["name"]: f for f in doc["schema"]["fields"]}
+    assert fields["order_id"]["mode"] == "REQUIRED"
+    assert fields["amount"]["type"] == "NUMERIC"
+    assert fields["tags"]["mode"] == "REPEATED"
+    assert fields["customer"]["type"] == "RECORD"
+    assert [f["name"] for f in fields["customer"]["fields"]] == ["email"]
+    back = import_bigquery_json(doc)
+    by = {p.name: p for p in back.schema_objects[0].properties}
+    assert by["order_id"].required
+    assert by["customer"].logical_type == "object"
+    assert by["tags"].logical_type == "array"
+
+
+def test_dcs_export_roundtrips_through_loader():
+    from datacontract_cli_spark.export_code import to_dcs_yaml
+
+    contract = load_contract_str(NESTED_CONTRACT)
+    text = to_dcs_yaml(contract)
+    assert "dataContractSpecification: 1.2.0" in text
+    back = load_contract_str(text)  # the loader's legacy DCS lane
+    obj = back.schema_objects[0]
+    assert obj.name == "orders"
+    by = {p.name: p for p in obj.properties}
+    assert by["order_id"].required and by["order_id"].primary_key
+    assert by["amount"].logical_type == "number"
+    assert by["customer"].logical_type == "object"
+    assert by["customer"].properties[0].name == "email"
+    assert by["tags"].items.logical_type == "string"
+
+
+def test_custom_jinja_export(tmp_path):
+    from datacontract_cli_spark.export_code import to_custom_jinja
+
+    tpl = tmp_path / "report.j2"
+    tpl.write_text(
+        "contract: {{ data_contract.id }} v{{ data_contract.version }}\n"
+        "{% for obj in data_contract.schema_objects %}"
+        "model {{ obj.name }}: {{ obj.properties | length }} columns\n"
+        "{% endfor %}")
+    contract = load_contract_str(NESTED_CONTRACT)
+    out = to_custom_jinja(contract, str(tpl))
+    assert "contract: code-gen v1.0.0" in out
+    assert "model orders: 5 columns" in out
+    # schema-scoped context
+    tpl2 = tmp_path / "one.j2"
+    tpl2.write_text("{{ schema_name }}:{{ schema.properties[0].name }}")
+    assert to_custom_jinja(contract, str(tpl2), "orders") == "orders:order_id"
+
+
+def test_cli_export_bigquery_dcs_custom(tmp_path, capsys):
+    import yaml as _yaml
+
+    src = tmp_path / "c.yaml"
+    doc = _yaml.safe_load(open(EXPORT_FIXTURE))
+    doc["servers"] = [{"server": "prod", "type": "bigquery",
+                       "project": "p", "dataset": "d"}]
+    src.write_text(_yaml.safe_dump(doc))
+    assert main(["export", str(src), "--format", "bigquery"]) == 0
+    assert "bigquery#table" in capsys.readouterr().out
+    assert main(["export", str(src), "--format", "dcs"]) == 0
+    assert "dataContractSpecification" in capsys.readouterr().out
+    tpl = tmp_path / "t.j2"
+    tpl.write_text("{{ data_contract.id }}")
+    assert main(["export", str(src), "--format", "custom",
+                 "--template", str(tpl)]) == 0
+    assert "orders-unit-test" in capsys.readouterr().out
+    assert main(["export", str(src), "--format", "custom"]) == 1
