@@ -64,6 +64,11 @@ def build_parser() -> argparse.ArgumentParser:
     lint = sub.add_parser("lint", help="parse + structurally check a contract")
     lint.add_argument("contract")
 
+    api = sub.add_parser("api", help="serve the REST API (lint/export/changelog/test)")
+    api.add_argument("--host", default="127.0.0.1")
+    api.add_argument("--port", type=int, default=4242)
+    api.add_argument("--master", default=None)
+
     cat = sub.add_parser("catalog", help="create an HTML catalog of contracts")
     cat.add_argument("--files", default="*.yaml",
                      help="glob pattern for contract files (recursive)")
@@ -99,7 +104,8 @@ def build_parser() -> argparse.ArgumentParser:
     imp = sub.add_parser("import", help="derive a contract from data or a schema")
     imp.add_argument("--format", required=True,
                      choices=["parquet", "orc", "csv", "json", "avro",
-                              "jsonschema", "sql", "dbt", "bigquery", "unity"])
+                              "jsonschema", "sql", "dbt", "bigquery", "unity",
+                              "iceberg"])
     imp.add_argument("--source", required=True, help="file or schema path")
     imp.add_argument("--name", default="model", help="model name for file imports")
     imp.add_argument("--dialect", default=None,
@@ -128,10 +134,11 @@ def main(argv: list[str] | None = None) -> int:
             except (OSError, ValueError) as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 1
-        elif args.format in ("dbt", "bigquery", "unity"):
+        elif args.format in ("dbt", "bigquery", "unity", "iceberg"):
             loaders = {"dbt": importers.import_dbt_manifest_file,
                        "bigquery": importers.import_bigquery_json_file,
-                       "unity": importers.import_unity_json_file}
+                       "unity": importers.import_unity_json_file,
+                       "iceberg": importers.import_iceberg_json_file}
             try:
                 contract = loaders[args.format](args.source)
             except (OSError, ValueError, KeyError) as e:
@@ -248,6 +255,11 @@ def main(argv: list[str] | None = None) -> int:
                 f.write(text)
         else:
             print(text)
+        return 0
+
+    if args.command == "api":
+        from datacontract_cli_spark.api import main as api_main
+        api_main(host=args.host, port=args.port, master=args.master)
         return 0
 
     if args.command == "catalog":

@@ -466,3 +466,123 @@ def import_unity_json(doc: Dict[str, Any]) -> DataContract:
 def import_unity_json_file(path: str) -> DataContract:
     with open(path, "r", encoding="utf-8") as f:
         return import_unity_json(json.load(f))
+
+
+# ---------------------------------------------------------------------------
+# Iceberg schema JSON -> contract (reference imports/iceberg_importer.py —
+# the pyiceberg Schema model parsed directly from its JSON wire form, so no
+# pyiceberg runtime is needed; identifier-field-ids become primary keys)
+# ---------------------------------------------------------------------------
+
+_ICEBERG_PRIMITIVES = {
+    "boolean": "boolean", "int": "integer", "long": "integer",
+    "float": "number", "double": "number", "date": "date",
+    "time": "string", "timestamp": "date", "timestamptz": "date",
+    "string": "string", "uuid": "string", "binary": "array",
+}
+
+
+def _iceberg_logical(t: Any) -> str:
+    if isinstance(t, str):
+        if t.startswith("decimal"):
+            return "number"
+        if t.startswith("fixed"):
+            return "array"
+        mapped = _ICEBERG_PRIMITIVES.get(t)
+        if mapped is None:
+            raise ValueError(f"Unknown Iceberg type: {t}")
+        return mapped
+    kind = t.get("type")
+    if kind == "struct":
+        return "object"
+    if kind == "list":
+        return "array"
+    if kind == "map":
+        return "object"
+    raise ValueError(f"Unknown Iceberg type: {t}")
+
+
+def _iceberg_physical(t: Any) -> str:
+    if isinstance(t, str):
+        return t
+    kind = t.get("type")
+    if kind == "list":
+        return f"list<{_iceberg_physical(t['element'])}>"
+    if kind == "map":
+        return "map"
+    if kind == "struct":
+        inner = ", ".join(f"{f['name']}: {_iceberg_physical(f['type'])}"
+                          for f in t.get("fields", []))
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def _iceberg_type_to_property(name: str, t: Any, required: bool,
+                              field_id: Optional[int] = None,
+                              doc: Optional[str] = None) -> Property:
+    logical = _iceberg_logical(t)
+    custom: Dict[str, Any] = {}
+    if field_id is not None and field_id > 0:
+        custom["icebergFieldId"] = field_id
+    nested = None
+    items = None
+    physical = _iceberg_physical(t)
+    if isinstance(t, dict) and t.get("type") == "list":
+        items = _iceberg_type_to_property(
+            "items", t["element"], bool(t.get("element-required", True)))
+    elif isinstance(t, dict) and t.get("type") == "map":
+        custom["mapKeyType"] = _iceberg_logical(t["key"])
+        custom["mapValueType"] = _iceberg_logical(t["value"])
+        custom["mapValueRequired"] = str(bool(t.get("value-required", True))).lower()
+        if isinstance(t["value"], dict) and t["value"].get("type") == "map":
+            v = t["value"]
+            custom["mapValuePhysicalType"] = "map"
+            custom["mapNestedKeyType"] = _iceberg_logical(v["key"])
+            custom["mapNestedValueType"] = _iceberg_logical(v["value"])
+            custom["mapNestedValueRequired"] = str(bool(v.get("value-required", True))).lower()
+    elif isinstance(t, dict) and t.get("type") == "struct":
+        nested = [_iceberg_type_to_property(
+            f["name"], f["type"], bool(f.get("required", False)),
+            f.get("id"), f.get("doc")) for f in t.get("fields", [])]
+    return Property(
+        name=name,
+        logical_type=logical,
+        physical_type=physical,
+        description=doc,
+        required=required,
+        properties=nested,
+        items=items,
+        options={"customProperties": custom} if custom else {},
+    )
+
+
+def import_iceberg_json(doc: Dict[str, Any],
+                        table_name: Optional[str] = None) -> DataContract:
+    fields = doc.get("fields")
+    if not isinstance(fields, list):
+        raise ValueError("invalid Iceberg schema: 'fields' must be a list")
+    identifier_ids = list(doc.get("identifier-field-ids") or [])
+    props = []
+    pk_position = 1
+    for f in fields:
+        if not isinstance(f, dict) or "name" not in f or "type" not in f:
+            raise ValueError(f"invalid Iceberg schema field: {f!r}")
+        prop = _iceberg_type_to_property(
+            f["name"], f["type"], bool(f.get("required", False)),
+            f.get("id"), f.get("doc"))
+        if f.get("id") in identifier_ids:
+            prop.primary_key = True
+            prop.primary_key_position = pk_position
+            prop.required = True
+            pk_position += 1
+        props.append(prop)
+    obj = SchemaObject(name=table_name or "iceberg_table",
+                       physical_type="table", properties=props)
+    return DataContract(id="my-data-contract", version="1.0.0",
+                        schema_objects=[obj])
+
+
+def import_iceberg_json_file(path: str,
+                             table_name: Optional[str] = None) -> DataContract:
+    with open(path, "r", encoding="utf-8") as f:
+        return import_iceberg_json(json.load(f), table_name=table_name)

@@ -110,3 +110,48 @@ def test_cli_import_round3_formats(capsys):
         assert rc == 0, fmt
         assert probe in capsys.readouterr().out, fmt
     assert main(["import", "--format", "dbt", "--source", "/nonexistent.json"]) == 1
+
+
+ICEBERG_NESTED = "/root/reference/tests/fixtures/iceberg/nested_schema.json"
+ICEBERG_SIMPLE = "/root/reference/tests/fixtures/iceberg/simple_schema.json"
+ICEBERG_INVALID = "/root/reference/tests/fixtures/iceberg/invalid_schema.json"
+
+
+def test_iceberg_schema_import_nested():
+    got = importers.import_iceberg_json_file(ICEBERG_NESTED, "t")
+    by = {p.name: p for p in got.schema_objects[0].properties}
+    assert by["foo"].logical_type == "string" and not by["foo"].required
+    assert by["bar"].logical_type == "integer" and by["bar"].required
+    assert by["qux"].logical_type == "array"
+    assert by["qux"].items.logical_type == "string"
+    # map -> object with key/value types in customProperties (reference shape)
+    quux = by["quux"]
+    assert quux.logical_type == "object" and quux.physical_type == "map"
+    cp = quux.options["customProperties"]
+    assert cp["mapKeyType"] == "string" and cp["mapValueType"] == "object"
+    assert cp["mapNestedValueType"] == "integer"
+    # list<struct> and struct recurse
+    assert by["location"].items.logical_type == "object"
+    assert {c.name for c in by["location"].items.properties} == \
+        {"latitude", "longitude"}
+    assert [c.name for c in by["person"].properties] == ["name", "age"]
+    # field ids preserved
+    assert by["foo"].options["customProperties"]["icebergFieldId"] == 1
+
+
+def test_iceberg_identifier_fields_become_primary_keys():
+    got = importers.import_iceberg_json_file(ICEBERG_SIMPLE, "s")
+    [prop] = [p for p in got.schema_objects[0].properties if p.primary_key]
+    assert prop.primary_key_position == 1 and prop.required
+
+
+def test_iceberg_invalid_schema_raises():
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        importers.import_iceberg_json_file(ICEBERG_INVALID)
+
+
+def test_cli_import_iceberg(capsys):
+    rc = main(["import", "--format", "iceberg", "--source", ICEBERG_NESTED])
+    assert rc == 0
+    assert "iceberg_table" in capsys.readouterr().out
