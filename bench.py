@@ -84,7 +84,9 @@ def main() -> None:
     # The md5 kernels exist solely so the DuckDB oracle can reproduce the
     # LSH pair sets bit-for-bit; they stay the default for the correctness
     # gate (same queries() entries, no env override there).
-    os.environ.setdefault("DCSPARK_MINHASH_KERNEL", "expr")
+    # arrow = the vectorized numpy signature kernel — fastest measured
+    # (warm sf0.1: arrow 1.8s, expr 2.6s, md5 3.8s)
+    os.environ.setdefault("DCSPARK_MINHASH_KERNEL", "arrow")
     os.environ.setdefault("DCSPARK_SIMHASH_FAMILY", "xxhash64")
     os.environ.setdefault("DCSPARK_WINNOW_FAMILY", "xxhash64")
 

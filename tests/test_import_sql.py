@@ -194,3 +194,43 @@ def test_cli_import_sql(tmp_path, capsys):
     assert "field_one" in out and "maxLength: 10" in out
     rc = main(["import", "--format", "sql", "--source", str(tmp_path / "missing.sql")])
     assert rc == 1
+
+
+# ---------------------------------------------------------------------------
+# shape fuzzing: arbitrary text must raise ValueError or produce a contract —
+# never crash with an unexpected exception type
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.text(max_size=400))
+def test_sql_importer_never_crashes_on_garbage(text):
+    try:
+        c = sql_ddl.import_sql_ddl(text)
+        assert c.schema_objects  # non-error result must carry tables
+    except ValueError:
+        pass
+
+
+_SQL_TOKENS = st.sampled_from([
+    "CREATE", "TABLE", "(", ")", ",", ";", "NOT", "NULL", "PRIMARY", "KEY",
+    "VARCHAR(10)", "INT", "t", '"q t"', "[b t]", "`x`", "DEFAULT", "'a,b'",
+    "COMMENT", "'it''s'", "--", "\n", "${var}", "{{v}}", "$(v)", "<", ">",
+    "STRUCT<a: INT>", "CONSTRAINT", "UNIQUE", "TIMESTAMP", "WITH", "TIME",
+    "ZONE", "DECIMAL(10,2)", "0xFF",
+])
+
+
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_SQL_TOKENS, max_size=40))
+def test_sql_importer_never_crashes_on_sql_shaped_garbage(tokens):
+    try:
+        c = sql_ddl.import_sql_ddl(" ".join(tokens))
+        assert c.schema_objects
+    except ValueError:
+        pass
