@@ -88,6 +88,26 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     sections.append(("Winnowing fingerprints: inverted-index join, "
                      "two-phase pair count", wn))
 
+    # round 3: key-free interval join — bucket explode recovers a hash join
+    # (SortMergeJoin/ShuffledHashJoin on __bucket__), no nested loop
+    from datacontract_cli_spark.operators.intervaljoin import window_count
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ij = window_count(ev, "event_type = 'purchase'", "event_type = 'click'",
+                      window_seconds=120, bucket_seconds=60)
+    sections.append(("Interval join (key-free range join): bucketed "
+                     "equi-join, exact window filter, NO "
+                     "BroadcastNestedLoopJoin", ij))
+
+    # round 3: embedding near-dup — the exploded self-join carries only
+    # (id, table, bucket); vectors join back by id via broadcast hash joins
+    from datacontract_cli_spark.operators.similarity import embedding_near_duplicates
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nd = embedding_near_duplicates(emb, "vec_id", "embedding", threshold=0.9,
+                                   nbits=8, num_tables=2)
+    sections.append(("Embedding near-dup: payload-free banded self-join "
+                     "(no array<double> in any Exchange), vectors join "
+                     "back broadcast", nd))
+
     out = ["# PLANS — physical plans of the engine's core query shapes\n",
            f"Generated by `python tools/explain_dump.py {sf_dir}` "
            "(Spark " + spark.version + ").\n"]
