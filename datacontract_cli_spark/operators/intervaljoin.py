@@ -43,9 +43,10 @@ def interval_join(
 ) -> DataFrame:
     """Join rows of ``right`` into the [left_start, left_end) window of each
     ``left`` row. Column name collisions must be resolved by the caller.
-    ``how`` supports inner and left (unmatched left windows survive with
-    NULL right columns)."""
-    if how not in ("inner", "left"):
+    Inner join only: a left-outer variant cannot be expressed per-bucket
+    (a window is unmatched only if ALL its buckets are — callers wanting
+    unmatched windows anti-join the anchors against the inner result)."""
+    if how != "inner":
         raise ValueError(f"unsupported join type: {how}")
     b = F.lit(bucket_seconds * 1_000_000)  # epoch micros per bucket
 
@@ -69,14 +70,7 @@ def interval_join(
         (F.unix_micros(F.col(right_ts).cast("timestamp")) / b).cast("long"))
     matched = (F.col(right_ts) >= F.col(left_start)) & \
               (F.col(right_ts) < F.col(left_end))
-    if how == "inner":
-        return lhs.join(rhs, "__bucket__").filter(matched).drop("__bucket__")
-    joined = lhs.join(rhs, "__bucket__", "left").filter(
-        matched | F.col(right_ts).isNull())
-    # a left window only counts as unmatched if NO bucket matched; the
-    # all-buckets-unmatched collapse happens in the caller's aggregation —
-    # for the common count/agg use, expose the matched flag instead
-    return joined.withColumn("__matched__", matched).drop("__bucket__")
+    return lhs.join(rhs, "__bucket__").filter(matched).drop("__bucket__")
 
 
 def window_count(
