@@ -10,6 +10,7 @@ jsonschema_importer.py — here as the exact inverses of our exporters).
 from __future__ import annotations
 
 import json
+import re
 from typing import Any, Dict, Optional
 
 from pyspark.sql import SparkSession
@@ -586,3 +587,134 @@ def import_iceberg_json_file(path: str,
                              table_name: Optional[str] = None) -> DataContract:
     with open(path, "r", encoding="utf-8") as f:
         return import_iceberg_json(json.load(f), table_name=table_name)
+
+
+# ---------------------------------------------------------------------------
+# DBML -> contract (reference imports/dbml_importer.py — there via pydbml;
+# here a compact parser over the public DBML grammar: Project note, Table
+# blocks with [pk, unique, not null, Note: "..."] column attributes,
+# table-level Notes, and Ref: lines -> customProperties.references)
+# ---------------------------------------------------------------------------
+
+_DBML_IDENT = r'(?:"[^"]+"|[A-Za-z_][\w]*)'
+
+
+def _dbml_unquote(s: str) -> str:
+    s = s.strip()
+    if len(s) >= 2 and s[0] == '"' and s[-1] == '"':
+        return s[1:-1]
+    return s
+
+
+def _dbml_note(text: str) -> Optional[str]:
+    m = re.search(r"Note\s*:\s*(?:'''(.*?)'''|\"((?:[^\"\\]|\\.)*)\"|'((?:[^'\\]|\\.)*)')",
+                  text, re.IGNORECASE | re.DOTALL)
+    if not m:
+        return None
+    return next(g for g in m.groups() if g is not None).strip()
+
+
+def import_dbml(text: str, import_schemas: Optional[list] = None,
+                import_tables: Optional[list] = None) -> DataContract:
+    from datacontract_cli_spark.sources.sql_ddl import (
+        _matched_paren,
+        map_type_from_sql,
+    )
+
+    text = re.sub(r"//[^\n]*", "", text)
+
+    name = None
+    description = None
+    pm = re.search(r'Project\s+("?[^"{\s]+"?|"[^"]+")\s*\{', text)
+    if pm:
+        name = _dbml_unquote(pm.group(1))
+        close = text.find("}", pm.end())
+        if close > 0:
+            description = _dbml_note(text[pm.end():close])
+
+    # Ref: [schema.]table.col (>|<|-) [schema.]table.col
+    references: Dict[tuple, str] = {}
+    for rm in re.finditer(
+            r"Ref\s*:\s*([\w.\"]+)\s*([<>-])\s*([\w.\"]+)", text):
+        left, op, right = rm.group(1), rm.group(2), rm.group(3)
+        child, parent = (left, right) if op in (">", "-") else (right, left)
+        cparts = [_dbml_unquote(p) for p in child.split(".")]
+        pparts = [_dbml_unquote(p) for p in parent.split(".")]
+        if len(cparts) >= 2 and len(pparts) >= 2:
+            references[(cparts[-2], cparts[-1])] = f"{pparts[-2]}.{pparts[-1]}"
+
+    objects = []
+    for tm in re.finditer(
+            rf"Table\s+({_DBML_IDENT}(?:\.{_DBML_IDENT})?)\s*\{{", text):
+        qualified = tm.group(1)
+        parts = [_dbml_unquote(p) for p in qualified.split(".")]
+        schema_name = parts[0] if len(parts) > 1 else None
+        table_name = parts[-1]
+        if import_schemas and schema_name not in import_schemas:
+            continue
+        if import_tables and table_name not in import_tables:
+            continue
+        open_idx = tm.end() - 1
+        close = _matched_paren(text.replace("{", "(").replace("}", ")"), open_idx)
+        body = text[open_idx + 1:close if close > 0 else len(text)]
+
+        props: List[Property] = []
+        table_note = None
+        pk_position = 1
+        for line in body.split("\n"):
+            line = line.strip()
+            if not line:
+                continue
+            if re.match(r"Note\s*:", line, re.IGNORECASE):
+                table_note = _dbml_note(line)
+                continue
+            cm = re.match(
+                rf"({_DBML_IDENT})\s+({_DBML_IDENT}(?:\([^)]*\))?)\s*(\[.*\])?\s*$",
+                line)
+            if not cm:
+                continue
+            col = _dbml_unquote(cm.group(1))
+            ctype = _dbml_unquote(cm.group(2))
+            attrs = cm.group(3) or ""
+            note = _dbml_note(attrs)
+            # flags must not match words inside the Note text
+            flags = re.sub(
+                r"Note\s*:\s*(?:'''.*?'''|\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')",
+                "", attrs, flags=re.IGNORECASE | re.DOTALL).lower()
+            is_pk = bool(re.search(r"\bpk\b|\bprimary\s+key\b", flags))
+            required = "not null" in flags
+            unique = bool(re.search(r"\bunique\b", flags))
+            logical, fmt = map_type_from_sql(ctype)
+            options: Dict[str, Any] = {}
+            if fmt:
+                options["format"] = fmt
+            ref = references.get((table_name, col))
+            if ref:
+                options.setdefault("customProperties", {})["references"] = ref
+            props.append(Property(
+                name=col, logical_type=logical, physical_type=ctype,
+                description=note, required=required or is_pk, unique=unique,
+                primary_key=is_pk,
+                primary_key_position=pk_position if is_pk else None,
+                options=options,
+            ))
+            if is_pk:
+                pk_position += 1
+        obj = SchemaObject(name=table_name, physical_type="table",
+                           description=table_note, properties=props)
+        if schema_name:
+            # namespace rides in physical_name-free custom lane like the
+            # reference's customProperties namespace marker
+            obj.physical_name = table_name
+        objects.append(obj)
+
+    if not objects:
+        raise ValueError("no Table blocks found in DBML source")
+    return DataContract(id="my-data-contract", name=name,
+                        description=description, version="1.0.0",
+                        schema_objects=objects)
+
+
+def import_dbml_file(path: str, **kwargs) -> DataContract:
+    with open(path, "r", encoding="utf-8") as f:
+        return import_dbml(f.read(), **kwargs)

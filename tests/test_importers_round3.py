@@ -155,3 +155,43 @@ def test_cli_import_iceberg(capsys):
     rc = main(["import", "--format", "iceberg", "--source", ICEBERG_NESTED])
     assert rc == 0
     assert "iceberg_table" in capsys.readouterr().out
+
+
+DBML_FIXTURE = "/root/reference/tests/fixtures/dbml/import/dbml.txt"
+
+
+def test_dbml_import_reference_fixture():
+    got = importers.import_dbml_file(DBML_FIXTURE)
+    assert got.name == "Orders Latest"
+    assert got.description.startswith("Successful customer orders")
+    orders, line_items = got.schema_objects
+    assert orders.name == "orders"
+    assert orders.description == ("One record per order. Includes cancelled "
+                                  "and deleted orders.")
+    by = {p.name: p for p in orders.properties}
+    oid = by["order_id"]
+    assert oid.primary_key and oid.primary_key_position == 1
+    assert oid.unique and oid.required
+    assert oid.logical_type == "string" and oid.physical_type == "text"
+    assert by["order_timestamp"].logical_type == "timestamp"
+    # 'unique' inside a Note must NOT set the unique flag
+    assert not by["customer_id"].unique and not by["customer_id"].required
+    li = {p.name: p for p in line_items.properties}
+    assert li["order_id"].options["customProperties"]["references"] == \
+        "orders.order_id"
+
+
+def test_dbml_table_filter_and_errors():
+    got = importers.import_dbml_file(DBML_FIXTURE, import_tables=["line_items"])
+    assert [o.name for o in got.schema_objects] == ["line_items"]
+    got = importers.import_dbml_file(DBML_FIXTURE, import_schemas=["test"])
+    assert [o.name for o in got.schema_objects] == ["orders"]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        importers.import_dbml("no tables here at all")
+
+
+def test_cli_import_dbml(capsys):
+    rc = main(["import", "--format", "dbml", "--source", DBML_FIXTURE])
+    assert rc == 0
+    assert "line_items" in capsys.readouterr().out
