@@ -105,7 +105,7 @@ def build_parser() -> argparse.ArgumentParser:
     imp.add_argument("--format", required=True,
                      choices=["parquet", "orc", "csv", "json", "avro",
                               "jsonschema", "sql", "dbt", "bigquery", "unity",
-                              "iceberg", "dbml"])
+                              "iceberg", "dbml", "protobuf"])
     imp.add_argument("--source", required=True, help="file or schema path")
     imp.add_argument("--name", default="model", help="model name for file imports")
     imp.add_argument("--dialect", default=None,
@@ -134,12 +134,17 @@ def main(argv: list[str] | None = None) -> int:
             except (OSError, ValueError) as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 1
-        elif args.format in ("dbt", "bigquery", "unity", "iceberg", "dbml"):
+        elif args.format in ("dbt", "bigquery", "unity", "iceberg", "dbml",
+                             "protobuf"):
+            from datacontract_cli_spark.sources.proto_import import import_protobuf
+            def _import_protobuf_file(path):
+                return import_protobuf([path])
             loaders = {"dbt": importers.import_dbt_manifest_file,
                        "bigquery": importers.import_bigquery_json_file,
                        "unity": importers.import_unity_json_file,
                        "iceberg": importers.import_iceberg_json_file,
-                       "dbml": importers.import_dbml_file}
+                       "dbml": importers.import_dbml_file,
+                       "protobuf": _import_protobuf_file}
             try:
                 contract = loaders[args.format](args.source)
             except (OSError, ValueError, KeyError) as e:

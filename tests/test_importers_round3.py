@@ -195,3 +195,56 @@ def test_cli_import_dbml(capsys):
     rc = main(["import", "--format", "dbml", "--source", DBML_FIXTURE])
     assert rc == 0
     assert "line_items" in capsys.readouterr().out
+
+
+PROTO_SAMPLE = "/root/reference/tests/fixtures/protobuf/data/sample_data.proto3.data"
+PROTO_NESTED = "/root/reference/tests/fixtures/protobuf/nested_imports/C.proto"
+
+
+def test_protobuf_import_matches_reference_expected():
+    from datacontract_cli_spark.sources.proto_import import import_protobuf
+
+    got = {o.name: o for o in import_protobuf([PROTO_SAMPLE]).schema_objects}
+    expected = yaml.safe_load(open(
+        "/root/reference/tests/fixtures/protobuf/expected/sample_data.odcs.yaml"))
+    exp = {s["name"]: s for s in expected["schema"]}
+    assert set(got) == set(exp) == {"Product", "Review"}
+
+    def check(gprops, eprops):
+        gb = {p.name: p for p in gprops}
+        for ep in eprops:
+            g = gb[ep["name"]]
+            assert g.logical_type == ep.get("logicalType"), ep["name"]
+            assert str(g.physical_type) == str(ep.get("physicalType")), ep["name"]
+            assert g.description == ep.get("description"), ep["name"]
+            assert g.required == bool(ep.get("required")), ep["name"]
+            ecp = {c["property"]: c["value"]
+                   for c in ep.get("customProperties") or []}
+            gcp = (g.options or {}).get("customProperties") or {}
+            assert gcp.get("enumValues") == ecp.get("enumValues"), ep["name"]
+            if ep.get("items"):
+                check(g.items.properties or [],
+                      ep["items"].get("properties") or [])
+            if ep.get("properties"):
+                check(g.properties or [], ep["properties"])
+
+    for name in exp:
+        assert got[name].description == exp[name].get("description")
+        check(got[name].properties, exp[name].get("properties") or [])
+
+
+def test_protobuf_transitive_imports():
+    from datacontract_cli_spark.sources.proto_import import import_protobuf
+
+    [company] = import_protobuf([PROTO_NESTED]).schema_objects
+    assert company.name == "Company"   # imported Person/Address resolve but
+    contact = {p.name: p for p in company.properties}["contact"]
+    addr = {p.name: p for p in contact.properties}["address"]
+    assert [p.name for p in addr.properties] == \
+        ["street", "city", "country", "postal_code"]
+
+
+def test_cli_import_protobuf(capsys):
+    rc = main(["import", "--format", "protobuf", "--source", PROTO_SAMPLE])
+    assert rc == 0
+    assert "Product" in capsys.readouterr().out
