@@ -93,7 +93,7 @@ def build_parser() -> argparse.ArgumentParser:
                               "html", "markdown", "mermaid",
                               "great-expectations", "pydantic", "sqlalchemy",
                               "dbml", "protobuf", "go", "bigquery", "dcs",
-                              "custom"])
+                              "custom", "iceberg"])
     exp.add_argument("--server", default=None,
                      help="server name (dbt adapter / bigquery resolution)")
     exp.add_argument("--template", default=None,
@@ -245,6 +245,13 @@ def main(argv: list[str] | None = None) -> int:
         elif args.format == "dcs":
             from datacontract_cli_spark.export_code import to_dcs_yaml
             text = to_dcs_yaml(contract)
+        elif args.format == "iceberg":
+            from datacontract_cli_spark.export_code import to_iceberg_json
+            try:
+                text = to_iceberg_json(contract, args.schema_name)
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
         elif args.format == "custom":
             from datacontract_cli_spark.export_code import to_custom_jinja
             if not args.template:

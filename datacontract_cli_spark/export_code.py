@@ -549,3 +549,84 @@ def to_dcs_yaml(contract: DataContract) -> str:
             for i, s in enumerate(contract.servers)
         }
     return yaml.safe_dump(doc, sort_keys=False)
+
+
+# ---------------------------------------------------------------------------
+# iceberg schema JSON (reference export/iceberg_exporter.py — there via
+# pyiceberg Schema + assign_fresh_schema_ids; here the JSON serialization
+# form of https://iceberg.apache.org/spec/#appendix-c-json-serialization is
+# emitted directly; fresh ids are assigned struct-fields-first then nested
+# element/key/value ids, primary keys become identifier-field-ids)
+# ---------------------------------------------------------------------------
+
+_ICEBERG_TYPES = {"string": "string", "integer": "int", "int": "int",
+                  "long": "long", "bigint": "long", "float": "float",
+                  "double": "double", "boolean": "boolean", "date": "date",
+                  "timestamp": "timestamptz", "bytes": "binary",
+                  "binary": "binary"}
+
+
+def _iceberg_type_of(prop: Property, ids) -> Any:
+    lt = (prop.logical_type or "").lower()
+    custom = (prop.options or {}).get("customProperties") or {}
+    if lt == "array":
+        item = prop.items if prop.items is not None else Property(name="items")
+        return {"type": "list", "element-id": next(ids),
+                "element": _iceberg_type_of(item, ids),
+                "element-required": item.required is True}
+    if lt == "object" and (prop.physical_type == "map" or custom.get("mapKeyType")):
+        key_t = _ICEBERG_TYPES.get(custom.get("mapKeyType", "string"), "string")
+        out = {"type": "map", "key-id": next(ids), "key": key_t,
+               "value-id": next(ids),
+               "value-required": custom.get("mapValueRequired") == "true"}
+        if custom.get("mapValuePhysicalType") == "map":
+            out["value"] = {
+                "type": "map", "key-id": next(ids),
+                "key": _ICEBERG_TYPES.get(custom.get("mapNestedKeyType", "string"), "string"),
+                "value-id": next(ids),
+                "value": _ICEBERG_TYPES.get(custom.get("mapNestedValueType", "string"), "string"),
+                "value-required": custom.get("mapNestedValueRequired", "true") == "true",
+            }
+        else:
+            out["value"] = _ICEBERG_TYPES.get(custom.get("mapValueType", "string"), "string")
+        return out
+    if lt == "object":
+        return _iceberg_struct(prop.properties or [], ids)
+    if lt == "number":
+        return "decimal(38, 0)"
+    return _ICEBERG_TYPES.get(lt, "string")
+
+
+def _iceberg_struct(props: List[Property], ids) -> Dict[str, Any]:
+    # struct fields take consecutive ids first, nested types after — the
+    # fresh-id strategy the reference gets from assign_fresh_schema_ids
+    fields = []
+    for p in props:
+        fields.append({"id": next(ids), "name": p.column,
+                       "required": p.required is True})
+    for entry, p in zip(fields, props):
+        entry["type"] = _iceberg_type_of(p, ids)
+    return {"type": "struct", "fields": fields}
+
+
+def to_iceberg_json(contract: DataContract, schema_name: str = "all") -> str:
+    import itertools
+
+    if schema_name in (None, "all"):
+        if len(contract.schema_objects) != 1:
+            raise ValueError("iceberg export supports exactly one model; "
+                             "pass --schema <model>")
+        obj = contract.schema_objects[0]
+    else:
+        obj = contract.schema_object(schema_name)
+        if obj is None:
+            raise ValueError(f"model {schema_name} not found in contract")
+    ids = itertools.count(1)
+    struct = _iceberg_struct(obj.properties, ids)
+    identifier_ids = [
+        f["id"] for f, p in zip(struct["fields"], obj.properties)
+        if p.primary_key
+    ]
+    doc = {"type": "struct", "fields": struct["fields"],
+           "schema-id": 0, "identifier-field-ids": identifier_ids}
+    return json.dumps(doc)

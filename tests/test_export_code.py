@@ -298,3 +298,45 @@ def test_cli_export_bigquery_dcs_custom(tmp_path, capsys):
                  "--template", str(tpl)]) == 0
     assert "orders-unit-test" in capsys.readouterr().out
     assert main(["export", str(src), "--format", "custom"]) == 1
+
+
+def test_iceberg_export_roundtrips_with_importer():
+    import json as _json
+
+    from datacontract_cli_spark.export_code import to_iceberg_json
+    from datacontract_cli_spark.sources.importers import (
+        import_iceberg_json,
+        import_iceberg_json_file,
+    )
+
+    src = import_iceberg_json_file(
+        "/root/reference/tests/fixtures/iceberg/nested_schema.json", "t")
+    doc = _json.loads(to_iceberg_json(src, "t"))
+    assert doc["type"] == "struct" and doc["schema-id"] == 0
+    # fresh ids: struct fields first, consecutive from 1
+    assert [f["id"] for f in doc["fields"]] == list(range(1, 8))
+    back = import_iceberg_json(doc, "t")
+    a = {p.name: (p.logical_type, p.required)
+         for p in src.schema_objects[0].properties}
+    b = {p.name: (p.logical_type, p.required)
+         for p in back.schema_objects[0].properties}
+    assert a == b
+
+
+def test_iceberg_export_identifier_fields():
+    import json as _json
+
+    from datacontract_cli_spark.export_code import to_iceberg_json
+
+    contract = load_contract_str(NESTED_CONTRACT)
+    doc = _json.loads(to_iceberg_json(contract, "orders"))
+    pk_field = next(f for f in doc["fields"] if f["name"] == "order_id")
+    assert doc["identifier-field-ids"] == [pk_field["id"]]
+    assert pk_field["required"] is True
+
+
+def test_cli_export_iceberg(capsys):
+    rc = main(["export", EXPORT_FIXTURE, "--format", "iceberg",
+               "--schema", "orders"])
+    assert rc == 0
+    assert '"identifier-field-ids"' in capsys.readouterr().out
