@@ -1121,8 +1121,10 @@ def _dedup_clusters_oracle(threshold: float = 0.8) -> str:
     iterative min-label propagation converges to."""
     pairs_sql = _minhash_md5_oracle(threshold=threshold)
     return (
-        "WITH RECURSIVE mh AS (" + pairs_sql + "), "
-        "edges AS (SELECT id_a AS a, id_b AS b FROM mh "
+        # MATERIALIZED: without it DuckDB may inline the (expensive) minhash
+        # pair CTE into every recursive iteration
+        "WITH RECURSIVE mh AS MATERIALIZED (" + pairs_sql + "), "
+        "edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM mh "
         "UNION SELECT id_b, id_a FROM mh), "
         "cc(node, label) AS ("
         "SELECT a, a FROM edges "
