@@ -93,7 +93,7 @@ def build_parser() -> argparse.ArgumentParser:
                               "html", "markdown", "mermaid",
                               "great-expectations", "pydantic", "sqlalchemy",
                               "dbml", "protobuf", "go", "bigquery", "dcs",
-                              "custom", "iceberg"])
+                              "custom", "iceberg", "dqx"])
     exp.add_argument("--server", default=None,
                      help="server name (dbt adapter / bigquery resolution)")
     exp.add_argument("--template", default=None,
@@ -249,6 +249,13 @@ def main(argv: list[str] | None = None) -> int:
             from datacontract_cli_spark.export_code import to_iceberg_json
             try:
                 text = to_iceberg_json(contract, args.schema_name)
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
+        elif args.format == "dqx":
+            from datacontract_cli_spark.export_code import to_dqx_yaml
+            try:
+                text = to_dqx_yaml(contract, args.schema_name)
             except ValueError as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 1

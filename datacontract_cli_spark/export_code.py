@@ -630,3 +630,66 @@ def to_iceberg_json(contract: DataContract, schema_name: str = "all") -> str:
     doc = {"type": "struct", "fields": struct["fields"],
            "schema-id": 0, "identifier-field-ids": identifier_ids}
     return json.dumps(doc)
+
+
+# ---------------------------------------------------------------------------
+# DQX quality-check YAML (reference export/dqx_exporter.py — extract the
+# engine=dqx quality implementations, injecting the column path into check
+# arguments when no column/columns/for_each_column is declared; is_unique
+# and foreign_key take a columns LIST, everything else a scalar column)
+# ---------------------------------------------------------------------------
+
+def _dqx_rule(rule, column_path: str) -> Optional[Dict[str, Any]]:
+    impl = rule.implementation
+    if isinstance(impl, str):
+        try:
+            impl = yaml.safe_load(impl)
+        except yaml.YAMLError:
+            return None
+    if not isinstance(impl, dict) or "check" not in impl:
+        return None
+    check = impl["check"]
+    if column_path and isinstance(check, dict):
+        args = check.setdefault("arguments", {})
+        if not ({"column", "columns", "for_each_column"} & set(args)):
+            if check.get("function") in ("is_unique", "foreign_key"):
+                args["columns"] = [column_path]
+            else:
+                args["column"] = column_path
+    return impl
+
+
+def _dqx_walk(props: List[Property], prefix: str,
+              out: List[Dict[str, Any]]) -> None:
+    for prop in props:
+        path = f"{prefix}.{prop.name}" if prefix else prop.name
+        if prop.properties:
+            _dqx_walk(prop.properties, path, out)
+            for rule in prop.quality:
+                r = _dqx_rule(rule, path)
+                if r is not None:
+                    out.append(r)
+        else:
+            for rule in prop.quality:
+                r = _dqx_rule(rule, path)
+                if r is not None:
+                    out.append(r)
+
+
+def to_dqx_yaml(contract: DataContract, schema_name: str = "all") -> str:
+    if schema_name in (None, "all"):
+        if len(contract.schema_objects) != 1:
+            raise ValueError("dqx export supports one model; pass --schema")
+        obj = contract.schema_objects[0]
+    else:
+        obj = contract.schema_object(schema_name)
+        if obj is None:
+            raise ValueError(f"model {schema_name} not found in contract")
+    rules: List[Dict[str, Any]] = []
+    _dqx_walk(obj.properties, "", rules)
+    for rule in obj.quality:
+        r = _dqx_rule(rule, "")
+        if r is not None:
+            rules.append(r)
+    return yaml.dump(rules, sort_keys=False, allow_unicode=True,
+                     default_flow_style=False)

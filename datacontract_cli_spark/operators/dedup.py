@@ -267,6 +267,7 @@ def minhash_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     kernel: str = "expr",
+    threshold: Optional[float] = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH,
     with the signature-agreement Jaccard estimate attached.
@@ -351,6 +352,10 @@ def minhash_candidates(
     out = pairs.select(
         "id_a", "id_b", (agree / F.lit(num_hashes)).alias("est_jaccard")
     )
+    if threshold is not None:
+        # filtering BEFORE the persist means the frame the caller receives
+        # IS the cached one (an unpersist() on it actually releases storage)
+        out = out.filter(F.col("est_jaccard") >= threshold)
     # Eagerly materialize the candidate pairs (orders of magnitude smaller
     # than the signatures), then release the signature cache. The returned
     # frame stays persisted — callers may unpersist() when done; the
@@ -368,9 +373,8 @@ def minhash_near_duplicates(
     threshold: float = 0.8,
     **kwargs,
 ) -> DataFrame:
-    return minhash_candidates(df, id_col, text_col, **kwargs).filter(
-        F.col("est_jaccard") >= threshold
-    )
+    return minhash_candidates(df, id_col, text_col, threshold=threshold,
+                              **kwargs)
 
 
 # ---------------------------------------------------------------------------

@@ -64,16 +64,15 @@ def hash_split(
     u = F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"),
                                           F.lit(salt))), 1, 8), 16, 10) \
         .cast("double") / F.lit(float(1 << 32))
-    expr: Column = F.lit(None).cast("string")
-    names: List[str] = list(weights)
     bound = 0.0
-    conditions = []
-    for name in names:
-        bound += weights[name] / total
+    conditions: List[tuple] = []
+    for name, w in weights.items():
+        bound += w / total
         conditions.append((name, bound))
-    expr = F.when(u < F.lit(conditions[0][1]), F.lit(conditions[0][0]))
+    expr: Column = F.when(u < F.lit(conditions[0][1]), F.lit(conditions[0][0]))
     for name, b in conditions[1:-1]:
         expr = expr.when(u < F.lit(b), F.lit(name))
-    if len(conditions) > 1:
-        expr = expr.otherwise(F.lit(conditions[-1][0]))
+    # the last bucket is the catch-all so float rounding at the top boundary
+    # can never produce a NULL split
+    expr = expr.otherwise(F.lit(conditions[-1][0]))
     return df.withColumn("split", expr)

@@ -340,3 +340,48 @@ def test_cli_export_iceberg(capsys):
                "--schema", "orders"])
     assert rc == 0
     assert '"identifier-field-ids"' in capsys.readouterr().out
+
+
+def test_dqx_export_matches_reference_expected_rules():
+    import yaml as _yaml
+
+    from datacontract_cli_spark.export_code import to_dqx_yaml
+
+    contract = load_contract(
+        "/root/reference/tests/fixtures/dqx/datacontract.odcs.yaml")
+    rules = _yaml.safe_load(to_dqx_yaml(contract))
+    # the reference test's leading expectations (tests/test_export_dqx.py)
+    assert rules[0] == {"criticality": "error",
+                       "check": {"function": "is_not_null",
+                                 "arguments": {"column": "interaction_id"}}}
+    fk = next(r for r in rules if r["check"]["function"] == "foreign_key")
+    assert fk["check"]["arguments"]["columns"] == ["user_id"]
+    assert fk["check"]["arguments"]["ref_table"] == "catalog1.schema1.user"
+    uniq = next(r for r in rules if r["check"]["function"] == "is_unique")
+    assert uniq["check"]["arguments"]["columns"] == ["user_id"]
+    in_list = next(r for r in rules if r["check"]["function"] == "is_in_list")
+    assert in_list["check"]["arguments"]["column"] == "interaction_type"
+    # nested struct columns carry dotted paths
+    dotted = [r for r in rules
+              if "." in str(r["check"].get("arguments", {}).get("column", ""))]
+    assert dotted, "nested property rules must carry dotted column paths"
+
+
+def test_dqx_export_empty_without_quality():
+    from datacontract_cli_spark.export_code import to_dqx_yaml
+
+    contract = load_contract_str(NESTED_CONTRACT)
+    assert yaml_load_empty(to_dqx_yaml(contract))
+
+
+def yaml_load_empty(text):
+    import yaml as _yaml
+    return _yaml.safe_load(text) in (None, [])
+
+
+def test_cli_export_dqx(capsys):
+    rc = main(["export",
+               "/root/reference/tests/fixtures/dqx/datacontract.odcs.yaml",
+               "--format", "dqx"])
+    assert rc == 0
+    assert "is_not_null" in capsys.readouterr().out
