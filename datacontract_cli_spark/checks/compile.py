@@ -445,6 +445,24 @@ def _nested_checkable(prop: Property) -> bool:
     return False
 
 
+# Backends whose catalog exposes a real DECLARED native type. On file
+# sources the type check falls through to the 9-category logicalType lane —
+# a DCS contract's raw type string (preserved as physicalType, reference
+# dcs_importer.py:427-429) must not be string-compared against what a
+# parquet reader inferred (reference: supports_native_type_introspection,
+# engines/ibis/native_type.py:40-56; create_checks.py:255 gates on it).
+# iceberg/dataframe added: in THIS engine those bind through Spark's
+# catalog, whose declared types the dialect alias matrix can check.
+_NATIVE_TYPE_SERVERS = {
+    "sqlserver", "mssql", "postgres", "redshift", "snowflake", "databricks",
+    "oracle", "athena", "trino", "bigquery", "iceberg", "dataframe",
+}
+
+
+def _native_type_server(server: Optional[Server]) -> bool:
+    return server is not None and (server.type or "").lower() in _NATIVE_TYPE_SERVERS
+
+
 def _schema_object_checks(model: str, obj: SchemaObject, server: Optional[Server]) -> List[CheckSpec]:
     checks: List[CheckSpec] = []
 
@@ -471,7 +489,7 @@ def _schema_object_checks(model: str, obj: SchemaObject, server: Optional[Server
             )
         )
 
-        if prop.physical_type:
+        if prop.physical_type and _native_type_server(server):
             checks.append(
                 CheckSpec(
                     key=f"{model}__{field}__field_physical_type",

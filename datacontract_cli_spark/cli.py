@@ -93,7 +93,7 @@ def build_parser() -> argparse.ArgumentParser:
                               "html", "markdown", "mermaid",
                               "great-expectations", "pydantic", "sqlalchemy",
                               "dbml", "protobuf", "go", "bigquery", "dcs",
-                              "custom", "iceberg", "dqx"])
+                              "custom", "iceberg", "dqx", "data-caterer"])
     exp.add_argument("--server", default=None,
                      help="server name (dbt adapter / bigquery resolution)")
     exp.add_argument("--template", default=None,
@@ -256,6 +256,13 @@ def main(argv: list[str] | None = None) -> int:
             from datacontract_cli_spark.export_code import to_dqx_yaml
             try:
                 text = to_dqx_yaml(contract, args.schema_name)
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
+        elif args.format == "data-caterer":
+            from datacontract_cli_spark.export_code import to_data_caterer_yaml
+            try:
+                text = to_data_caterer_yaml(contract, args.server)
             except ValueError as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 1

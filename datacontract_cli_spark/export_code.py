@@ -693,3 +693,94 @@ def to_dqx_yaml(contract: DataContract, schema_name: str = "all") -> str:
             rules.append(r)
     return yaml.dump(rules, sort_keys=False, allow_unicode=True,
                      default_flow_style=False)
+
+
+# ---------------------------------------------------------------------------
+# Data Caterer generation plan (reference export/data_caterer_exporter.py —
+# one step per model with the server's path/topic/table options, per-field
+# generator options from constraints: oneOf/isUnique/isPrimaryKey/minLen/
+# maxLen/regex/min/max, arrayType for arrays, nested fields for structs)
+# ---------------------------------------------------------------------------
+
+_CATERER_TYPES = {"number": "double", "numeric": "double", "double": "double",
+                  "decimal": "decimal", "bigint": "decimal",
+                  "int": "integer", "integer": "integer", "long": "long",
+                  "float": "float", "string": "string", "text": "string",
+                  "varchar": "string", "boolean": "boolean",
+                  "timestamp": "timestamp", "timestamp_tz": "timestamp",
+                  "timestamp_ntz": "timestamp", "date": "date",
+                  "array": "array", "map": "struct", "object": "struct",
+                  "record": "struct", "struct": "struct", "bytes": "binary"}
+
+
+def _caterer_type(t: Optional[str]) -> str:
+    return _CATERER_TYPES.get((t or "").lower(), "string")
+
+
+def _caterer_field(prop: Property) -> Dict[str, Any]:
+    field: Dict[str, Any] = {"name": prop.name}
+    opts: Dict[str, Any] = {}
+    declared = prop.physical_type or prop.logical_type
+    is_array = (declared or "").lower() == "array"
+    if declared is not None:
+        t = _caterer_type(declared)
+        field["type"] = t
+        if t == "struct":
+            field["fields"] = [_caterer_field(c) for c in prop.properties or []]
+        elif t == "array":
+            item_t = (prop.items.physical_type or prop.items.logical_type
+                      if prop.items is not None else None)
+            opts["arrayType"] = _caterer_type(item_t) if item_t else "string"
+    enum = _enum_of(prop)
+    if enum:
+        opts["oneOf"] = enum
+    if prop.unique:
+        opts["isUnique"] = True
+    if prop.primary_key:
+        opts["isPrimaryKey"] = True
+    if _opt(prop, "minLength") is not None:
+        opts["arrayMinLen" if is_array else "minLen"] = _opt(prop, "minLength")
+    if _opt(prop, "maxLength") is not None:
+        opts["arrayMaxLen" if is_array else "maxLen"] = _opt(prop, "maxLength")
+    if _opt(prop, "pattern") is not None:
+        opts["regex"] = _opt(prop, "pattern")
+    if _opt(prop, "minimum") is not None:
+        opts["min"] = _opt(prop, "minimum")
+    if _opt(prop, "maximum") is not None:
+        opts["max"] = _opt(prop, "maximum")
+    if opts:
+        field["options"] = opts
+    return field
+
+
+def to_data_caterer_yaml(contract: DataContract,
+                         server_name: Optional[str] = None) -> str:
+    server = None
+    if server_name is not None:
+        server = contract.server(server_name)
+        if server is None:
+            raise ValueError(f"server {server_name} not found in contract")
+    elif contract.servers:
+        server = contract.servers[0]
+    steps = []
+    for obj in contract.schema_objects:
+        if server is not None and server.type in ("s3", "gcs", "azure", "local"):
+            step_type = server.format
+            options: Dict[str, Any] = {
+                "path": server.path or server.location or "/tmp/data_caterer_data"}
+        elif server is not None and server.type == "postgres":
+            step_type = server.type
+            options = {"schema": server.schema_, "table": obj.name}
+        elif server is not None and server.type == "kafka":
+            step_type = server.type
+            options = {"topic": server.options.get("topic")}
+        elif server is not None and server.type is not None:
+            step_type = server.type
+            options = {}
+        else:
+            step_type = "csv"
+            options = {}
+        steps.append({"name": obj.name, "type": step_type, "options": options,
+                      "fields": [_caterer_field(p) for p in obj.properties]})
+    return yaml.dump({"name": contract.name, "steps": steps}, indent=2,
+                     sort_keys=False, allow_unicode=True)

@@ -281,9 +281,14 @@ def _convert_legacy_field(name: str, f: Dict[str, Any]) -> Property:
     return Property(
         name=name,
         logical_type=logical,
-        physical_type=f.get("physicalType") or f.get("config", {}).get("physicalType")
-        if isinstance(f.get("config"), dict)
-        else f.get("physicalType"),
+        # reference dcs_importer.py:427-429 preserves the original DCS type
+        # string as physicalType (explicit physicalType/config override wins)
+        physical_type=(
+            f.get("physicalType")
+            or (f.get("config", {}).get("physicalType")
+                if isinstance(f.get("config"), dict) else None)
+            or (raw_type if isinstance(raw_type, str) else None)
+        ),
         required=bool(f.get("required", False)),
         unique=bool(f.get("unique", False)),
         primary_key=bool(f.get("primaryKey") or f.get("primary", False)),

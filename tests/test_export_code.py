@@ -385,3 +385,49 @@ def test_cli_export_dqx(capsys):
                "--format", "dqx"])
     assert rc == 0
     assert "is_not_null" in capsys.readouterr().out
+
+
+DATA_CATERER_EXPECTED_HEAD = {
+    "name": "Orders Unit Test",
+}
+
+
+def test_data_caterer_matches_reference_expectation():
+    import yaml as _yaml
+
+    from datacontract_cli_spark.export_code import to_data_caterer_yaml
+
+    contract = load_contract(
+        "/root/reference/tests/fixtures/data-caterer/export/datacontract_nested.yaml")
+    got = _yaml.safe_load(to_data_caterer_yaml(contract))
+    assert got["name"] == "Orders Unit Test"
+    [step] = got["steps"]
+    assert step["type"] == "json"
+    assert step["options"]["path"] == "s3://covid19-lake/enigma-jhu/json/*.json"
+    fields = {f["name"]: f for f in step["fields"]}
+    # the reference test's expected per-field types/options
+    assert fields["order_id"]["options"] == {
+        "isUnique": True, "isPrimaryKey": True, "minLen": 8, "maxLen": 10,
+        "regex": "^B[0-9]+$"}
+    assert fields["order_total"]["type"] == "decimal"     # bigint -> decimal
+    assert fields["order_total"]["options"] == {"min": 0, "max": 1000000}
+    assert fields["customer_id_long"]["type"] == "long"
+    assert fields["customer_id_float"]["type"] == "float"
+    assert fields["customer_id_number"]["type"] == "double"
+    assert fields["order_status"]["options"]["oneOf"] == \
+        ["pending", "shipped", "delivered"]
+    assert [f["name"] for f in fields["address"]["fields"]] == ["street", "city"]
+    assert fields["tags"]["options"] == {"arrayType": "string"}
+    assert fields["tags_int"]["options"] == {"arrayType": "integer"}
+    # server selection lane
+    got2 = _yaml.safe_load(to_data_caterer_yaml(contract, "s3-json-prod"))
+    assert got2["steps"][0]["options"]["path"] == \
+        "s3://covid19-lake-prod/enigma-jhu/json/*.json"
+
+
+def test_cli_export_data_caterer(capsys):
+    rc = main(["export",
+               "/root/reference/tests/fixtures/data-caterer/export/datacontract_nested.yaml",
+               "--format", "data-caterer"])
+    assert rc == 0
+    assert "steps:" in capsys.readouterr().out
