@@ -93,7 +93,8 @@ def build_parser() -> argparse.ArgumentParser:
                               "html", "markdown", "mermaid",
                               "great-expectations", "pydantic", "sqlalchemy",
                               "dbml", "protobuf", "go", "bigquery", "dcs",
-                              "custom", "iceberg", "dqx", "data-caterer"])
+                              "custom", "iceberg", "dqx", "data-caterer",
+                              "avro-idl"])
     exp.add_argument("--server", default=None,
                      help="server name (dbt adapter / bigquery resolution)")
     exp.add_argument("--template", default=None,
@@ -266,6 +267,9 @@ def main(argv: list[str] | None = None) -> int:
             except ValueError as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 1
+        elif args.format == "avro-idl":
+            from datacontract_cli_spark.export_code import to_avro_idl
+            text = to_avro_idl(contract)
         elif args.format == "custom":
             from datacontract_cli_spark.export_code import to_custom_jinja
             if not args.template:

@@ -784,3 +784,81 @@ def to_data_caterer_yaml(contract: DataContract,
                       "fields": [_caterer_field(p) for p in obj.properties]})
     return yaml.dump({"name": contract.name, "steps": steps}, indent=2,
                      sort_keys=False, allow_unicode=True)
+
+
+# ---------------------------------------------------------------------------
+# Avro IDL protocol (reference export/avro_idl_exporter.py — one record per
+# model inside a protocol named from the contract title; physical-type-first
+# primitive mapping, '?' suffix for optional fields, array<T>, nested
+# objects pre-declared as `record <field>_type` blocks, /** doc */ comments)
+# ---------------------------------------------------------------------------
+
+_IDL_PHYSICAL = {"string": "string", "text": "string", "varchar": "string",
+                 "float": "float", "double": "double", "int": "int",
+                 "integer": "int", "long": "long", "bigint": "long",
+                 "boolean": "boolean", "timestamp": "string",
+                 "timestamp_tz": "string", "timestamp_ntz": "timestamp_ms",
+                 "date": "date", "bytes": "bytes", "null": "null"}
+_IDL_LOGICAL = {"string": "string", "number": "double", "integer": "long",
+                "boolean": "boolean", "date": "date", "timestamp": "string",
+                "timestamp_tz": "string", "timestamp_ntz": "timestamp_ms",
+                "bytes": "bytes"}
+
+
+def _idl_identifier(name: str) -> str:
+    return "".join(w[:1].upper() + w[1:] for w in re.split(r"[^0-9a-zA-Z]+", name) if w)
+
+
+def _idl_primitive(prop: Property) -> Optional[str]:
+    phys = (prop.physical_type or "").lower()
+    if phys in _IDL_PHYSICAL:
+        return _IDL_PHYSICAL[phys]
+    return _IDL_LOGICAL.get((prop.logical_type or "").lower())
+
+
+def _idl_field(prop: Property, indent: int, out: List[str]) -> str:
+    """Emit any record pre-definitions; return the field's type name."""
+    pad = "    " * indent
+    lt = (prop.logical_type or "").lower()
+    opt = "" if prop.required else "?"
+    if lt == "array" and prop.items is not None:
+        inner = _idl_field(prop.items, indent, out)
+        return f"array<{inner.rstrip('?')}>{opt}"
+    if lt == "object" or (prop.physical_type or "").lower() in ("record", "struct"):
+        if prop.description:
+            out.append(f"{pad}/** {prop.description} */")
+        out.append(f"{pad}record {prop.name}_type {{")
+        entries = []
+        for sub in prop.properties or []:
+            entries.append((_idl_field(sub, indent + 1, out), sub))
+        for tname, sub in entries:
+            if sub.description:
+                out.append(f"{pad}    /** {sub.description} */")
+            out.append(f"{pad}    {tname} {sub.name};")
+        out.append(f"{pad}}}")
+        return f"{prop.name}_type{opt}"
+    prim = _idl_primitive(prop)
+    if prim is None:
+        raise ValueError(f"Unknown field type for Avro IDL: "
+                         f"{prop.logical_type or prop.physical_type}")
+    return f"{prim}{opt}"
+
+
+def to_avro_idl(contract: DataContract) -> str:
+    out: List[str] = []
+    if contract.description:
+        out.append(f"/** {contract.description} */")
+    name = _idl_identifier(contract.name) if contract.name else "Protocol"
+    out.append(f"protocol {name} {{")
+    for obj in contract.schema_objects:
+        if obj.description:
+            out.append(f"    /** {obj.description} */")
+        out.append(f"    record {obj.name} {{")
+        for prop in obj.properties:
+            tname = _idl_field(prop, 2, out)
+            if prop.description:
+                out.append(f"        /** {prop.description} */")
+            out.append(f"        {tname} {prop.name};")
+        out.append("    }")
+    out.append("}")
+    return "\n".join(out) + "\n"

@@ -431,3 +431,60 @@ def test_cli_export_data_caterer(capsys):
                "--format", "data-caterer"])
     assert rc == 0
     assert "steps:" in capsys.readouterr().out
+
+
+def test_avro_idl_matches_reference_expected_shape():
+    from textwrap import dedent
+
+    from datacontract_cli_spark.export_code import to_avro_idl
+
+    contract = load_contract_str("""
+dataContractSpecification: 1.2.1
+id: urn:orders
+info:
+  title: Orders Latest
+  version: 1.0.0
+  description: |
+    Successful customer orders in the webshop.
+    All orders since 2020-01-01.
+    Orders with their line items are in their current state (no history included).
+models:
+  orders:
+    description: One record per order. Includes cancelled and deleted orders.
+    fields:
+      order_id:
+        type: text
+        required: true
+        description: An internal ID that identifies an order in the online shop.
+""")
+    expected = dedent("""
+      /** Successful customer orders in the webshop.
+      All orders since 2020-01-01.
+      Orders with their line items are in their current state (no history included).
+       */
+      protocol OrdersLatest {
+          /** One record per order. Includes cancelled and deleted orders. */
+          record orders {
+              /** An internal ID that identifies an order in the online shop. */
+              string order_id;
+          }
+      }
+    """).strip()
+    assert to_avro_idl(contract).strip() == expected
+
+
+def test_avro_idl_optionals_arrays_nested():
+    from datacontract_cli_spark.export_code import to_avro_idl
+
+    out = to_avro_idl(load_contract_str(NESTED_CONTRACT))
+    assert "string order_id;" in out          # required -> bare type
+    assert "double? amount;" in out           # optional -> '?'
+    assert "array<string>? tags;" in out
+    assert "record customer_type {" in out
+    assert "customer_type? customer;" in out
+
+
+def test_cli_export_avro_idl(capsys):
+    rc = main(["export", EXPORT_FIXTURE, "--format", "avro-idl"])
+    assert rc == 0
+    assert "protocol OrdersUnitTest {" in capsys.readouterr().out
