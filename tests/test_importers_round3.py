@@ -248,3 +248,54 @@ def test_cli_import_protobuf(capsys):
     rc = main(["import", "--format", "protobuf", "--source", PROTO_SAMPLE])
     assert rc == 0
     assert "Product" in capsys.readouterr().out
+
+
+# ---------------------------------------------------------------------------
+# shape fuzzing for the new text parsers: garbage in -> ValueError or a
+# contract, never an unexpected crash
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_DBML_TOKENS = st.sampled_from([
+    "Table", "Project", "{", "}", "[", "]", "pk", "unique", "not null",
+    "Note:", '"a b"', "'''x'''", "Ref:", ">", "<", "-", "t", "s.t", "int",
+    "varchar(5)", ",", "\n", '"it''s"',
+])
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_DBML_TOKENS, max_size=30))
+def test_dbml_importer_never_crashes(tokens):
+    try:
+        c = importers.import_dbml(" ".join(tokens))
+        assert c.schema_objects
+    except ValueError:
+        pass
+
+
+_PROTO_TOKENS = st.sampled_from([
+    "syntax", '= "proto3";', "message", "enum", "oneof", "{", "}", "repeated",
+    "optional", "required", "string", "int32", "map<string, int32>", "Foo",
+    "= 1;", "= 0;", "//x", "/*", "*/", "import", '"x.proto";', "reserved",
+    "\n", "package a.b;",
+])
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(tokens=st.lists(_PROTO_TOKENS, max_size=30))
+def test_proto_parser_never_crashes(tokens):
+    import tempfile
+
+    from datacontract_cli_spark.sources.proto_import import import_protobuf
+    with tempfile.NamedTemporaryFile("w", suffix=".proto", delete=False) as f:
+        f.write(" ".join(tokens))
+        path = f.name
+    try:
+        c = import_protobuf([path])
+        assert c.schema_objects
+    except ValueError:
+        pass
