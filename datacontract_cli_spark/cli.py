@@ -106,7 +106,7 @@ def build_parser() -> argparse.ArgumentParser:
     imp.add_argument("--format", required=True,
                      choices=["parquet", "orc", "csv", "json", "avro",
                               "jsonschema", "sql", "dbt", "bigquery", "unity",
-                              "iceberg", "dbml", "protobuf"])
+                              "iceberg", "dbml", "protobuf", "powerbi"])
     imp.add_argument("--source", required=True, help="file or schema path")
     imp.add_argument("--name", default="model", help="model name for file imports")
     imp.add_argument("--dialect", default=None,
@@ -136,8 +136,10 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"error: {e}", file=sys.stderr)
                 return 1
         elif args.format in ("dbt", "bigquery", "unity", "iceberg", "dbml",
-                             "protobuf"):
+                             "protobuf", "powerbi"):
+            from datacontract_cli_spark.sources.powerbi_import import import_powerbi_file
             from datacontract_cli_spark.sources.proto_import import import_protobuf
+
             def _import_protobuf_file(path):
                 return import_protobuf([path])
             loaders = {"dbt": importers.import_dbt_manifest_file,
@@ -145,7 +147,8 @@ def main(argv: list[str] | None = None) -> int:
                        "unity": importers.import_unity_json_file,
                        "iceberg": importers.import_iceberg_json_file,
                        "dbml": importers.import_dbml_file,
-                       "protobuf": _import_protobuf_file}
+                       "protobuf": _import_protobuf_file,
+                       "powerbi": import_powerbi_file}
             try:
                 contract = loaders[args.format](args.source)
             except (OSError, ValueError, KeyError) as e:

@@ -299,3 +299,54 @@ def test_proto_parser_never_crashes(tokens):
         assert c.schema_objects
     except ValueError:
         pass
+
+
+PBIT_FIXTURE = "/root/reference/tests/fixtures/powerbi/Artificial Intelligence Sample.pbit"
+BIM_FIXTURE = "/root/reference/tests/fixtures/powerbi/model.bim"
+
+
+def test_powerbi_pbit_import():
+    from datacontract_cli_spark.sources.powerbi_import import import_powerbi_file
+
+    c = import_powerbi_file(PBIT_FIXTURE)
+    assert c.id == "artificial-intelligence-sample"
+    names = [o.name for o in c.schema_objects]
+    assert "Cases" in names and "Accounts" in names
+    assert not any(n.startswith("LocalDateTable_") for n in names)
+    calendar = next(o for o in c.schema_objects if o.name == "Case_Calendar")
+    assert calendar.physical_type == "calculated table"
+    by = {p.name: p for p in calendar.properties}
+    assert by["Date"].logical_type == "timestamp"   # dateTime (camelCase) maps
+    cases = next(o for o in c.schema_objects if o.name == "Cases")
+    created = {p.name: p for p in cases.properties}["Case_Created_On"]
+    assert created.options["customProperties"]["references"] == "Case_Calendar.Date"
+
+
+def test_powerbi_bim_import_measures_and_relationships():
+    from datacontract_cli_spark.sources.powerbi_import import import_powerbi_file
+
+    c = import_powerbi_file(BIM_FIXTURE)
+    names = [o.name for o in c.schema_objects]
+    assert "Sales" in names
+    sales = next(o for o in c.schema_objects if o.name == "Sales")
+    by = {p.name: p for p in sales.properties}
+    assert by["Total_Sales"].physical_type == "measure"
+    assert by["Total_Sales"].options["customProperties"]["expression"]
+    assert by["OrderDate"].options["customProperties"]["references"] == "Date.Date"
+
+
+def test_powerbi_bad_files():
+    import pytest as _pytest
+
+    from datacontract_cli_spark.sources.powerbi_import import import_powerbi_file
+
+    with _pytest.raises(ValueError):
+        import_powerbi_file("/etc/hostname")  # unsupported extension
+    with _pytest.raises((ValueError, OSError)):
+        import_powerbi_file("/nonexistent.bim")
+
+
+def test_cli_import_powerbi(capsys):
+    rc = main(["import", "--format", "powerbi", "--source", BIM_FIXTURE])
+    assert rc == 0
+    assert "Sales" in capsys.readouterr().out
