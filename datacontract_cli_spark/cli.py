@@ -94,11 +94,13 @@ def build_parser() -> argparse.ArgumentParser:
                               "great-expectations", "pydantic", "sqlalchemy",
                               "dbml", "protobuf", "go", "bigquery", "dcs",
                               "custom", "iceberg", "dqx", "data-caterer",
-                              "avro-idl"])
+                              "avro-idl", "rdf"])
     exp.add_argument("--server", default=None,
                      help="server name (dbt adapter / bigquery resolution)")
     exp.add_argument("--template", default=None,
                      help="Jinja template path for --format custom")
+    exp.add_argument("--base", default=None,
+                     help="base IRI for --format rdf")
     exp.add_argument("--schema", dest="schema_name", default="all")
     exp.add_argument("--output", default=None, help="write to this path (default stdout)")
 
@@ -273,6 +275,9 @@ def main(argv: list[str] | None = None) -> int:
         elif args.format == "avro-idl":
             from datacontract_cli_spark.export_code import to_avro_idl
             text = to_avro_idl(contract)
+        elif args.format == "rdf":
+            from datacontract_cli_spark.export_code import to_rdf_turtle
+            text = to_rdf_turtle(contract, args.base)
         elif args.format == "custom":
             from datacontract_cli_spark.export_code import to_custom_jinja
             if not args.template:

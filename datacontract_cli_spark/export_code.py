@@ -862,3 +862,74 @@ def to_avro_idl(contract: DataContract) -> str:
         out.append("    }")
     out.append("}")
     return "\n".join(out) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# RDF / Turtle (reference export/rdf_exporter.py — there via rdflib; here
+# the Turtle text is emitted directly with the same vocabulary: odcs:
+# DataContract node with id/apiVersion/kind and an Info blank node, one
+# odcs:Schema node per model with Property blank nodes carrying name/
+# logicalType/physicalType/required/unique/classification and odcsx:tags)
+# ---------------------------------------------------------------------------
+
+def _ttl_str(v: Any) -> str:
+    s = str(v).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+    return f'"{s}"'
+
+
+def _ttl_property(prop: Property, indent: str) -> str:
+    lines = [f"{indent}[ a odcs:Property"]
+    if prop.tags:
+        for t in prop.tags:
+            lines.append(f"{indent}    ; odcsx:tags {_ttl_str(t)}")
+    if prop.classification:
+        lines.append(f"{indent}    ; odcs:classification {_ttl_str(prop.classification)}")
+    if prop.description:
+        lines.append(f"{indent}    ; odcs:description {_ttl_str(prop.description)}")
+    if prop.logical_type:
+        lines.append(f"{indent}    ; odcs:logicalType {_ttl_str(prop.logical_type)}")
+    lines.append(f"{indent}    ; odcs:name {_ttl_str(prop.name)}")
+    if prop.physical_type:
+        lines.append(f"{indent}    ; odcs:physicalType {_ttl_str(prop.physical_type)}")
+    if prop.required:
+        lines.append(f"{indent}    ; odcs:required true")
+    if prop.unique:
+        lines.append(f"{indent}    ; odcs:unique true")
+    lines.append(f"{indent}]")
+    return "\n".join(lines)
+
+
+def to_rdf_turtle(contract: DataContract, base: Optional[str] = None) -> str:
+    out: List[str] = []
+    if base:
+        out.append(f"@base <{base}> .")
+    out.append("@prefix odcs: <https://github.com/bitol-io/open-data-contract-standard/> .")
+    out.append("@prefix odcsx: <https://github.com/bitol-io/open-data-contract-standard/extension/> .")
+    out.append("@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .")
+    out.append("")
+    cid = contract.id or "contract"
+    out.append(f"<{cid}> a odcs:DataContract ;")
+    out.append('    odcs:apiVersion "v3.1.0" ;')
+    out.append(f"    odcs:id {_ttl_str(cid)} ;")
+    info = ["    odcs:info [ a odcs:Info"]
+    if contract.name:
+        info.append(f"            ; odcs:name {_ttl_str(contract.name)}")
+    if contract.owner:
+        info.append(f"            ; odcs:team {_ttl_str(contract.owner)}")
+    if contract.version:
+        info.append(f"            ; odcs:version {_ttl_str(contract.version)}")
+    info.append("            ] ;")
+    out.append("\n".join(info))
+    out.append('    odcs:kind "DataContract" ;')
+    out.append("    odcs:schema_ " +
+               ", ".join(f"<{o.name}>" for o in contract.schema_objects) + " .")
+    out.append("")
+    for obj in contract.schema_objects:
+        out.append(f"<{obj.name}> a odcs:Schema ;")
+        if obj.description:
+            out.append(f"    odcs:description {_ttl_str(obj.description)} ;")
+        props = ",\n".join(_ttl_property(p, "        ")
+                           for p in obj.properties)
+        out.append("    odcs:property\n" + props + " .")
+        out.append("")
+    return "\n".join(out) + "\n"

@@ -488,3 +488,30 @@ def test_cli_export_avro_idl(capsys):
     rc = main(["export", EXPORT_FIXTURE, "--format", "avro-idl"])
     assert rc == 0
     assert "protocol OrdersUnitTest {" in capsys.readouterr().out
+
+
+def test_rdf_turtle_export():
+    from datacontract_cli_spark.export_code import to_rdf_turtle
+
+    contract = load_contract(
+        "/root/reference/tests/fixtures/export/rdf/datacontract.yaml")
+    ttl = to_rdf_turtle(contract, "https://example.com/")
+    assert ttl.startswith("@base <https://example.com/> .")
+    assert "<orders-unit-test> a odcs:DataContract ;" in ttl
+    assert 'odcs:team "checkout"' in ttl
+    assert "odcs:schema_ <orders> ." in ttl
+    assert "<orders> a odcs:Schema ;" in ttl
+    assert 'odcsx:tags "order_id"' in ttl
+    assert 'odcs:classification "sensitive"' in ttl
+    assert "odcs:required true" in ttl and "odcs:unique true" in ttl
+    # no base -> no @base line, still valid prefixes
+    ttl2 = to_rdf_turtle(contract)
+    assert not ttl2.startswith("@base") and "@prefix odcs:" in ttl2
+
+
+def test_cli_export_rdf(capsys):
+    rc = main(["export",
+               "/root/reference/tests/fixtures/export/rdf/datacontract.yaml",
+               "--format", "rdf", "--base", "urn:acme:"])
+    assert rc == 0
+    assert "odcs:DataContract" in capsys.readouterr().out
