@@ -139,35 +139,9 @@ class _ApiState:
 
 
 def _export_text(contract, fmt: str, schema_name: str) -> str:
-    from datacontract_cli_spark import export as _export
-
-    if fmt == "odcs":
-        return _export.to_odcs_yaml(contract)
-    if fmt == "jsonschema":
-        return json.dumps(_export.to_jsonschema_dict(contract, schema_name), indent=2)
-    if fmt == "sql":
-        return _export.to_sql_ddl(contract, schema_name)
-    if fmt == "avro":
-        return json.dumps(_export.to_avro_schema(contract, schema_name), indent=2)
-    if fmt == "sodacl":
-        from datacontract_cli_spark.export_sodacl import to_sodacl_yaml
-        return to_sodacl_yaml(contract, schema_name)
-    if fmt == "dbt":
-        from datacontract_cli_spark.export_dbt import to_dbt_models_yaml
-        return to_dbt_models_yaml(contract)
-    if fmt == "html":
-        from datacontract_cli_spark.export_docs import to_html
-        return to_html(contract)
-    if fmt == "markdown":
-        from datacontract_cli_spark.export_docs import to_markdown
-        return to_markdown(contract)
-    if fmt == "mermaid":
-        from datacontract_cli_spark.export_docs import to_mermaid
-        return to_mermaid(contract) or ""
-    if fmt == "dcs":
-        from datacontract_cli_spark.export_code import to_dcs_yaml
-        return to_dcs_yaml(contract)
-    raise ValueError(f"unsupported export format: {fmt}")
+    # same dispatch as the CLI — one registry, no drift between surfaces
+    from datacontract_cli_spark.export_registry import export_contract
+    return export_contract(contract, fmt, schema_name=schema_name)
 
 
 def make_handler(state: _ApiState):

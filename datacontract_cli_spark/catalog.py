@@ -40,8 +40,17 @@ a {{ color: #2743c8; text-decoration: none; }}
 """
 
 
-def _page_name(source: Path) -> str:
-    return source.stem + ".html"
+def _page_name(source: Path, base: Path) -> str:
+    """Page name from the RELATIVE path (separators -> '__') so two
+    contracts that share a filename in different directories (the common
+    one-datacontract.yaml-per-folder layout) get distinct pages instead of
+    silently overwriting each other."""
+    try:
+        rel = source.relative_to(base)
+    except ValueError:
+        rel = source
+    stem = "__".join(list(rel.parts[:-1]) + [rel.stem])
+    return stem + ".html"
 
 
 def build_catalog(files: str = "*.yaml", output: str = "catalog/",
@@ -60,12 +69,12 @@ def build_catalog(files: str = "*.yaml", output: str = "catalog/",
         except Exception as e:  # unparseable file: skip, don't die
             print(f"Skipped {source} due to error: {e}")
             continue
-        (out / _page_name(source)).write_text(to_html(contract),
-                                              encoding="utf-8")
+        page = _page_name(source, base)
+        (out / page).write_text(to_html(contract), encoding="utf-8")
         entries.append((source, contract))
-        print(f"Created {out / _page_name(source)}")
+        print(f"Created {out / page}")
     rows = "".join(
-        f'<tr><td><a href="{_html.escape(_page_name(src))}">'
+        f'<tr><td><a href="{_html.escape(_page_name(src, base))}">'
         f"{_html.escape(c.name or c.id or src.stem)}</a></td>"
         f"<td>{_html.escape(c.id or '')}</td>"
         f"<td>{_html.escape(c.version or '')}</td>"

@@ -85,16 +85,11 @@ def build_parser() -> argparse.ArgumentParser:
     clog.add_argument("v1", help="the source (before) contract YAML")
     clog.add_argument("v2", help="the target (after) contract YAML")
 
+    from datacontract_cli_spark.export_registry import EXPORT_FORMATS
+
     exp = sub.add_parser("export", help="export the contract to another format")
     exp.add_argument("contract")
-    exp.add_argument("--format", required=True,
-                     choices=["odcs", "jsonschema", "sql", "avro", "spark",
-                              "sodacl", "dbt", "dbt-sources", "dbt-staging",
-                              "html", "markdown", "mermaid",
-                              "great-expectations", "pydantic", "sqlalchemy",
-                              "dbml", "protobuf", "go", "bigquery", "dcs",
-                              "custom", "iceberg", "dqx", "data-caterer",
-                              "avro-idl", "rdf"])
+    exp.add_argument("--format", required=True, choices=EXPORT_FORMATS)
     exp.add_argument("--server", default=None,
                      help="server name (dbt adapter / bigquery resolution)")
     exp.add_argument("--template", default=None,
@@ -171,124 +166,21 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "export":
-        import json as _json
-        from datacontract_cli_spark import export as _export
+        from datacontract_cli_spark.export_registry import export_contract
         try:
             contract = load_contract(args.contract)
         except Exception as e:
             print(f"error: {e}", file=sys.stderr)
             return 1
-        if args.format == "odcs":
-            text = _export.to_odcs_yaml(contract)
-        elif args.format == "jsonschema":
-            text = _json.dumps(_export.to_jsonschema_dict(contract, args.schema_name), indent=2)
-        elif args.format == "sql":
-            text = _export.to_sql_ddl(contract, args.schema_name)
-        elif args.format == "avro":
-            text = _json.dumps(_export.to_avro_schema(contract, args.schema_name), indent=2)
-        elif args.format == "sodacl":
-            from datacontract_cli_spark.export_sodacl import to_sodacl_yaml
-            text = to_sodacl_yaml(contract, args.schema_name)
-        elif args.format == "dbt":
-            from datacontract_cli_spark.export_dbt import to_dbt_models_yaml
-            text = to_dbt_models_yaml(contract, args.server)
-        elif args.format == "dbt-sources":
-            from datacontract_cli_spark.export_dbt import to_dbt_sources_yaml
-            text = to_dbt_sources_yaml(contract, args.server)
-        elif args.format == "dbt-staging":
-            from datacontract_cli_spark.export_dbt import to_dbt_staging_sql
-            name = args.schema_name
-            if name == "all":
-                if len(contract.schema_objects) != 1:
-                    print("error: dbt-staging needs --schema <model>", file=sys.stderr)
-                    return 1
-                name = contract.schema_objects[0].name
-            text = to_dbt_staging_sql(contract, name)
-        elif args.format == "html":
-            from datacontract_cli_spark.export_docs import to_html
-            text = to_html(contract)
-        elif args.format == "markdown":
-            from datacontract_cli_spark.export_docs import to_markdown
-            text = to_markdown(contract)
-        elif args.format == "mermaid":
-            from datacontract_cli_spark.export_docs import to_mermaid
-            text = to_mermaid(contract) or ""
-        elif args.format == "great-expectations":
-            from datacontract_cli_spark.export_code import to_great_expectations
-            name = args.schema_name
-            if name == "all":
-                if len(contract.schema_objects) != 1:
-                    print("error: great-expectations needs --schema <model>",
-                          file=sys.stderr)
-                    return 1
-                name = contract.schema_objects[0].name
-            text = to_great_expectations(contract, name)
-        elif args.format == "pydantic":
-            from datacontract_cli_spark.export_code import to_pydantic
-            text = to_pydantic(contract)
-        elif args.format == "sqlalchemy":
-            from datacontract_cli_spark.export_code import to_sqlalchemy
-            text = to_sqlalchemy(contract)
-        elif args.format == "dbml":
-            from datacontract_cli_spark.export_code import to_dbml
-            text = to_dbml(contract)
-        elif args.format == "protobuf":
-            from datacontract_cli_spark.export_code import to_protobuf
-            text = to_protobuf(contract)
-        elif args.format == "go":
-            from datacontract_cli_spark.export_code import to_go
-            text = to_go(contract)
-        elif args.format == "bigquery":
-            from datacontract_cli_spark.export_code import to_bigquery_json
-            name = args.schema_name
-            if name == "all" and len(contract.schema_objects) == 1:
-                name = contract.schema_objects[0].name
-            try:
-                text = to_bigquery_json(contract, name, args.server)
-            except ValueError as e:
-                print(f"error: {e}", file=sys.stderr)
-                return 1
-        elif args.format == "dcs":
-            from datacontract_cli_spark.export_code import to_dcs_yaml
-            text = to_dcs_yaml(contract)
-        elif args.format == "iceberg":
-            from datacontract_cli_spark.export_code import to_iceberg_json
-            try:
-                text = to_iceberg_json(contract, args.schema_name)
-            except ValueError as e:
-                print(f"error: {e}", file=sys.stderr)
-                return 1
-        elif args.format == "dqx":
-            from datacontract_cli_spark.export_code import to_dqx_yaml
-            try:
-                text = to_dqx_yaml(contract, args.schema_name)
-            except ValueError as e:
-                print(f"error: {e}", file=sys.stderr)
-                return 1
-        elif args.format == "data-caterer":
-            from datacontract_cli_spark.export_code import to_data_caterer_yaml
-            try:
-                text = to_data_caterer_yaml(contract, args.server)
-            except ValueError as e:
-                print(f"error: {e}", file=sys.stderr)
-                return 1
-        elif args.format == "avro-idl":
-            from datacontract_cli_spark.export_code import to_avro_idl
-            text = to_avro_idl(contract)
-        elif args.format == "rdf":
-            from datacontract_cli_spark.export_code import to_rdf_turtle
-            text = to_rdf_turtle(contract, args.base)
-        elif args.format == "custom":
-            from datacontract_cli_spark.export_code import to_custom_jinja
-            if not args.template:
-                print("error: --format custom requires --template",
-                      file=sys.stderr)
-                return 1
-            text = to_custom_jinja(contract, args.template, args.schema_name)
-        else:  # spark
-            objs = [o for o in contract.schema_objects
-                    if args.schema_name == "all" or o.name == args.schema_name]
-            text = "\n".join(_export.to_spark_schema(o).simpleString() for o in objs)
+        try:
+            text = export_contract(contract, args.format,
+                                   schema_name=args.schema_name,
+                                   server=args.server,
+                                   template=args.template,
+                                   base=args.base)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
         if args.output:
             with open(args.output, "w", encoding="utf-8") as f:
                 f.write(text)

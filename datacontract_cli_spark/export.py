@@ -51,6 +51,12 @@ def _property_dict(p: Property) -> Dict[str, Any]:
         d["logicalType"] = p.logical_type
     if p.physical_type:
         d["physicalType"] = p.physical_type
+    if p.physical_name:
+        d["physicalName"] = p.physical_name
+    if p.description:
+        d["description"] = p.description
+    if p.tags:
+        d["tags"] = list(p.tags)
     if p.required:
         d["required"] = True
     if p.unique:
@@ -70,7 +76,7 @@ def _property_dict(p: Property) -> Dict[str, Any]:
         if isinstance(custom, dict):
             custom = dict(custom)
             desc = custom.pop("description", None)
-            if desc is not None:
+            if desc is not None and "description" not in d:
                 d["description"] = desc
             if custom:
                 d["customProperties"] = [
@@ -85,6 +91,19 @@ def _property_dict(p: Property) -> Dict[str, Any]:
     return d
 
 
+def _server_dict(s) -> Dict[str, Any]:
+    d: Dict[str, Any] = {}
+    for key, value in (("server", s.server), ("type", s.type),
+                       ("format", s.format), ("path", s.path),
+                       ("location", s.location), ("catalog", s.catalog),
+                       ("schema", s.schema_)):
+        if value is not None:
+            d[key] = value
+    for k, v in (s.options or {}).items():
+        d.setdefault(k, v)
+    return d
+
+
 def to_odcs_dict(contract: DataContract) -> Dict[str, Any]:
     return {
         "apiVersion": "v3.0.2",
@@ -92,11 +111,18 @@ def to_odcs_dict(contract: DataContract) -> Dict[str, Any]:
         "id": contract.id,
         "version": contract.version,
         **({"name": contract.name} if contract.name else {}),
+        **({"description": {"purpose": contract.description}}
+           if contract.description else {}),
+        **({"team": {"name": contract.owner}} if contract.owner else {}),
+        **({"servers": [_server_dict(s) for s in contract.servers]}
+           if contract.servers else {}),
         "schema": [
             {
                 "name": o.name,
                 "logicalType": o.logical_type,
+                **({"physicalType": o.physical_type} if o.physical_type else {}),
                 **({"physicalName": o.physical_name} if o.physical_name else {}),
+                **({"description": o.description} if o.description else {}),
                 "properties": [_property_dict(p) for p in o.properties],
             }
             for o in contract.schema_objects

@@ -107,6 +107,8 @@ def to_great_expectations(contract: DataContract, schema_name: str,
 
 
 def _gx_quality(rules, field_name: Optional[str] = None) -> List[Dict[str, Any]]:
+    import copy
+
     out = []
     for q in rules or []:
         if (q.engine or "").lower() in ("great-expectations", "greatexpectations") \
@@ -117,8 +119,12 @@ def _gx_quality(rules, field_name: Optional[str] = None) -> List[Dict[str, Any]]
                     impl = yaml.safe_load(impl)
                 except yaml.YAMLError:
                     continue
-            if field_name is not None and isinstance(impl, dict):
-                impl["column"] = field_name
+            if isinstance(impl, dict):
+                # never mutate the contract's own rule dict — a later export
+                # or a long-lived API server must see the author's definition
+                impl = copy.deepcopy(impl)
+                if field_name is not None:
+                    impl["column"] = field_name
             out.append(impl)
     return out
 
@@ -270,6 +276,11 @@ def _proto_field_type(prop: Property, nested: List[str], indent: str) -> str:
         name = _camel(prop.name)
         nested.append(_proto_message(name, prop.properties or [], indent))
         return name
+    # enum-typed properties reference their generated enum (to_protobuf
+    # defines one per distinct enum name)
+    enum = _enum_of(prop)
+    if enum and all(isinstance(v, str) for v in enum):
+        return _camel(prop.name)
     return _PROTO_TYPES.get(lt, "string")
 
 
@@ -300,19 +311,23 @@ def _proto_message(name: str, props: List[Property], indent: str = "") -> str:
 
 def to_protobuf(contract: DataContract, package: str = "example") -> str:
     out = ['syntax = "proto3";', "", f"package {package};", ""]
-    enums: List[str] = []
+    # one enum definition per distinct name — two models sharing a `status`
+    # enum must not produce duplicate symbols (protoc rejects them)
+    enums: Dict[str, str] = {}
     for obj in contract.schema_objects:
         for p in obj.properties:
             enum = _enum_of(p)
             if enum and all(isinstance(v, str) for v in enum):
                 ename = _camel(p.name)
+                if ename in enums:
+                    continue
                 lines = [f"enum {ename} {{", f"  {ename.upper()}_UNKNOWN = 0;"]
                 for i, v in enumerate(enum, start=1):
                     const = re.sub(r"[^0-9A-Z]+", "_", v.upper())
                     lines.append(f"  {ename.upper()}_{const} = {i};")
                 lines.append("}")
-                enums.append("\n".join(lines))
-    out.extend(e + "\n" for e in enums)
+                enums[ename] = "\n".join(lines)
+    out.extend(e + "\n" for e in enums.values())
     for obj in contract.schema_objects:
         if obj.description:
             out.append(f"// {obj.description.strip()}")
@@ -640,6 +655,8 @@ def to_iceberg_json(contract: DataContract, schema_name: str = "all") -> str:
 # ---------------------------------------------------------------------------
 
 def _dqx_rule(rule, column_path: str) -> Optional[Dict[str, Any]]:
+    import copy
+
     impl = rule.implementation
     if isinstance(impl, str):
         try:
@@ -648,6 +665,7 @@ def _dqx_rule(rule, column_path: str) -> Optional[Dict[str, Any]]:
             return None
     if not isinstance(impl, dict) or "check" not in impl:
         return None
+    impl = copy.deepcopy(impl)  # the contract's rule dict must stay pristine
     check = impl["check"]
     if column_path and isinstance(check, dict):
         args = check.setdefault("arguments", {})
@@ -665,15 +683,8 @@ def _dqx_walk(props: List[Property], prefix: str,
         path = f"{prefix}.{prop.name}" if prefix else prop.name
         if prop.properties:
             _dqx_walk(prop.properties, path, out)
-            for rule in prop.quality:
-                r = _dqx_rule(rule, path)
-                if r is not None:
-                    out.append(r)
-        else:
-            for rule in prop.quality:
-                r = _dqx_rule(rule, path)
-                if r is not None:
-                    out.append(r)
+        out.extend(r for r in (_dqx_rule(rule, path) for rule in prop.quality)
+                   if r is not None)
 
 
 def to_dqx_yaml(contract: DataContract, schema_name: str = "all") -> str:
@@ -907,10 +918,16 @@ def to_rdf_turtle(contract: DataContract, base: Optional[str] = None) -> str:
     out.append("@prefix odcsx: <https://github.com/bitol-io/open-data-contract-standard/extension/> .")
     out.append("@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .")
     out.append("")
-    cid = contract.id or "contract"
+    from urllib.parse import quote
+
+    def _iri(name: str) -> str:
+        # spaces/control chars are illegal in IRIs — percent-encode them
+        return quote(name, safe=":/#?&=@%+-._~")
+
+    cid = _iri(contract.id or "contract")
     out.append(f"<{cid}> a odcs:DataContract ;")
     out.append('    odcs:apiVersion "v3.1.0" ;')
-    out.append(f"    odcs:id {_ttl_str(cid)} ;")
+    out.append(f"    odcs:id {_ttl_str(contract.id or 'contract')} ;")
     info = ["    odcs:info [ a odcs:Info"]
     if contract.name:
         info.append(f"            ; odcs:name {_ttl_str(contract.name)}")
@@ -922,14 +939,16 @@ def to_rdf_turtle(contract: DataContract, base: Optional[str] = None) -> str:
     out.append("\n".join(info))
     out.append('    odcs:kind "DataContract" ;')
     out.append("    odcs:schema_ " +
-               ", ".join(f"<{o.name}>" for o in contract.schema_objects) + " .")
+               ", ".join(f"<{_iri(o.name)}>" for o in contract.schema_objects) + " .")
     out.append("")
     for obj in contract.schema_objects:
-        out.append(f"<{obj.name}> a odcs:Schema ;")
+        lines = [f"<{_iri(obj.name)}> a odcs:Schema"]
         if obj.description:
-            out.append(f"    odcs:description {_ttl_str(obj.description)} ;")
-        props = ",\n".join(_ttl_property(p, "        ")
-                           for p in obj.properties)
-        out.append("    odcs:property\n" + props + " .")
+            lines.append(f"    ; odcs:description {_ttl_str(obj.description)}")
+        if obj.properties:
+            props = ",\n".join(_ttl_property(p, "        ")
+                               for p in obj.properties)
+            lines.append("    ; odcs:property\n" + props)
+        out.append("\n".join(lines) + " .")
         out.append("")
     return "\n".join(out) + "\n"

@@ -139,19 +139,19 @@ class IVFIndex:
         n = np.linalg.norm(x, axis=-1, keepdims=True)
         return x / np.where(n == 0, 1.0, n)
 
-    def fit(self, df: DataFrame, vec_col: str, sample: int = 10_000,
-            sample_fraction: float = 0.5) -> "IVFIndex":
-        """Train centroids on a driver-side sample WITHOUT a full count() of
-        the table (sizing the fraction by count() means a full scan of a
-        100 TB table before training starts). A fixed-fraction sample is
-        capped at ``sample`` rows via limit() — which stops the scan early —
-        and topped up with a plain limit() when the fraction under-delivers
-        on tiny tables. At warehouse scale pass a small ``sample_fraction``
-        (e.g. 1e-4) so the sample is drawn across the whole table."""
-        sel = df.select(vec_col)
-        rows = sel.sample(sample_fraction, seed=self.seed).limit(sample).collect()
-        if len(rows) < min(sample, max(4 * self.n_cells, 64)):
-            rows = sel.limit(sample).collect()
+    def fit(self, df: DataFrame, vec_col: str, sample: int = 10_000) -> "IVFIndex":
+        """Train centroids on a uniform driver-side sample WITHOUT a full
+        count() of the table: order by a seeded random key and take the top
+        ``sample`` — Spark plans TakeOrderedAndProject, one scan keeping a
+        per-partition top-n heap (no full sort, no shuffle of vectors, no
+        count-then-sample double scan), and the result is a simple random
+        sample across the WHOLE table — a plain limit() would draw only
+        from the first partitions and skew the centroids toward whatever
+        the table happens to be clustered by."""
+        rows = (df.select(vec_col)
+                .orderBy(F.rand(self.seed))
+                .limit(sample)
+                .collect())
         x = self._norm(np.asarray([r[0] for r in rows], dtype=np.float64))
         rng = np.random.default_rng(self.seed)
         cents = x[rng.choice(len(x), size=min(self.n_cells, len(x)), replace=False)]

@@ -44,6 +44,9 @@ def remove_variable_tokens(sql: str) -> str:
 # lexer-lite helpers (quote/paren aware)
 # ---------------------------------------------------------------------------
 
+_QUOTE_CLOSERS = {'"': '"', "`": "`", "[": "]"}
+
+
 def _split_top_level(text: str, sep: str = ",") -> List[str]:
     parts, depth, angle, cur, i = [], 0, 0, [], 0
     while i < len(text):
@@ -57,6 +60,15 @@ def _split_top_level(text: str, sep: str = ",") -> List[str]:
                 if text[j] == "'":
                     break
                 j += 1
+            cur.append(text[i:j + 1])
+            i = j + 1
+            continue
+        if ch in _QUOTE_CLOSERS:
+            # quoted identifier ("a.b", `a.b`, [a b]) — the separator and
+            # bracket characters inside it are part of the name
+            closer = _QUOTE_CLOSERS[ch]
+            j = text.find(closer, i + 1)
+            j = len(text) - 1 if j < 0 else j
             cur.append(text[i:j + 1])
             i = j + 1
             continue
@@ -209,7 +221,10 @@ def map_type_from_sql(sql_type: Optional[str]) -> Tuple[Optional[str], Optional[
                    "ntext"):
         if t.startswith(prefix):
             return "string", None
-    if (t.endswith("int") and not t.endswith("point")) or t.endswith("integer"):
+    # the int test is a SUFFIX test (tinyint/smallint/bigint) — strip any
+    # parameter list first so MySQL's INT(11)/BIGINT(20) still match
+    head = t.split("(")[0].strip()
+    if (head.endswith("int") and not head.endswith("point")) or head.endswith("integer"):
         return "integer", None
     for prefix in ("float", "double", "number", "numeric", "decimal", "money"):
         if t.startswith(prefix):
@@ -363,8 +378,9 @@ def _column_comments(sql: str, clean: str) -> Dict[int, str]:
 
 
 def _strip_line_comments(sql: str) -> str:
-    """Remove -- comments (outside string literals), preserving offsets by
-    replacing with spaces so comment positions can be correlated."""
+    """Remove -- comments (outside string literals AND quoted identifiers),
+    preserving offsets by replacing with spaces so comment positions can be
+    correlated."""
     out = list(sql)
     i, n = 0, len(sql)
     while i < n:
@@ -372,6 +388,11 @@ def _strip_line_comments(sql: str) -> str:
         if ch == "'":
             i += 1
             while i < n and sql[i] != "'":
+                i += 1
+        elif ch in _QUOTE_CLOSERS:
+            closer = _QUOTE_CLOSERS[ch]
+            i += 1
+            while i < n and sql[i] != closer:
                 i += 1
         elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
             while i < n and sql[i] != "\n":

@@ -183,10 +183,13 @@ def test_protobuf_export():
     assert "package example;" in out
     assert "message Orders {" in out
     assert "string order_id = 1;" in out
-    # enum from customProperties on order_status
+    # enum from customProperties on order_status — defined once AND used as
+    # the field's type (a dangling string field would contradict the enum)
     assert "enum OrderStatus {" in out
     assert "ORDERSTATUS_UNKNOWN = 0;" in out
     assert "ORDERSTATUS_PENDING = 1;" in out
+    assert "OrderStatus order_status = 3;" in out
+    assert out.count("enum OrderStatus {") == 1
     nested = load_contract_str(NESTED_CONTRACT)
     out2 = to_protobuf(nested)
     assert "repeated string tags" in out2
@@ -500,7 +503,7 @@ def test_rdf_turtle_export():
     assert "<orders-unit-test> a odcs:DataContract ;" in ttl
     assert 'odcs:team "checkout"' in ttl
     assert "odcs:schema_ <orders> ." in ttl
-    assert "<orders> a odcs:Schema ;" in ttl
+    assert "<orders> a odcs:Schema" in ttl
     assert 'odcsx:tags "order_id"' in ttl
     assert 'odcs:classification "sensitive"' in ttl
     assert "odcs:required true" in ttl and "odcs:unique true" in ttl
@@ -515,3 +518,96 @@ def test_cli_export_rdf(capsys):
                "--format", "rdf", "--base", "urn:acme:"])
     assert rc == 0
     assert "odcs:DataContract" in capsys.readouterr().out
+
+
+def test_exporters_do_not_mutate_contract_rules():
+    """Review finding: _gx_quality/_dqx_rule injected keys into the
+    contract's own implementation dicts."""
+    import copy
+
+    from datacontract_cli_spark.export_code import to_dqx_yaml, to_great_expectations
+
+    contract = load_contract_str("""
+apiVersion: v3.1.0
+kind: DataContract
+id: mut
+version: 1.0.0
+schema:
+  - name: t
+    properties:
+      - name: x
+        logicalType: integer
+        quality:
+          - type: custom
+            engine: great-expectations
+            implementation:
+              type: expect_column_max_to_be_between
+              kwargs: {max_value: 5}
+          - type: custom
+            engine: dqx
+            implementation:
+              criticality: error
+              check: {function: is_not_null}
+""")
+    rules = contract.schema_objects[0].properties[0].quality
+    before = copy.deepcopy([r.implementation for r in rules])
+    to_great_expectations(contract, "t")
+    to_dqx_yaml(contract, "t")
+    after = [r.implementation for r in rules]
+    assert after == before, "exporters must not mutate the contract"
+
+
+def test_odcs_roundtrip_preserves_descriptions_tags_servers():
+    """Review finding: import output was silently lossy — descriptions,
+    tags, servers, and model physicalType were dropped on serialize."""
+    import yaml as _yaml
+
+    from datacontract_cli_spark.export import to_odcs_yaml
+    from datacontract_cli_spark.sources import importers
+
+    c = importers.import_dbt_manifest_file(
+        "/root/reference/tests/fixtures/dbt/import/manifest_jaffle_duckdb.json")
+    doc = _yaml.safe_load(to_odcs_yaml(c))
+    orders = next(s for s in doc["schema"] if s["name"] == "orders")
+    assert orders["description"].startswith("This table has basic information")
+    assert orders["physicalType"] == "table"
+    col = next(p for p in orders["properties"] if p["name"] == "order_id")
+    assert col["description"] == "This is a unique identifier for an order"
+    # reload round-trips the same fields
+    back = load_contract_str(to_odcs_yaml(c))
+    b_orders = back.schema_object("orders")
+    assert b_orders.description == orders["description"]
+    assert b_orders.properties[0].description is not None
+    # servers serialize too
+    from datacontract_cli_spark.model.contract import Server
+    c.servers = [Server(server="s1", type="local", format="parquet",
+                        path="/tmp/x", options={"extra": 1})]
+    doc2 = _yaml.safe_load(to_odcs_yaml(c))
+    assert doc2["servers"] == [{"server": "s1", "type": "local",
+                                "format": "parquet", "path": "/tmp/x",
+                                "extra": 1}]
+
+
+def test_rdf_empty_model_and_iri_escaping():
+    from datacontract_cli_spark.export_code import to_rdf_turtle
+    from datacontract_cli_spark.model.contract import DataContract, SchemaObject
+
+    c = DataContract(id="my contract", version="1.0.0",
+                     schema_objects=[SchemaObject(name="empty model")])
+    ttl = to_rdf_turtle(c)
+    assert "<my%20contract>" in ttl and "<empty%20model>" in ttl
+    assert "odcs:property\n ." not in ttl       # no dangling predicate
+    assert "<empty%20model> a odcs:Schema ." in ttl
+
+
+def test_sql_importer_int_with_params_and_quoted_dotted_names():
+    from datacontract_cli_spark.sources import sql_ddl
+
+    c = sql_ddl.import_sql_ddl(
+        'CREATE TABLE s."t.x" (a INT(11) NOT NULL, b BIGINT(20), "c--d" INT);')
+    [obj] = c.schema_objects
+    assert obj.name == "t.x"                    # quoted dot kept in the name
+    by = {p.name: p for p in obj.properties}
+    assert by["a"].logical_type == "integer"    # INT(11) maps via the head
+    assert by["b"].logical_type == "integer"
+    assert by["c--d"].logical_type == "integer"  # '--' inside quotes != comment
