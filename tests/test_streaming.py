@@ -98,3 +98,51 @@ def test_streaming_jsonschema_validation(spark, tmp_path):
         q.stop()
     row = spark.table("js_stream").collect()[0]
     assert row["rows"] == 4 and row["invalid"] == 2
+
+
+def test_streaming_dedup_drops_redelivered_records(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps the first arrival per key: a
+    source with planted re-deliveries must come out exactly-once-by-key."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(50):
+        ts = base + dt.timedelta(seconds=30 * i)
+        rows.append((f"c{i % 20}", i, ts))          # (conv, idx, ts)
+        if i % 5 == 0:                               # re-delivery
+            rows.append((f"c{i % 20}", i, ts + dt.timedelta(seconds=1)))
+    src = str(tmp_path / "dup_stream")
+    spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp") \
+        .repartition(4).write.parquet(src)
+
+    def build(stream):
+        deduped = sc.streaming_dedup(stream, ["conv_id", "turn_idx"],
+                                     watermark="1 hour")
+        return deduped.groupBy().agg(F.count(F.lit(1)).alias("n"))
+
+    out = sc.run_batch_smoke(spark, src, build, name="dedup_stream")
+    assert out.collect()[0]["n"] == 50              # 60 in, 50 unique out
+
+
+def test_streaming_dedup_counts_per_window(spark, tmp_path):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(3):
+        for i in range(10):
+            ts = base + dt.timedelta(hours=h, minutes=i)
+            rows.append((f"k{h}_{i}", ts))
+            rows.append((f"k{h}_{i}", ts))          # every record duplicated
+    src = str(tmp_path / "dupwin_stream")
+    spark.createDataFrame(rows, "k string, ts timestamp") \
+        .repartition(4).write.parquet(src)
+
+    out = sc.run_batch_smoke(
+        spark, src,
+        lambda s: sc.streaming_dedup_counts(s, ["k"], watermark="2 hours",
+                                            window="1 hour"),
+        name="dedupwin_stream")
+    counts = {r["window_start"].hour: r["n_unique"] for r in out.collect()}
+    assert counts == {0: 10, 1: 10, 2: 10}
