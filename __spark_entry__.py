@@ -691,6 +691,20 @@ def _q_stratified_sample(spark, sf):
     )
 
 
+def _q_repetition_ratio(spark, sf):
+    """Within-document repetition (fraction of repeated word 3-grams) per
+    language — the Gopher/C4-style boilerplate signal, as pure Column math."""
+    docs = _t(spark, sf, "documents")
+    rep = textstats.repetition_ratio(F.col("text"), n=3)
+    return (
+        docs.groupBy("lang")
+        .agg(F.round(F.avg(rep), 4).alias("avg_repetition"),
+             F.round(F.max(rep), 4).alias("max_repetition"),
+             F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
 def _q_hash_split(spark, sf):
     """Leakage-safe train/valid/test assignment by id hash: same id -> same
     split regardless of partitioning, run order, or engine."""
@@ -756,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "stratified_sample": _q_stratified_sample,
         "hash_split": _q_hash_split,
+        "repetition_ratio": _q_repetition_ratio,
     }
 
 
@@ -1036,6 +1051,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
             "ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn FROM documents) "
             "WHERE rn <= 10 ORDER BY lang, doc_id"
+        ),
+        "repetition_ratio": (
+            # same normalization + 3-gram construction as the Spark column
+            "SELECT lang, round(avg(rep), 4) AS avg_repetition, "
+            "round(max(rep), 4) AS max_repetition, count(*) AS n_docs FROM ("
+            "SELECT lang, CASE WHEN len(t) - 2 > 0 THEN "
+            "1.0 - len(list_distinct(g)) / (len(t) - 2)::DOUBLE "
+            "ELSE 0.0 END AS rep FROM ("
+            "SELECT lang, t, list_transform(generate_series(1, "
+            "greatest(len(t) - 2, 1)), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g "
+            "FROM (SELECT lang, string_split(trim(regexp_replace(lower(text), "
+            "'\\s+', ' ', 'g')), ' ') AS t FROM documents))) "
+            "GROUP BY lang ORDER BY lang"
         ),
         "hash_split": (
             "SELECT split, count(*) AS n FROM ("

@@ -27,6 +27,9 @@ from pyspark.sql import functions as F
 _SIDE = "__asof_side__"
 
 
+_ASOF_TS = "__asof_matched_ts__"
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -34,8 +37,22 @@ def asof_join(
     by: Optional[str] = None,
     value_cols: Optional[List[str]] = None,
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance_seconds: Optional[float] = None,
 ) -> DataFrame:
-    """Left as-of join: latest right row with right.on <= left.on (per by)."""
+    """Left as-of join (pandas merge_asof semantics, distributed).
+
+    direction="backward" (default): latest right row with right.on <=
+    left.on per ``by``; "forward": earliest right row with right.on >=
+    left.on. ``tolerance_seconds`` nulls the match when the matched right
+    timestamp is further than the tolerance from left.on (exactly
+    merge_asof's ``tolerance``).
+
+    One union + one segmented prefix-scan window per ``by`` group — the
+    match is a running last-non-null fill, so each group streams through
+    its partition once; no range join, no per-row Python."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unsupported direction: {direction}")
     value_cols = value_cols or [c for c in right.columns if c not in (on, by)]
     left_cols = left.columns
 
@@ -43,12 +60,14 @@ def asof_join(
     for c in value_cols:
         new = f"{c}{suffix}" if c in left_cols else c
         l_tag = l_tag.withColumn(new, F.lit(None).cast(dict(right.dtypes)[c]))
+    l_tag = l_tag.withColumn(_ASOF_TS, F.lit(None).cast(dict(left.dtypes)[on]))
     out_vals = [f"{c}{suffix}" if c in left_cols else c for c in value_cols]
 
     r_tag = right.select(
         *([F.col(by)] if by else []),
         F.col(on),
         F.lit(0).alias(_SIDE),
+        F.col(on).alias(_ASOF_TS),
         *[F.col(c).alias(f"{c}{suffix}" if c in left_cols else c) for c in value_cols],
     )
     for c in left_cols:
@@ -56,17 +75,31 @@ def asof_join(
             r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
 
     unioned = l_tag.unionByName(r_tag)
+    order = (F.col(on).asc() if direction == "backward" else F.col(on).desc())
     w = (
         Window.partitionBy(*( [by] if by else [] ))
-        .orderBy(F.col(on).asc(), F.col(_SIDE).asc())
+        .orderBy(order, F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
         *left_cols,
         F.col(_SIDE),
+        F.last(F.col(_ASOF_TS), ignorenulls=True).over(w).alias(_ASOF_TS),
         *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in out_vals],
     )
-    return filled.filter(F.col(_SIDE) == 1).drop(_SIDE)
+    out = filled.filter(F.col(_SIDE) == 1).drop(_SIDE)
+    if tolerance_seconds is not None:
+        gap = (F.unix_micros(F.col(on).cast("timestamp"))
+               - F.unix_micros(F.col(_ASOF_TS).cast("timestamp")))
+        if direction == "forward":
+            gap = -gap
+        within = gap <= F.lit(int(tolerance_seconds * 1_000_000))
+        out = out.select(
+            *left_cols, F.col(_ASOF_TS),
+            *[F.when(within, F.col(c)).otherwise(F.lit(None)).alias(c)
+              for c in out_vals],
+        )
+    return out.drop(_ASOF_TS)
 
 
 def asof_join_pandas(

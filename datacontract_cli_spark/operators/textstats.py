@@ -153,3 +153,24 @@ def detect_language_ngram(col: Column, default: str = "und") -> Column:
     best = F.array_max(F.transform(scores, lambda s: s["score"]))
     winner = F.filter(scores, lambda s: s["score"] == best)[0]["lang"]
     return F.when(best > 0, winner).otherwise(F.lit(default))
+
+
+def repetition_ratio(col: Column, n: int = 3) -> Column:
+    """Fraction of repeated word n-grams within one document:
+    1 - distinct_ngrams / total_ngrams (0 = no internal repetition,
+    → 1 = the same phrase over and over). The standard boilerplate/spam
+    signal in training-data quality filters (cf. Gopher/C4 repetition
+    rules). Pure Column math over the token array — one scan, no shuffle,
+    no Python; short docs (< n tokens) score 0."""
+    from datacontract_cli_spark.operators.dedup import tokens
+
+    toks = tokens(col)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(
+        count > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / count.cast("double"),
+    ).otherwise(F.lit(0.0))

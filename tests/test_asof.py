@@ -93,3 +93,50 @@ def test_salted_no_by(spark):
     a = asof_join(L, R, on="t").orderBy("lid").collect()
     b = asof_join_salted(L, R, on="t", n_buckets=4).orderBy("lid").collect()
     assert a == b
+
+
+def test_asof_forward_and_tolerance_match_pandas(spark):
+    """Differential oracle: pandas merge_asof over the same frames for every
+    (direction, tolerance) combination."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 150
+    lp = pd.DataFrame({
+        "user_id": rng.integers(0, 10, n_l),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 100_000, n_l), unit="s"),
+    }).sort_values(["ts"]).reset_index(drop=True)
+    lp["row_id"] = range(n_l)
+    rp = pd.DataFrame({
+        "user_id": rng.integers(0, 10, n_r),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 100_000, n_r), unit="s"),
+        "val": rng.integers(0, 1000, n_r).astype("float64"),
+    }).sort_values(["ts"]).reset_index(drop=True)
+
+    left = spark.createDataFrame(lp)
+    right = spark.createDataFrame(rp)
+    for direction in ("backward", "forward"):
+        for tol in (None, 3600.0):
+            got = asof_join(left, right, on="ts", by="user_id",
+                                 value_cols=["val"], direction=direction,
+                                 tolerance_seconds=tol)
+            gmap = {r["row_id"]: r["val"] for r in got.collect()}
+            want = pd.merge_asof(
+                lp.sort_values("ts"), rp.sort_values("ts"), on="ts",
+                by="user_id", direction=direction,
+                tolerance=None if tol is None else pd.Timedelta(seconds=tol))
+            for _, row in want.iterrows():
+                g = gmap[row["row_id"]]
+                w = None if pd.isna(row["val"]) else row["val"]
+                assert g == w, (direction, tol, row["row_id"], g, w)
+
+
+def test_asof_rejects_unknown_direction(spark):
+    from pyspark.sql import functions as F
+    df = spark.range(1).select(F.col("id"), F.current_timestamp().alias("ts"))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        asof_join(df, df, on="ts", direction="nearest")

@@ -231,3 +231,20 @@ def test_winnow_max_doc_freq_filters_stop_grams(spark):
                                          max_doc_freq=3).count()
     assert all_pairs == 15  # every pair shares the common prefix
     assert filtered < all_pairs  # stop-gram fingerprints dropped
+
+
+def test_repetition_ratio(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([
+        (1, "a b c d e f"),                  # 4 distinct 3-grams, no repeats
+        (2, "x y z x y z x y z"),            # heavy repetition
+        (3, "one two"),                      # < n tokens -> 0
+        (4, ""),                             # empty -> 0
+    ], "id int, text string")
+    got = {r["id"]: round(r["rep"], 4) for r in df.select(
+        "id", textstats.repetition_ratio(F.col("text"), 3).alias("rep")).collect()}
+    assert got[1] == 0.0
+    # 9 tokens -> 7 grams; distinct: xyz,yzx,zxy -> 1 - 3/7
+    assert got[2] == round(1 - 3 / 7, 4)
+    assert got[3] == 0.0 and got[4] == 0.0
