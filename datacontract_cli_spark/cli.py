@@ -103,7 +103,7 @@ def build_parser() -> argparse.ArgumentParser:
     imp.add_argument("--format", required=True,
                      choices=["parquet", "orc", "csv", "json", "avro",
                               "jsonschema", "sql", "dbt", "bigquery", "unity",
-                              "iceberg", "dbml", "protobuf", "powerbi"])
+                              "iceberg", "dbml", "protobuf", "powerbi", "excel"])
     imp.add_argument("--source", required=True, help="file or schema path")
     imp.add_argument("--name", default="model", help="model name for file imports")
     imp.add_argument("--dialect", default=None,
@@ -133,7 +133,8 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"error: {e}", file=sys.stderr)
                 return 1
         elif args.format in ("dbt", "bigquery", "unity", "iceberg", "dbml",
-                             "protobuf", "powerbi"):
+                             "protobuf", "powerbi", "excel"):
+            from datacontract_cli_spark.sources.excel_import import import_excel
             from datacontract_cli_spark.sources.powerbi_import import import_powerbi_file
             from datacontract_cli_spark.sources.proto_import import import_protobuf
 
@@ -145,7 +146,8 @@ def main(argv: list[str] | None = None) -> int:
                        "iceberg": importers.import_iceberg_json_file,
                        "dbml": importers.import_dbml_file,
                        "protobuf": _import_protobuf_file,
-                       "powerbi": import_powerbi_file}
+                       "powerbi": import_powerbi_file,
+                       "excel": import_excel}
             try:
                 contract = loaders[args.format](args.source)
             except (OSError, ValueError, KeyError) as e:

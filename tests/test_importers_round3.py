@@ -350,3 +350,71 @@ def test_cli_import_powerbi(capsys):
     rc = main(["import", "--format", "powerbi", "--source", BIM_FIXTURE])
     assert rc == 0
     assert "Sales" in capsys.readouterr().out
+
+
+XLSX_FIXTURE = "/root/reference/tests/fixtures/excel/shipments-odcs.xlsx"
+XLSX_EXPECTED = "/root/reference/tests/fixtures/excel/shipments-odcs.yaml"
+
+
+def test_excel_import_matches_reference_expected():
+    """The Excel template importer (stdlib SpreadsheetML reader — openpyxl
+    absent) must reproduce the reference's expected contract for its own
+    fixture, for every field our contract model carries."""
+    from datacontract_cli_spark.sources.excel_import import import_excel
+
+    got = import_excel(XLSX_FIXTURE)
+    expected = yaml.safe_load(open(XLSX_EXPECTED))
+    assert got.id == expected["id"]
+    assert got.name == expected["name"]
+    assert got.version == expected["version"]
+    assert got.description == expected["description"]["purpose"]
+    [srv] = got.servers
+    esrv = expected["servers"][0]
+    assert (srv.server, srv.type) == (esrv["server"], esrv["type"])
+    assert srv.options["project"] == esrv["project"]
+    assert srv.options["dataset"] == esrv["dataset"]
+    [obj] = got.schema_objects
+    eobj = expected["schema"][0]
+    assert (obj.name, obj.physical_name, obj.physical_type) == \
+        (eobj["name"], eobj["physicalName"], eobj["physicalType"])
+    assert obj.description == eobj["description"]
+    gb = {p.name: p for p in obj.properties}
+    eb = {p["name"]: p for p in eobj["properties"]}
+    assert set(gb) == set(eb)
+    for n, ep in eb.items():
+        g = gb[n]
+        assert g.logical_type == ep.get("logicalType"), n
+        assert g.physical_type == ep.get("physicalType"), n
+        assert g.physical_name == ep.get("physicalName"), n
+        assert g.description == ep.get("description"), n
+        assert g.required == bool(ep.get("required")), n
+        assert g.primary_key == bool(ep.get("primaryKey")), n
+        assert g.classification == ep.get("classification"), n
+        assert g.tags == (ep.get("tags") or None), n
+    # SLA table
+    [sla] = got.sla_properties
+    assert (sla.property, sla.value, sla.unit) == ("availability", "95%", "%")
+
+
+def test_excel_import_nested_properties():
+    from datacontract_cli_spark.sources.excel_import import import_excel
+
+    got = import_excel(XLSX_FIXTURE)
+    expected = yaml.safe_load(open(XLSX_EXPECTED))
+    eb = {p["name"]: p for p in expected["schema"][0]["properties"]}
+    gb = {p.name: p for p in got.schema_objects[0].properties}
+    for name, ep in eb.items():
+        if ep.get("properties"):
+            g = gb[name]
+            assert g.properties is not None, name
+            assert {c.name for c in g.properties} == \
+                {c["name"] for c in ep["properties"]}, name
+        if ep.get("items"):
+            g = gb[name]
+            assert g.items is not None, name
+
+
+def test_cli_import_excel(capsys):
+    rc = main(["import", "--format", "excel", "--source", XLSX_FIXTURE])
+    assert rc == 0
+    assert "fulfillment_shipments_v1" in capsys.readouterr().out
