@@ -183,7 +183,14 @@ def main(argv: list[str] | None = None) -> int:
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 1
-        if args.output:
+        if isinstance(text, bytes):
+            if not args.output:
+                print("error: --format excel writes a binary workbook; "
+                      "pass --output <file.xlsx>", file=sys.stderr)
+                return 1
+            with open(args.output, "wb") as f:
+                f.write(text)
+        elif args.output:
             with open(args.output, "w", encoding="utf-8") as f:
                 f.write(text)
         else:

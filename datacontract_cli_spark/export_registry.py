@@ -3,8 +3,9 @@ two parallel if/elif tables drifted immediately (the API lacked half the
 formats), so both now route through this registry.
 
 ``export_contract(contract, fmt, schema_name="all", server=None,
-template=None, base=None)`` returns the exported text or raises
-ValueError for unknown formats / bad arguments.
+template=None, base=None)`` returns the exported text (bytes for the
+binary excel format) or raises ValueError for unknown formats / bad
+arguments.
 """
 
 from __future__ import annotations
@@ -104,6 +105,9 @@ def export_contract(contract: DataContract, fmt: str,
     if fmt == "rdf":
         from datacontract_cli_spark.export_code import to_rdf_turtle
         return to_rdf_turtle(contract, base)
+    if fmt == "excel":
+        from datacontract_cli_spark.export_excel import to_excel_bytes
+        return to_excel_bytes(contract)
     if fmt == "custom":
         from datacontract_cli_spark.export_code import to_custom_jinja
         if not template:
@@ -117,5 +121,5 @@ EXPORT_FORMATS = [
     "dbt-sources", "dbt-staging", "html", "markdown", "mermaid",
     "great-expectations", "pydantic", "sqlalchemy", "dbml", "protobuf",
     "go", "bigquery", "dcs", "custom", "iceberg", "dqx", "data-caterer",
-    "avro-idl", "rdf",
+    "avro-idl", "rdf", "excel",
 ]

@@ -611,3 +611,44 @@ def test_sql_importer_int_with_params_and_quoted_dotted_names():
     assert by["a"].logical_type == "integer"    # INT(11) maps via the head
     assert by["b"].logical_type == "integer"
     assert by["c--d"].logical_type == "integer"  # '--' inside quotes != comment
+
+
+def test_excel_export_roundtrips_through_importer(tmp_path):
+    """to_excel writes a workbook the stdlib importer reads back losslessly
+    for every covered field — verified on the reference's shipments
+    contract."""
+    from datacontract_cli_spark.export_excel import to_excel_file
+    from datacontract_cli_spark.sources.excel_import import import_excel
+
+    src = import_excel(
+        "/root/reference/tests/fixtures/excel/shipments-odcs.xlsx")
+    path = str(tmp_path / "roundtrip.xlsx")
+    to_excel_file(src, path)
+    back = import_excel(path)
+    assert (back.id, back.name, back.version) == (src.id, src.name, src.version)
+    assert back.description == src.description
+    assert [(s.server, s.type, s.options) for s in back.servers] == \
+        [(s.server, s.type, s.options) for s in src.servers]
+    a = {p.name: p for p in src.schema_objects[0].properties}
+    b = {p.name: p for p in back.schema_objects[0].properties}
+    assert set(a) == set(b)
+    for n in a:
+        for attr in ("logical_type", "physical_type", "physical_name",
+                     "description", "required", "unique", "primary_key",
+                     "classification", "tags"):
+            assert getattr(a[n], attr) == getattr(b[n], attr), (n, attr)
+    assert {c.name for c in a["address"].properties} == \
+        {c.name for c in b["address"].properties}
+    assert [(s.property, s.value, s.unit) for s in back.sla_properties] == \
+        [(s.property, s.value, s.unit) for s in src.sla_properties]
+
+
+def test_cli_export_excel(tmp_path, capsys):
+    out = str(tmp_path / "c.xlsx")
+    rc = main(["export", EXPORT_FIXTURE, "--format", "excel",
+               "--output", out])
+    assert rc == 0
+    from datacontract_cli_spark.sources.excel_import import import_excel
+    assert import_excel(out).id == "orders-unit-test"
+    # binary format without --output is a clean error
+    assert main(["export", EXPORT_FIXTURE, "--format", "excel"]) == 1
