@@ -81,6 +81,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help="path of a template contract to copy")
     ini.add_argument("--overwrite", action="store_true")
 
+    pub = sub.add_parser("publish", help="publish the contract to a registry")
+    pub.add_argument("location", nargs="?", default="datacontract.yaml")
+    pub.add_argument("--host", required=True,
+                     help="registry base URL (PUT {host}/api/datacontracts/{id})")
+    pub.add_argument("--api-key", default=None)
+
     clog = sub.add_parser("changelog", help="diff two contract versions")
     clog.add_argument("v1", help="the source (before) contract YAML")
     clog.add_argument("v2", help="the target (after) contract YAML")
@@ -221,6 +227,22 @@ def main(argv: list[str] | None = None) -> int:
             f.write(text)
         print(f"data contract written to {args.location}")
         return 0
+
+    if args.command == "publish":
+        import yaml as _yaml
+
+        from datacontract_cli_spark.output.publish import publish_data_contract
+        try:
+            with open(args.location, "r", encoding="utf-8") as f:
+                doc = _yaml.safe_load(f.read())
+            load_contract(args.location)  # must parse as a contract
+        except Exception as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        ok = publish_data_contract(doc, args.host, api_key=args.api_key)
+        print("Published data contract successfully" if ok
+              else "Failed publishing data contract")
+        return 0 if ok else 1
 
     if args.command == "changelog":
         from datacontract_cli_spark.changelog import build_changelog, render_text

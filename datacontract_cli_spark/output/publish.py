@@ -54,3 +54,36 @@ def publish_test_results(
     except Exception as e:  # noqa: BLE001 — publish must never crash the run
         run.log_error(f"Failed publishing test results. Error: {e}")
         return False
+
+
+def publish_data_contract(
+    contract_dict: dict,
+    host: str,
+    api_key: Optional[str] = None,
+    timeout: float = 10.0,
+) -> bool:
+    """PUT the contract document to ``{host}/api/datacontracts/{id}``
+    (reference: integration/entropy_data.py:58-86 — the `publish` command's
+    registry upload). Returns True on HTTP 200; never raises."""
+    try:
+        cid = contract_dict.get("id")
+        if not cid:
+            raise ValueError("cannot publish a contract without an id")
+        url = f"{host.rstrip('/')}/api/datacontracts/{cid}"
+        req = urllib.request.Request(
+            url,
+            data=json.dumps(contract_dict).encode("utf-8"),
+            method="PUT",
+            headers={
+                "Content-Type": "application/json",
+                **({"x-api-key": api_key} if api_key else {}),
+            },
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            if resp.status != 200:
+                logger.error("Error publishing data contract: HTTP %s", resp.status)
+                return False
+        return True
+    except Exception as e:  # noqa: BLE001 — CLI surfaces the failure via exit code
+        logger.error("Failed publishing data contract: %s", e)
+        return False

@@ -28,6 +28,9 @@ def http_capture():
             self.end_headers()
             self.wfile.write(b"{}")
 
+        def do_PUT(self):
+            self.do_POST()
+
         def log_message(self, *a):  # silence
             pass
 
@@ -78,3 +81,31 @@ def test_publish_requires_contract_id():
     run.finish()
     assert publish_test_results(run, "http://127.0.0.1:9/x") is False
     assert any("unknown data contract ID" in l.message for l in run.logs)
+
+
+def test_publish_data_contract_put(http_capture):
+    from datacontract_cli_spark.output.publish import publish_data_contract
+
+    port, captured = http_capture
+    doc = {"id": "my-contract", "kind": "DataContract", "version": "1.0.0"}
+    ok = publish_data_contract(doc, f"http://127.0.0.1:{port}", api_key="k1")
+    assert ok
+    assert captured["path"] == "/api/datacontracts/my-contract"
+    assert captured["api_key"] == "k1"
+    assert captured["body"]["id"] == "my-contract"
+    assert not publish_data_contract({}, f"http://127.0.0.1:{port}")
+
+
+def test_cli_publish(http_capture, tmp_path, capsys):
+    from datacontract_cli_spark.cli import main
+
+    port, captured = http_capture
+    p = tmp_path / "c.yaml"
+    p.write_text("apiVersion: v3.1.0\nkind: DataContract\nid: pub-c\n"
+                 "version: 1.0.0\nschema: []\n")
+    rc = main(["publish", str(p), "--host", f"http://127.0.0.1:{port}"])
+    assert rc == 0
+    assert captured["path"] == "/api/datacontracts/pub-c"
+    rc = main(["publish", str(tmp_path / "missing.yaml"),
+               "--host", f"http://127.0.0.1:{port}"])
+    assert rc == 1
