@@ -84,9 +84,11 @@ def main() -> None:
     # The md5 kernels exist solely so the DuckDB oracle can reproduce the
     # LSH pair sets bit-for-bit; they stay the default for the correctness
     # gate (same queries() entries, no env override there).
-    # arrow = the vectorized numpy signature kernel — fastest measured
-    # (warm sf0.1: arrow 1.8s, expr 2.6s, md5 3.8s)
-    os.environ.setdefault("DCSPARK_MINHASH_KERNEL", "arrow")
+    # expr = the pure-JVM column kernel. The arrow kernel wins in a warm
+    # session (1.8s vs 2.6s at sf0.1) but pays Python-worker spin-up on the
+    # bench's first-and-only run (measured 13-18s across bench contexts vs
+    # expr's consistent 4.8-8.4s), so the JVM kernel is the honest default.
+    os.environ.setdefault("DCSPARK_MINHASH_KERNEL", "expr")
     os.environ.setdefault("DCSPARK_SIMHASH_FAMILY", "xxhash64")
     os.environ.setdefault("DCSPARK_WINNOW_FAMILY", "xxhash64")
 
