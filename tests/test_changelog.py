@@ -118,3 +118,63 @@ def test_cli_changelog(capsys):
     out = capsys.readouterr().out
     assert "schema.customers" in out
     assert main(["changelog", V1, "/nonexistent.yaml"]) == 1
+
+
+# ---------------------------------------------------------------------------
+# property-based invariants
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def contract_doc(draw):
+    n_models = draw(st.integers(0, 3))
+    names = [f"m{i}" for i in range(n_models)]
+    schema = []
+    for name in draw(st.permutations(names)):
+        props = []
+        for p in range(draw(st.integers(0, 3))):
+            prop = {"name": f"p{p}"}
+            if draw(st.booleans()):
+                prop["logicalType"] = draw(st.sampled_from(
+                    ["string", "integer", "number"]))
+            if draw(st.booleans()):
+                prop["required"] = draw(st.booleans())
+            props.append(prop)
+        schema.append({"name": name, "properties": props})
+    doc = {"id": "x", "version": draw(st.sampled_from(["1.0", "2.0"])),
+           "schema": schema}
+    if draw(st.booleans()):
+        doc["tags"] = draw(st.lists(st.sampled_from(["a", "b", "c"]),
+                                    max_size=3, unique=True))
+    return doc
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(doc=contract_doc())
+def test_diff_self_is_empty(doc):
+    result = diff_contracts(doc, doc)
+    assert result.entries == [] and result.summary == []
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(a=contract_doc(), b=contract_doc())
+def test_diff_is_antisymmetric(a, b):
+    """diff(b, a) must be diff(a, b) with Added<->Removed swapped and
+    Updated old/new values exchanged, entry for entry."""
+    fwd = diff_contracts(a, b)
+    rev = diff_contracts(b, a)
+    flip = {ChangelogType.added: ChangelogType.removed,
+            ChangelogType.removed: ChangelogType.added,
+            ChangelogType.updated: ChangelogType.updated}
+    fwd_set = {(e.path, e.type, repr(e.old_value), repr(e.new_value))
+               for e in fwd.entries}
+    rev_flipped = {(e.path, flip[e.type], repr(e.new_value), repr(e.old_value))
+                   for e in rev.entries}
+    assert fwd_set == rev_flipped
+    assert {(e.path, flip[e.type]) for e in rev.summary} == \
+        {(e.path, e.type) for e in fwd.summary}
