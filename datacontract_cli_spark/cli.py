@@ -109,7 +109,8 @@ def build_parser() -> argparse.ArgumentParser:
     imp.add_argument("--format", required=True,
                      choices=["parquet", "orc", "csv", "json", "avro",
                               "jsonschema", "sql", "dbt", "bigquery", "unity",
-                              "iceberg", "dbml", "protobuf", "powerbi", "excel"])
+                              "iceberg", "dbml", "protobuf", "powerbi", "excel",
+                              "odcs", "dcs"])
     imp.add_argument("--source", required=True, help="file or schema path")
     imp.add_argument("--name", default="model", help="model name for file imports")
     imp.add_argument("--dialect", default=None,
@@ -127,7 +128,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "import":
         from datacontract_cli_spark import export as _export
         from datacontract_cli_spark.sources import importers
-        if args.format == "avro":
+        if args.format in ("odcs", "dcs"):
+            # normalization lane: any contract document (ODCS v3 or legacy
+            # DCS) loads through the resolver and re-emits as canonical ODCS
+            try:
+                contract = load_contract(args.source)
+            except (OSError, ValueError) as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
+        elif args.format == "avro":
             contract = importers.import_avro_schema(args.source)
         elif args.format == "jsonschema":
             contract = importers.import_jsonschema(args.source, name=args.name)

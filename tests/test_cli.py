@@ -101,3 +101,25 @@ def test_cli_catalog(tmp_path, capsys, monkeypatch):
     assert "a.html" in index and "b.html" in index
     page = (tmp_path / "cat" / "a.html").read_text()
     assert "<title>Contract A</title>" in page and "t1" in page
+
+
+def test_cli_import_odcs_normalizes_legacy_dcs(tmp_path, capsys):
+    """import --format dcs/odcs: the DCS->ODCS normalization lane."""
+    from datacontract_cli_spark.cli import main
+
+    p = tmp_path / "legacy.yaml"
+    p.write_text(
+        "dataContractSpecification: 1.1.0\n"
+        "id: legacy-1\n"
+        "info: {title: Legacy, version: 2.0.0}\n"
+        "models:\n"
+        "  t:\n"
+        "    fields:\n"
+        "      a: {type: bigint, required: true}\n")
+    assert main(["import", "--format", "dcs", "--source", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "kind: DataContract" in out
+    assert "logicalType: integer" in out      # bigint normalized
+    assert "physicalType: bigint" in out      # raw type preserved
+    assert main(["import", "--format", "odcs", "--source",
+                 str(tmp_path / "none.yaml")]) == 1
