@@ -28,9 +28,31 @@ from pyspark.sql import functions as F
 _EPS = 1e-6
 
 
-def frequency_fractions(df: DataFrame, column: str) -> Dict[Any, float]:
-    """Observed category → fraction, computed in one grouped aggregate."""
-    rows = df.groupBy(F.col(column).alias("k")).agg(F.count(F.lit(1)).alias("n")).collect()
+OTHER_BUCKET = "__other__"
+
+
+def frequency_fractions(df: DataFrame, column: str,
+                        max_categories: int = 10_000) -> Dict[Any, float]:
+    """Observed category → fraction, computed in one grouped aggregate.
+
+    The driver-side collect is bounded: at most ``max_categories`` rows come
+    back (top categories by count); any remaining mass folds into
+    ``OTHER_BUCKET``. For categorical drift columns (role/tool/event_type)
+    the cap never triggers; it exists so a mis-pointed high-cardinality
+    column (e.g. an id) cannot OOM the driver — the grouped counts stay
+    distributed and only the top-K survive the ordered limit."""
+    counts = df.groupBy(F.col(column).alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    # sort-free probe: a plain limit(K+1) detects truncation without paying a
+    # sort in the (overwhelmingly common) small-cardinality path
+    rows = counts.limit(max_categories + 1).collect()
+    if len(rows) > max_categories:
+        # rare lane only: keep the true top-K by count and fold the exact
+        # remaining mass into one bucket
+        rows = counts.orderBy(F.desc("n"), F.col("k")).limit(max_categories).collect()
+        total = counts.agg(F.sum("n").alias("t")).collect()[0]["t"]
+        out = {r["k"]: r["n"] / total for r in rows}
+        out[OTHER_BUCKET] = 1.0 - sum(out.values())
+        return out
     total = sum(r["n"] for r in rows)
     if total == 0:
         return {}
@@ -47,8 +69,10 @@ def psi_from_fractions(actual: Dict[Any, float], baseline: Dict[Any, float]) -> 
     return out
 
 
-def psi(df: DataFrame, column: str, baseline: Dict[Any, float]) -> float:
-    return psi_from_fractions(frequency_fractions(df, column), baseline)
+def psi(df: DataFrame, column: str, baseline: Dict[Any, float],
+        max_categories: int = 10_000) -> float:
+    return psi_from_fractions(
+        frequency_fractions(df, column, max_categories), baseline)
 
 
 def ks_statistic(df: DataFrame, column: str, baseline: Dict[str, Any]) -> float:

@@ -69,6 +69,20 @@ def test_psi_handles_unseen_categories(spark):
     assert math.isfinite(v) and v > 0
 
 
+def test_psi_collect_is_capped_on_high_cardinality(spark):
+    # a mis-pointed id column must not collect an unbounded frequency table:
+    # at most max_categories rows survive, the tail folds into OTHER_BUCKET
+    df = spark.range(0, 5000).select(F.col("id").cast("string").alias("k"))
+    fr = drift.frequency_fractions(df, "k", max_categories=50)
+    assert len(fr) == 51 and drift.OTHER_BUCKET in fr
+    assert fr[drift.OTHER_BUCKET] == pytest.approx(4950 / 5000, abs=1e-9)
+    assert sum(fr.values()) == pytest.approx(1.0, abs=1e-9)
+    # under the cap: identical to the uncapped result, no OTHER bucket
+    small = spark.createDataFrame([("a",)] * 75 + [("b",)] * 25, "k string")
+    fr2 = drift.frequency_fractions(small, "k", max_categories=50)
+    assert fr2 == {"a": 0.75, "b": 0.25}
+
+
 def test_ks_exact_points(spark):
     df = spark.range(0, 1000).select(F.col("id").cast("double").alias("v"))
     # true CDF at 500 is 0.5 — baseline claims 0.8 → KS ≈ 0.3
