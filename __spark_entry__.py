@@ -233,8 +233,7 @@ def _q_referential_integrity(spark, sf):
 
 def _q_psi_event_type(spark, sf):
     baseline = {"click": 0.2, "error": 0.2, "purchase": 0.2, "signup": 0.2, "view": 0.2}
-    value = drift.psi(_t(spark, sf, "events"), "event_type", baseline)
-    return spark.createDataFrame([(round(value, 6),)], "psi double")
+    return drift.psi_df(_t(spark, sf, "events"), "event_type", baseline)
 
 
 def _q_ks_value(spark, sf):

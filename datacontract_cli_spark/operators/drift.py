@@ -75,6 +75,39 @@ def psi(df: DataFrame, column: str, baseline: Dict[Any, float],
         frequency_fractions(df, column, max_categories), baseline)
 
 
+def psi_df(df: DataFrame, column: str, baseline: Dict[Any, float],
+           digits: int = 6) -> DataFrame:
+    """PSI as a one-row DataFrame with ZERO driver round-trips: the whole
+    computation is one declarative plan (grouped count → tiny full-outer
+    join with the baseline keys → single-row sum), so nothing is collected
+    and no local relation ships to the JVM. Preferred over ``psi()`` when
+    the caller wants a DataFrame (queries, pipelines) — the scalar ``psi()``
+    lane pays a driver collect plus a createDataFrame round-trip (~0.5 s of
+    py4j/job floor per call) that this lane avoids entirely.
+
+    The observed side stays fully distributed (two-phase hash aggregate);
+    only the per-category frequency table — one row per category — reaches
+    the join, and the baseline side is a literal map exploded from
+    ``spark.range(1)`` (no driver data shipping). Categories observed but
+    absent from the baseline (and vice versa) get the standard ``_EPS``
+    floor, matching ``psi_from_fractions``."""
+    base_map = F.create_map(
+        *[x for k, v in baseline.items()
+          for x in (F.lit(k), F.lit(float(v)))])
+    base = df.sparkSession.range(1).select(
+        F.explode(base_map).alias("k", "b"))
+    freq = (df.groupBy(F.col(column).alias("k"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    total = freq.agg(F.sum("n").alias("t"))
+    joined = (freq.crossJoin(F.broadcast(total))
+                  .withColumn("a", F.col("n") / F.col("t"))
+                  .join(base, "k", "full_outer"))
+    a = F.greatest(F.coalesce(F.col("a"), F.lit(0.0)), F.lit(_EPS))
+    b = F.greatest(F.coalesce(F.col("b"), F.lit(0.0)), F.lit(_EPS))
+    return joined.agg(
+        F.round(F.sum((a - b) * F.log(a / b)), digits).alias("psi"))
+
+
 def ks_statistic(df: DataFrame, column: str, baseline: Dict[str, Any]) -> float:
     if "cdf" in baseline:
         points: List[List[float]] = baseline["cdf"]

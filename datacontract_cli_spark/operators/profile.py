@@ -107,30 +107,45 @@ def profile(
 
 def profile_df(df: DataFrame, columns: Optional[Sequence[str]] = None,
                exact_distinct: bool = False) -> DataFrame:
-    """The same single-pass profile as a small DataFrame
-    (column, count, null_count, distinct, min, max) — handy as a query
-    result / oracle target. Quantile sketches are skipped: this projection
-    never surfaces them."""
-    stats = profile(df, columns, quantiles=(), exact_distinct=exact_distinct)
-    spark = df.sparkSession
-    def _minmax(s: dict, which: str):
-        v = s.get(which, s.get(f"{which}_len"))
-        return str(v) if v is not None else None
+    """The profile as a small DataFrame
+    (column, n_rows, null_count, n_distinct, min_value, max_value), built as
+    a UNION of per-column single-row aggregates — fully distributed, zero
+    driver round-trips (no collect / createDataFrame on the driver). Each
+    branch scans exactly one pruned column; Catalyst runs the branches as
+    independent stages of one job. String columns report min/max LENGTH
+    (matching ``profile()``'s min_len/max_len); quantile sketches are
+    skipped: this projection never surfaces them.
 
-    rows = [
-        (
-            c,
-            int(s["count"]),
-            int(s["null_count"]),
-            int(s["distinct"]),
-            _minmax(s, "min"),
-            _minmax(s, "max"),
+    ``exact_distinct=False`` (the 100 TB default) uses HLL
+    approx_count_distinct; True plans the per-column exact distinct
+    aggregate (two-phase, map-side dedup before the shuffle)."""
+    dtypes = dict(df.dtypes)
+    cols = list(columns) if columns else df.columns
+
+    def _branch(c: str) -> DataFrame:
+        qc = F.col(f"`{c}`")
+        dtype = dtypes.get(c, "")
+        if _is_numeric(dtype) or dtype in ("timestamp", "date"):
+            v = qc
+        elif dtype == "string":
+            v = F.length(qc)
+        else:
+            v = F.lit(None)
+        distinct = (F.count_distinct(qc) if exact_distinct
+                    else F.approx_count_distinct(qc))
+        return df.agg(
+            F.lit(c).alias("column"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(qc.isNull(), 1).otherwise(0)).alias("null_count"),
+            distinct.alias("n_distinct"),
+            F.min(v).cast("string").alias("min_value"),
+            F.max(v).cast("string").alias("max_value"),
         )
-        for c, s in stats.items()
-    ]
-    return spark.createDataFrame(
-        rows, "column string, n_rows bigint, null_count bigint, n_distinct bigint, min_value string, max_value string"
-    )
+
+    out = _branch(cols[0])
+    for c in cols[1:]:
+        out = out.unionAll(_branch(c))
+    return out
 
 
 def histogram(df: DataFrame, column: str, n_buckets: int = 10,

@@ -83,6 +83,20 @@ def test_psi_collect_is_capped_on_high_cardinality(spark):
     assert fr2 == {"a": 0.75, "b": 0.25}
 
 
+def test_psi_df_matches_scalar_psi(spark):
+    # declarative lane == scalar lane, including both eps floors:
+    # "c" observed but not in baseline, "b" in baseline but unobserved
+    df = spark.createDataFrame([("a",)] * 80 + [("c",)] * 20, "k string")
+    base = {"a": 0.5, "b": 0.5}
+    scalar = drift.psi(df, "k", base)
+    row = drift.psi_df(df, "k", base, digits=9).collect()[0]
+    assert row["psi"] == pytest.approx(scalar, abs=1e-6)
+    # zero on identical distributions
+    same = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "k string")
+    assert drift.psi_df(same, "k", {"a": 0.5, "b": 0.5}, digits=9) \
+        .collect()[0]["psi"] == pytest.approx(0.0, abs=1e-9)
+
+
 def test_ks_exact_points(spark):
     df = spark.range(0, 1000).select(F.col("id").cast("double").alias("v"))
     # true CDF at 500 is 0.5 — baseline claims 0.8 → KS ≈ 0.3
