@@ -61,6 +61,25 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--output-format", default="json", choices=["json", "junit"])
     t.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
 
+    ci = sub.add_parser(
+        "ci", help="run tests for CI/CD pipelines (annotations, step "
+                   "summary, --fail-on exit policy)")
+    ci.add_argument("locations", nargs="*", default=None,
+                    help="contract YAML path(s); default datacontract.yaml")
+    ci.add_argument("--server", default=None)
+    ci.add_argument("--filter", dest="filters", action="append", default=None)
+    ci.add_argument("--output", default=None,
+                    help="write test results here (single contract only)")
+    ci.add_argument("--output-format", default="json", choices=["json", "junit"])
+    ci.add_argument("--json", dest="json_output", action="store_true",
+                    help="print test results as JSON to stdout")
+    ci.add_argument("--logs", action="store_true", help="print run logs")
+    ci.add_argument("--fail-on", dest="fail_on", default="error",
+                    choices=["warning", "error", "never"],
+                    help="minimum severity that causes a non-zero exit code")
+    ci.add_argument("--inline-references", action="store_true")
+    ci.add_argument("--master", default=None)
+
     lint = sub.add_parser("lint", help="parse + structurally check a contract")
     lint.add_argument("contract")
 
@@ -252,6 +271,50 @@ def main(argv: list[str] | None = None) -> int:
         print("Published data contract successfully" if ok
               else "Failed publishing data contract")
         return 0 if ok else 1
+
+    if args.command == "ci":
+        from datacontract_cli_spark.engine.executor import SparkContractEngine
+        from datacontract_cli_spark.output import ci as ci_out
+        from datacontract_cli_spark.output import writers
+        from datacontract_cli_spark.session import get_spark
+
+        locations = args.locations or ["datacontract.yaml"]
+        if args.output and len(locations) > 1:
+            print("error: --output cannot be used with multiple contracts "
+                  "(results would overwrite each other)", file=sys.stderr)
+            return 1
+        # with --json, human-readable progress goes to stderr so stdout
+        # stays machine-parseable (reference command_ci.py:103-105)
+        human = sys.stderr if args.json_output else sys.stdout
+        spark = get_spark("datacontract-ci", master=args.master)
+        engine = SparkContractEngine(spark)
+        results = []
+        for location in locations:
+            print(f"Testing {location}", file=human)
+            try:
+                contract = load_contract(
+                    location, inline_references=args.inline_references)
+                run = engine.test(contract, server=args.server,
+                                  filters=args.filters)
+            except (OSError, ValueError) as e:
+                from datacontract_cli_spark.model.run import ResultEnum, Run
+                run = Run(result=ResultEnum.error)
+                run.log_error(str(e))
+            if args.logs:
+                for log in run.logs:
+                    print(f"{log.timestamp} {log.level} {log.message}",
+                          file=human)
+            results.append((location, run))
+            ci_out.write_annotations(run, location, out=human)
+            if args.output:
+                if args.output_format == "junit":
+                    writers.write_junit(run, args.output)
+                else:
+                    writers.write_json(run, args.output)
+        ci_out.write_summary(results)
+        if args.json_output:
+            print(ci_out.json_results(results))
+        return 1 if ci_out.should_fail(results, args.fail_on) else 0
 
     if args.command == "changelog":
         from datacontract_cli_spark.changelog import build_changelog, render_text
