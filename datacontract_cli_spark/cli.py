@@ -110,6 +110,18 @@ def build_parser() -> argparse.ArgumentParser:
     clog.add_argument("v1", help="the source (before) contract YAML")
     clog.add_argument("v2", help="the target (after) contract YAML")
 
+    dbt = sub.add_parser(
+        "dbt", help="sync contract checks into a dbt project / run them")
+    dbt.add_argument("action", choices=["sync", "test"])
+    dbt.add_argument("contract", help="path to the contract YAML")
+    dbt.add_argument("--project-dir", required=True,
+                     help="dbt project root (contains dbt_project.yml)")
+    dbt.add_argument("--schema", dest="schema_name", default="all")
+    dbt.add_argument("--skip-tests", action="store_true",
+                     help="generate only; don't invoke the dbt binary")
+    dbt.add_argument("--target", default=None, help="dbt target name")
+    dbt.add_argument("--profiles-dir", default=None)
+
     from datacontract_cli_spark.export_registry import EXPORT_FORMATS
 
     exp = sub.add_parser("export", help="export the contract to another format")
@@ -271,6 +283,42 @@ def main(argv: list[str] | None = None) -> int:
         print("Published data contract successfully" if ok
               else "Failed publishing data contract")
         return 0 if ok else 1
+
+    if args.command == "dbt":
+        from pathlib import Path
+
+        from datacontract_cli_spark.integration import dbt_sync
+        from datacontract_cli_spark.output import writers
+        try:
+            contract = load_contract(args.contract)
+        except (OSError, ValueError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        project_dir = Path(args.project_dir)
+        try:
+            if args.action == "sync":
+                gen = dbt_sync.write_dbt_tests(contract, project_dir,
+                                               schema_name=args.schema_name)
+                for p in gen.written_yaml + gen.written_sql:
+                    print(f"wrote {p}")
+                for log in gen.generation_run.logs:
+                    print(f"{log.level}: {log.message}")
+                if args.skip_tests:
+                    return 0
+                dbt_sync.run_dbt_test(project_dir, target=args.target,
+                                      profiles_dir=args.profiles_dir)
+                run = dbt_sync.parse_dbt_test_run(
+                    project_dir, contract,
+                    generation_run=gen.generation_run)
+            else:  # test
+                dbt_sync.run_dbt_test(project_dir, target=args.target,
+                                      profiles_dir=args.profiles_dir)
+                run = dbt_sync.parse_dbt_test_run(project_dir, contract)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        print(writers.console_table(run))
+        return writers.exit_code(run)
 
     if args.command == "ci":
         from datacontract_cli_spark.engine.executor import SparkContractEngine

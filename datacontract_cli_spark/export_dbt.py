@@ -121,7 +121,12 @@ def _enum_values(prop: Property) -> Optional[List[Any]]:
 
 def field_to_data_tests(prop: Property, *, is_primary_key: bool = False,
                         is_single_pk: bool = False,
-                        supports_constraints: bool = False) -> List[Any]:
+                        supports_constraints: bool = False,
+                        include_dbt_expectations_bounds: bool = True) -> List[Any]:
+    """``include_dbt_expectations_bounds=False`` (the dbt-sync lane,
+    reference dbt_test_mapping.py:62-71) emits only the dependency-free
+    generic tests; length/regex/range bounds become singular SQL instead so
+    generated projects need no dbt_expectations package."""
     tests: List[Any] = []
     if not supports_constraints:
         if prop.required or is_primary_key:
@@ -131,6 +136,8 @@ def field_to_data_tests(prop: Property, *, is_primary_key: bool = False,
     enum = _enum_values(prop)
     if enum:
         tests.append({"accepted_values": {"values": enum}})
+    if not include_dbt_expectations_bounds:
+        return tests
     min_length, max_length = _opt(prop, "minLength"), _opt(prop, "maxLength")
     if min_length is not None or max_length is not None:
         t: Dict[str, Any] = {}
