@@ -88,6 +88,14 @@ def build_parser() -> argparse.ArgumentParser:
     api.add_argument("--port", type=int, default=4242)
     api.add_argument("--master", default=None)
 
+    ed = sub.add_parser("edit", help="edit a contract in the local web editor")
+    ed.add_argument("location", nargs="?", default="datacontract.yaml")
+    ed.add_argument("--host", default="127.0.0.1")
+    ed.add_argument("--port", type=int, default=4243)
+    ed.add_argument("--open", dest="open_browser", action="store_true",
+                    help="open the editor in the default browser")
+    ed.add_argument("--master", default=None)
+
     cat = sub.add_parser("catalog", help="create an HTML catalog of contracts")
     cat.add_argument("--files", default="*.yaml",
                      help="glob pattern for contract files (recursive)")
@@ -247,6 +255,12 @@ def main(argv: list[str] | None = None) -> int:
         from datacontract_cli_spark.api import main as api_main
         api_main(host=args.host, port=args.port, master=args.master)
         return 0
+
+    if args.command == "edit":
+        from datacontract_cli_spark.editor import main as editor_main
+        return editor_main(location=args.location, host=args.host,
+                           port=args.port, master=args.master,
+                           open_browser=args.open_browser)
 
     if args.command == "catalog":
         from datacontract_cli_spark.catalog import build_catalog
