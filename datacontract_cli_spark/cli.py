@@ -149,8 +149,11 @@ def build_parser() -> argparse.ArgumentParser:
                      choices=["parquet", "orc", "csv", "json", "avro",
                               "jsonschema", "sql", "dbt", "bigquery", "unity",
                               "iceberg", "dbml", "protobuf", "powerbi", "excel",
-                              "odcs", "dcs"])
-    imp.add_argument("--source", required=True, help="file or schema path")
+                              "odcs", "dcs", "spark"])
+    imp.add_argument("--source", required=True,
+                     help="file or schema path; for --format spark a "
+                          "comma-separated list of tables/views in the "
+                          "shared Spark session")
     imp.add_argument("--name", default="model", help="model name for file imports")
     imp.add_argument("--dialect", default=None,
                      help="SQL dialect for --format sql (postgres, tsql, ...)")
@@ -212,7 +215,17 @@ def main(argv: list[str] | None = None) -> int:
             from datacontract_cli_spark.session import get_spark
             master = args.master or f"local[{_os.environ.get('SPARK_GRAFT_CPUS', '4')}]"
             spark = get_spark("dcspark-import", master=master)
-            contract = importers.import_file(spark, args.source, args.format, args.name)
+            try:
+                if args.format == "spark":
+                    # live-session lane: --source names tables/views in the
+                    # shared session (getOrCreate reuses an active one)
+                    contract = importers.import_spark(spark, source=args.source)
+                else:
+                    contract = importers.import_file(spark, args.source,
+                                                     args.format, args.name)
+            except Exception as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
         text = _export.to_odcs_yaml(contract)
         if args.output:
             with open(args.output, "w", encoding="utf-8") as f:

@@ -52,6 +52,56 @@ def import_file(spark: SparkSession, path: str, fmt: str, name: str,
     return _from_df_schema(df.schema, name, contract_id, fmt, path)
 
 
+def import_spark(spark: SparkSession, source: Optional[str] = None,
+                 dataframe: Optional[Any] = None,
+                 description: Optional[str] = None,
+                 contract_id: Optional[str] = None) -> DataContract:
+    """Live-session Spark importer (reference imports/spark_importer.py:
+    33-90): reflect a DataFrame, or a comma-separated list of tables /
+    temp views visible in the shared SparkSession, into a contract with a
+    ``dataframe`` server. Field comments come from StructField metadata;
+    a table's catalog comment becomes the schema description when no
+    explicit description is given. Pure metadata — no data is scanned."""
+    from datacontract_cli_spark.model.contract import Server
+
+    def _schema_object(name: str, df) -> SchemaObject:
+        props = [spark_type_to_property(f.name, f.dataType)
+                 for f in df.schema.fields]
+        for prop, field in zip(props, df.schema.fields):
+            prop.required = not field.nullable
+            comment = (field.metadata or {}).get("comment")
+            if comment and not prop.description:
+                prop.description = comment
+        desc = description
+        if desc is None:
+            try:
+                desc = spark.catalog.getTable(name).description or None
+            except Exception:
+                desc = None  # plain DataFrame / temp view: no catalog entry
+        return SchemaObject(name=name, physical_type="table",
+                            description=desc, properties=props)
+
+    objects = []
+    if dataframe is not None:
+        from pyspark.sql import DataFrame as _DF
+        if not isinstance(dataframe, _DF):
+            raise TypeError("expected 'dataframe' to be a pyspark.sql.DataFrame")
+        objects.append(_schema_object(source or "model", dataframe))
+    else:
+        if not source:
+            raise ValueError("either 'dataframe' or a table/view name in "
+                             "'source' must be provided")
+        for table_name in map(str.strip, source.split(",")):
+            objects.append(_schema_object(table_name,
+                                          spark.read.table(table_name)))
+    return DataContract(
+        id=contract_id or (objects[0].name if objects else "contract"),
+        version="0.0.1",
+        schema_objects=objects,
+        servers=[Server(server="local", type="dataframe")],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Avro schema -> contract (inverse of export.to_avro_schema)
 # ---------------------------------------------------------------------------
