@@ -238,8 +238,7 @@ def _q_psi_event_type(spark, sf):
 
 def _q_ks_value(spark, sf):
     points = [[10.0, 0.1], [35.0, 0.5], [100.0, 0.9], [300.0, 0.99]]
-    value = drift.ks_statistic(_t(spark, sf, "events"), "value", {"cdf": points})
-    return spark.createDataFrame([(round(value, 6),)], "ks double")
+    return drift.ks_df(_t(spark, sf, "events"), "value", points)
 
 
 def _q_window_top3(spark, sf):

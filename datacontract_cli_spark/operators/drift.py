@@ -108,6 +108,25 @@ def psi_df(df: DataFrame, column: str, baseline: Dict[Any, float],
         F.round(F.sum((a - b) * F.log(a / b)), digits).alias("psi"))
 
 
+def ks_df(df: DataFrame, column: str, points: List[List[float]],
+          digits: int = 6) -> DataFrame:
+    """Exact KS-at-points as a one-row DataFrame with zero driver
+    round-trips (same declarative rationale as :func:`psi_df`): all the
+    count-ifs fuse into ONE scan's aggregate, and the max-deviation fold
+    happens in the same plan via ``greatest`` — nothing is collected and
+    no local relation ships to the JVM."""
+    col = F.col(column)
+    aggs = [F.count(col).alias("__n__")]
+    for i, (x, _p) in enumerate(points):
+        aggs.append(F.sum(F.when(col <= F.lit(x), 1).otherwise(0))
+                    .alias(f"__le_{i}__"))
+    row = df.agg(*aggs)
+    terms = [F.abs(F.col(f"__le_{i}__") / F.col("__n__") - F.lit(float(p)))
+             for i, (_x, p) in enumerate(points)]
+    ks = terms[0] if len(terms) == 1 else F.greatest(*terms)
+    return row.select(F.round(ks, digits).alias("ks"))
+
+
 def ks_statistic(df: DataFrame, column: str, baseline: Dict[str, Any]) -> float:
     if "cdf" in baseline:
         points: List[List[float]] = baseline["cdf"]

@@ -97,6 +97,17 @@ def test_psi_df_matches_scalar_psi(spark):
         .collect()[0]["psi"] == pytest.approx(0.0, abs=1e-9)
 
 
+def test_ks_df_matches_scalar(spark):
+    df = spark.range(0, 1000).select(F.col("id").cast("double").alias("v"))
+    pts = [[249.0, 0.1], [499.0, 0.8], [899.0, 0.95]]
+    scalar = drift.ks_statistic(df, "v", {"cdf": pts})
+    assert drift.ks_df(df, "v", pts, digits=9).collect()[0]["ks"] == \
+        pytest.approx(scalar, abs=1e-6)
+    # single point: no greatest() wrapper lane
+    assert drift.ks_df(df, "v", [[499.0, 0.8]], digits=9).collect()[0]["ks"] \
+        == pytest.approx(0.3, abs=0.01)
+
+
 def test_ks_exact_points(spark):
     df = spark.range(0, 1000).select(F.col("id").cast("double").alias("v"))
     # true CDF at 500 is 0.5 — baseline claims 0.8 → KS ≈ 0.3
