@@ -236,6 +236,16 @@ def _q_psi_event_type(spark, sf):
     return drift.psi_df(_t(spark, sf, "events"), "event_type", baseline)
 
 
+def _q_jsd_event_type(spark, sf):
+    baseline = {"click": 0.2, "error": 0.2, "purchase": 0.2, "signup": 0.2, "view": 0.2}
+    return drift.jsd_df(_t(spark, sf, "events"), "event_type", baseline)
+
+
+def _q_chi2_event_type(spark, sf):
+    baseline = {"click": 0.2, "error": 0.2, "purchase": 0.2, "signup": 0.2, "view": 0.2}
+    return drift.chi2_df(_t(spark, sf, "events"), "event_type", baseline)
+
+
 def _q_ks_value(spark, sf):
     points = [[10.0, 0.1], [35.0, 0.5], [100.0, 0.9], [300.0, 0.99]]
     return drift.ks_df(_t(spark, sf, "events"), "value", points)
@@ -733,6 +743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": _q_profile_orders,
         "referential_integrity": _q_referential_integrity,
         "psi_event_type": _q_psi_event_type,
+        "jsd_event_type": _q_jsd_event_type,
+        "chi2_event_type": _q_chi2_event_type,
         "ks_value": _q_ks_value,
         "window_top3_per_customer": _q_window_top3,
         "tpch_q1": _q_tpch_q1,
@@ -840,6 +852,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT round(sum((frac - 0.2) * ln(frac / 0.2)), 6) AS psi FROM ("
             "SELECT CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS frac "
             "FROM events GROUP BY event_type)"
+        ),
+        "jsd_event_type": (
+            "WITH freq AS (SELECT event_type AS k, "
+            "CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS p "
+            "FROM events GROUP BY event_type), "
+            "base(k, q) AS (VALUES ('click', 0.2), ('error', 0.2), "
+            "('purchase', 0.2), ('signup', 0.2), ('view', 0.2)), "
+            "j AS (SELECT coalesce(f.p, 0) AS p, coalesce(b.q, 0) AS q "
+            "FROM freq f FULL OUTER JOIN base b ON f.k = b.k) "
+            "SELECT round(sum("
+            "CASE WHEN p > 0 THEN p * log2(p / ((p + q) / 2)) ELSE 0 END + "
+            "CASE WHEN q > 0 THEN q * log2(q / ((p + q) / 2)) ELSE 0 END"
+            ") / 2, 6) AS jsd FROM j"
+        ),
+        "chi2_event_type": (
+            "WITH base(k, q) AS (VALUES ('click', 0.2), ('error', 0.2), "
+            "('purchase', 0.2), ('signup', 0.2), ('view', 0.2)), "
+            "freq AS (SELECT event_type AS k, count(*) AS n "
+            "FROM events GROUP BY event_type), "
+            "tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM events) "
+            "SELECT round(sum(pow(CAST(coalesce(n, 0) AS DOUBLE) - q * t, 2) "
+            "/ (q * t)), 4) AS chi2, count(*) - 1 AS df_degrees "
+            "FROM base LEFT JOIN freq USING (k) CROSS JOIN tot"
         ),
         "ks_value": (
             "SELECT round(greatest("

@@ -108,6 +108,63 @@ def psi_df(df: DataFrame, column: str, baseline: Dict[Any, float],
         F.round(F.sum((a - b) * F.log(a / b)), digits).alias("psi"))
 
 
+def jsd_df(df: DataFrame, column: str, baseline: Dict[Any, float],
+           digits: int = 6) -> DataFrame:
+    """Jensen-Shannon divergence (base-2, in [0,1]) between the observed
+    category distribution and a baseline, as one declarative plan — same
+    shape as :func:`psi_df` (grouped count → tiny full-outer join with the
+    exploded baseline literal → single-row sum). JSD is the symmetric,
+    bounded alternative to PSI: robust to zero-probability categories
+    (0·log0 ≡ 0 — no epsilon floor needed), which makes it the better
+    alarm metric when new categories appear at 100 TB."""
+    base_map = F.create_map(
+        *[x for k, v in baseline.items()
+          for x in (F.lit(k), F.lit(float(v)))])
+    base = df.sparkSession.range(1).select(
+        F.explode(base_map).alias("k", "b"))
+    freq = (df.groupBy(F.col(column).alias("k"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    total = freq.agg(F.sum("n").alias("t"))
+    joined = (freq.crossJoin(F.broadcast(total))
+                  .withColumn("p", F.col("n") / F.col("t"))
+                  .join(base, "k", "full_outer"))
+    p = F.coalesce(F.col("p"), F.lit(0.0))
+    q = F.coalesce(F.col("b"), F.lit(0.0))
+    m = (p + q) / 2
+    # 0*log(0) -> 0 via the when-guards; log2 for the [0,1] range
+    term = (F.when(p > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
+            + F.when(q > 0, q * F.log2(q / m)).otherwise(F.lit(0.0)))
+    return joined.agg(F.round(F.sum(term) / 2, digits).alias("jsd"))
+
+
+def chi2_df(df: DataFrame, column: str, baseline: Dict[Any, float],
+            digits: int = 4) -> DataFrame:
+    """Pearson chi-square goodness-of-fit statistic of the observed
+    category counts against baseline expected fractions, one declarative
+    plan. Returns (chi2, df_degrees): the caller compares against the
+    critical value for its alpha. Expected counts are n·q_k over the
+    baseline's categories (observed-only categories contribute their full
+    count against an expected of 0 via the standard convention of folding
+    them in with expected≈0 excluded — here they're included with q from
+    the baseline only, so the statistic is over the baseline's support)."""
+    base_map = F.create_map(
+        *[x for k, v in baseline.items()
+          for x in (F.lit(k), F.lit(float(v)))])
+    base = df.sparkSession.range(1).select(
+        F.explode(base_map).alias("k", "q"))
+    freq = (df.groupBy(F.col(column).alias("k"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    total = freq.agg(F.sum("n").alias("t"))
+    joined = (base.join(freq, "k", "left")
+                  .crossJoin(F.broadcast(total)))
+    observed = F.coalesce(F.col("n"), F.lit(0)).cast("double")
+    expected = F.col("q") * F.col("t")
+    term = (observed - expected) ** 2 / expected
+    return joined.agg(
+        F.round(F.sum(term), digits).alias("chi2"),
+        (F.count(F.lit(1)) - 1).alias("df_degrees"))
+
+
 def ks_df(df: DataFrame, column: str, points: List[List[float]],
           digits: int = 6) -> DataFrame:
     """Exact KS-at-points as a one-row DataFrame with zero driver

@@ -97,6 +97,36 @@ def test_psi_df_matches_scalar_psi(spark):
         .collect()[0]["psi"] == pytest.approx(0.0, abs=1e-9)
 
 
+def test_jsd_df_bounds_and_identity(spark):
+    same = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "k string")
+    assert drift.jsd_df(same, "k", {"a": 0.5, "b": 0.5}, digits=9) \
+        .collect()[0]["jsd"] == pytest.approx(0.0, abs=1e-9)
+    # disjoint supports -> maximal divergence 1.0 (base-2), finite without
+    # any epsilon floor
+    disjoint = spark.createDataFrame([("a",)] * 100, "k string")
+    assert drift.jsd_df(disjoint, "k", {"b": 1.0}, digits=9) \
+        .collect()[0]["jsd"] == pytest.approx(1.0, abs=1e-9)
+    # hand-computed shift: p=(0.9,0.1), q=(0.5,0.5)
+    df = spark.createDataFrame([("a",)] * 90 + [("b",)] * 10, "k string")
+    m_a, m_b = 0.7, 0.3
+    expect = (0.9 * math.log2(0.9 / m_a) + 0.1 * math.log2(0.1 / m_b)
+              + 0.5 * math.log2(0.5 / m_a) + 0.5 * math.log2(0.5 / m_b)) / 2
+    assert drift.jsd_df(df, "k", {"a": 0.5, "b": 0.5}, digits=9) \
+        .collect()[0]["jsd"] == pytest.approx(expect, abs=1e-9)
+
+
+def test_chi2_df_statistic(spark):
+    # 90/10 observed vs 50/50 expected over n=100:
+    # (90-50)^2/50 + (10-50)^2/50 = 64
+    df = spark.createDataFrame([("a",)] * 90 + [("b",)] * 10, "k string")
+    row = drift.chi2_df(df, "k", {"a": 0.5, "b": 0.5}).collect()[0]
+    assert row["chi2"] == pytest.approx(64.0, abs=1e-6)
+    assert row["df_degrees"] == 1
+    # unobserved baseline category contributes its full expected count
+    row = drift.chi2_df(df, "k", {"a": 0.5, "b": 0.3, "c": 0.2}).collect()[0]
+    assert row["df_degrees"] == 2 and row["chi2"] > 0
+
+
 def test_ks_df_matches_scalar(spark):
     df = spark.range(0, 1000).select(F.col("id").cast("double").alias("v"))
     pts = [[249.0, 0.1], [499.0, 0.8], [899.0, 0.95]]
