@@ -334,6 +334,53 @@ def _q_token_stats(spark, sf):
     )
 
 
+def _pii_contact_col():
+    """Deterministic contact-text derivation (this sandbox's TPC-H tables
+    carry no free-text PII columns, so the PII scan derives one from keys —
+    the identical expression runs in the DuckDB oracle): every row gets an
+    email, every third row a grouped-digit phone."""
+    return F.concat(
+        F.lit("reach "), F.col("c_name"), F.lit(" at c"),
+        F.col("c_custkey").cast("string"), F.lit("@example.com or "),
+        F.when(F.col("c_custkey") % 3 == 0,
+               F.concat(F.lit("25-989-741-"),
+                        F.lpad((F.col("c_custkey") % 10000).cast("string"),
+                               4, "0"))).otherwise(F.lit("n/a")))
+
+
+def _q_pii_scan_customer(spark, sf):
+    """PII detection over contact text: per-category values-with-match and
+    total match counts — pure regexp Column math, one narrow pass."""
+    from datacontract_cli_spark.operators import pii
+    cust = _t(spark, sf, "customer").withColumn("contact", _pii_contact_col())
+    return pii.pii_summary(cust, ["contact"], categories=["email", "phone"])
+
+
+def _q_pii_scrub_customer(spark, sf):
+    """Scrub validation: masked values and residual (must-be-zero) PII
+    matches after scrubbing."""
+    from datacontract_cli_spark.operators import pii
+    cust = _t(spark, sf, "customer").withColumn("contact", _pii_contact_col())
+    scrubbed = pii.scrub(F.col("contact"), ["email", "phone"])
+    return cust.agg(
+        F.sum(F.when(scrubbed.contains(pii.DEFAULT_MASK), 1).otherwise(0))
+        .alias("masked_values"),
+        F.sum(pii.match_count(scrubbed, "email")
+              + pii.match_count(scrubbed, "phone")).alias("residual_matches"),
+    )
+
+
+def _q_benchmark_contamination(spark, sf):
+    """Decontamination: corpus docs sharing a 5-word-gram with a benchmark
+    set (docs 0-9) — broadcast semi-join, corpus shuffles (doc_id, gram)
+    pairs only."""
+    from datacontract_cli_spark.operators.contamination import contamination_stats
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    return contamination_stats(corpus, bench, n=5)
+
+
 def _q_streaming_counts(spark, sf):
     """Structured Streaming IN the gate: a bounded file stream of events
     driven to completion; hourly event-time windows with missing/invalid
@@ -753,6 +800,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": _q_sessionization,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
+        "pii_scan_customer": _q_pii_scan_customer,
+        "pii_scrub_customer": _q_pii_scrub_customer,
+        "benchmark_contamination": _q_benchmark_contamination,
         "lang_freq": _q_lang_freq,
         "text_quality_filter": _q_text_quality,
         "cosine_topk": _q_cosine_topk,
@@ -852,6 +902,60 @@ def oracle_sql() -> dict[str, str]:
             "SELECT round(sum((frac - 0.2) * ln(frac / 0.2)), 6) AS psi FROM ("
             "SELECT CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS frac "
             "FROM events GROUP BY event_type)"
+        ),
+        "pii_scan_customer": (
+            r"WITH c AS (SELECT 'reach ' || c_name || ' at c' || "
+            r"CAST(c_custkey AS VARCHAR) || '@example.com or ' || "
+            r"CASE WHEN c_custkey % 3 = 0 THEN '25-989-741-' || "
+            r"lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') "
+            r"ELSE 'n/a' END AS contact FROM customer) "
+            'SELECT \'contact\' AS "column", \'email\' AS category, '
+            r"sum(CASE WHEN regexp_matches(contact, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') "
+            r"THEN 1 ELSE 0 END) AS values_with_match, "
+            r"sum(len(regexp_extract_all(contact, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) "
+            r"AS match_count FROM c "
+            r"UNION ALL "
+            r"SELECT 'contact', 'phone', "
+            r"sum(CASE WHEN regexp_matches(contact, "
+            r"'\b\d{2,3}[-. ]\d{3}[-. ]\d{3,4}(?:[-. ]\d{4})?\b') "
+            r"THEN 1 ELSE 0 END), "
+            r"sum(len(regexp_extract_all(contact, "
+            r"'\b\d{2,3}[-. ]\d{3}[-. ]\d{3,4}(?:[-. ]\d{4})?\b'))) FROM c"
+        ),
+        "pii_scrub_customer": (
+            r"WITH c AS (SELECT 'reach ' || c_name || ' at c' || "
+            r"CAST(c_custkey AS VARCHAR) || '@example.com or ' || "
+            r"CASE WHEN c_custkey % 3 = 0 THEN '25-989-741-' || "
+            r"lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') "
+            r"ELSE 'n/a' END AS contact FROM customer), "
+            r"s AS (SELECT regexp_replace(regexp_replace(contact, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'), "
+            r"'\b\d{2,3}[-. ]\d{3}[-. ]\d{3,4}(?:[-. ]\d{4})?\b', '[PII]', 'g') "
+            r"AS scrubbed FROM c) "
+            r"SELECT sum(CASE WHEN contains(scrubbed, '[PII]') "
+            r"THEN 1 ELSE 0 END) AS masked_values, "
+            r"sum(len(regexp_extract_all(scrubbed, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) + "
+            r"len(regexp_extract_all(scrubbed, "
+            r"'\b\d{2,3}[-. ]\d{3}[-. ]\d{3,4}(?:[-. ]\d{4})?\b'))) "
+            r"AS residual_matches FROM s"
+        ),
+        "benchmark_contamination": (
+            r"WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), "
+            r"'\s+') AS words FROM documents), "
+            r"g AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            r"generate_series(1, greatest(len(words) - 4, 0)), "
+            r"i -> array_to_string(words[i:i+4], ' ')))) AS gram FROM w), "
+            r"bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10), "
+            r"flagged AS (SELECT DISTINCT g.doc_id FROM g "
+            r"JOIN bench USING (gram) WHERE g.doc_id >= 10), "
+            r"tot AS (SELECT count(DISTINCT doc_id) AS t FROM documents "
+            r"WHERE doc_id >= 10) "
+            r"SELECT count(*) AS contaminated_docs, t AS total_docs, "
+            r"round(CAST(count(*) AS DOUBLE) / t, 6) AS contamination_rate "
+            r"FROM flagged CROSS JOIN tot GROUP BY t"
         ),
         "jsd_event_type": (
             "WITH freq AS (SELECT event_type AS k, "

@@ -1,0 +1,79 @@
+"""Benchmark contamination check: which corpus documents share word
+n-grams with a benchmark/eval set.
+
+The standard decontamination step of a training-data pipeline (the
+GPT-3/PaLM n-gram-overlap method): any training document that contains an
+n-gram occurring in the evaluation benchmark is flagged (and usually
+dropped). Neither the reference nor Spark has this as a built-in; it
+composes from DataFrame ops:
+
+  corpus side:    split → distinct n-grams per doc → explode
+                  (shuffle carries (doc_id, gram) pairs only)
+  benchmark side: same, then distinct — tiny vs the corpus, so it
+                  broadcasts; the flagging is a broadcast LEFT SEMI join,
+                  no corpus-side shuffle at all when the benchmark fits
+                  in memory (the common case: eval sets are MBs, corpora
+                  are TBs).
+
+At 100 TB the gram strings themselves should be compressed to 8-byte
+xxhash64 keys before the join (the gate query keeps raw strings so the
+DuckDB oracle reproduces the exact same join keys — hash families differ
+across engines; same policy as the LSH kernels)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Array of space-joined word n-grams of the lowercased text (empty
+    array when the text has fewer than n words). Bound via a fold so the
+    split/normalize runs once, not per element."""
+    words = F.split(F.lower(col), r"\s+")
+    return F.aggregate(
+        F.array(words), F.array().cast("array<string>"),
+        # guard: Spark's sequence(1, stop) DESCENDS when stop < 1 (it would
+        # emit [1, 0] for a too-short text), so short texts take the
+        # empty-array branch explicitly
+        lambda _acc, w: F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.array_join(F.slice(w, i, n), " "))
+        ).otherwise(F.array().cast("array<string>")))
+
+
+def contaminated_docs(corpus: DataFrame, benchmark: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 5, hash_grams: bool = False) -> DataFrame:
+    """Distinct corpus ids sharing at least one word n-gram with the
+    benchmark. ``hash_grams=True`` compresses join keys to xxhash64 — the
+    production setting; leave False only when an external oracle must
+    reproduce the keys."""
+    def _grams(df: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if keep_id else []
+        out = df.select(*cols, F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"))
+        if hash_grams:
+            out = out.withColumn("gram", F.xxhash64("gram"))
+        return out
+
+    bench_grams = _grams(benchmark, keep_id=False).distinct()
+    return (_grams(corpus, keep_id=True)
+            .join(F.broadcast(bench_grams), "gram", "left_semi")
+            .select(id_col).distinct())
+
+
+def contamination_stats(corpus: DataFrame, benchmark: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 5, hash_grams: bool = False) -> DataFrame:
+    """(contaminated_docs, total_docs, contamination_rate) one-row frame."""
+    flagged = contaminated_docs(corpus, benchmark, id_col, text_col, n,
+                                hash_grams)
+    total = corpus.select(id_col).distinct().count()
+    return flagged.agg(
+        F.count(F.lit(1)).alias("contaminated_docs"),
+        F.lit(total).alias("total_docs"),
+        F.round(F.count(F.lit(1)) / F.lit(float(total)), 6)
+        .alias("contamination_rate"))
