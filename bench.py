@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "interval_join_events",
     "stratified_sample",
     "hash_split",
+    # round-4 additions
+    "jsd_event_type",
+    "pii_scan_customer",
+    "benchmark_contamination",
 ]
 
 TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "1000000"))
