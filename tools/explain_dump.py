@@ -108,6 +108,35 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
                      "(no array<double> in any Exchange), vectors join "
                      "back broadcast", nd))
 
+    # round 4: declarative drift — one plan, zero driver round-trips
+    from datacontract_cli_spark.operators.drift import psi_df
+    ev4 = spark.read.parquet(f"{sf_dir}/events.parquet")
+    psi = psi_df(ev4, "event_type",
+                 {"click": 0.2, "error": 0.2, "purchase": 0.2,
+                  "signup": 0.2, "view": 0.2})
+    sections.append(("Declarative PSI (grouped count -> broadcast total -> "
+                     "full-outer join with exploded baseline literal -> "
+                     "single-row sum; no collect, no createDataFrame)", psi))
+
+    # round 4: profile as a UNION of per-column pruned aggregates
+    from datacontract_cli_spark.operators.profile import profile_df
+    prof = profile_df(orders, ["o_orderkey", "o_orderstatus"],
+                      exact_distinct=True)
+    sections.append(("profile_df: UNION of per-column single-row aggregates "
+                     "(each branch scans ONE pruned column; exact distinct "
+                     "is a per-column two-phase agg, not a rows*cols melt)",
+                     prof))
+
+    # round 4: contamination — benchmark side broadcast LEFT SEMI
+    from datacontract_cli_spark.operators.contamination import contaminated_docs
+    docs4 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cont = contaminated_docs(docs4.filter(F.col("doc_id") >= 10),
+                             docs4.filter(F.col("doc_id") < 10),
+                             n=5, hash_grams=True)
+    sections.append(("Benchmark contamination: corpus n-grams LEFT SEMI "
+                     "broadcast-join against the (tiny) benchmark gram set; "
+                     "8-byte xxhash64 join keys, no corpus-side shuffle", cont))
+
     out = ["# PLANS — physical plans of the engine's core query shapes\n",
            f"Generated by `python tools/explain_dump.py {sf_dir}` "
            "(Spark " + spark.version + ").\n"]
