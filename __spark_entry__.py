@@ -953,9 +953,12 @@ def oracle_sql() -> dict[str, str]:
             r"JOIN bench USING (gram) WHERE g.doc_id >= 10), "
             r"tot AS (SELECT count(DISTINCT doc_id) AS t FROM documents "
             r"WHERE doc_id >= 10) "
-            r"SELECT count(*) AS contaminated_docs, t AS total_docs, "
-            r"round(CAST(count(*) AS DOUBLE) / t, 6) AS contamination_rate "
-            r"FROM flagged CROSS JOIN tot GROUP BY t"
+            # scalar subquery, not GROUP BY over flagged: an empty flagged
+            # set must still yield ONE row (0, total, 0.0) like Spark's agg
+            r"SELECT (SELECT count(*) FROM flagged) AS contaminated_docs, "
+            r"t AS total_docs, "
+            r"round(CAST((SELECT count(*) FROM flagged) AS DOUBLE) / t, 6) "
+            r"AS contamination_rate FROM tot"
         ),
         "jsd_event_type": (
             "WITH freq AS (SELECT event_type AS k, "

@@ -75,6 +75,48 @@ def psi(df: DataFrame, column: str, baseline: Dict[Any, float],
         frequency_fractions(df, column, max_categories), baseline)
 
 
+def _baseline_literal(df: DataFrame, baseline: Dict[Any, float]) -> DataFrame:
+    """The baseline as a tiny frame (k string nullable, q double) exploded
+    from a literal array of structs — no driver data shipping, and unlike
+    ``create_map`` it tolerates a None key and mixed-type keys (stringified
+    the same way the observed side is cast)."""
+    entries = [
+        F.struct(
+            (F.lit(None).cast("string") if k is None
+             else F.lit(str(k))).alias("k"),
+            F.lit(float(v)).alias("q"))
+        for k, v in baseline.items()
+    ]
+    return df.sparkSession.range(1).select(
+        F.explode(F.array(*entries)).alias("e")).select("e.*")
+
+
+def _baseline_join(df: DataFrame, column: str,
+                   baseline: Dict[Any, float]) -> DataFrame:
+    """Shared scaffold of the declarative drift lanes: observed category
+    fractions full-outer-joined with the baseline literal. Returns a frame
+    with columns (p: observed fraction, nullable; q: baseline fraction,
+    nullable).
+
+    The observed side stays fully distributed (two-phase hash aggregate);
+    only the per-category frequency table — one row per category — reaches
+    the join, and the baseline ships as a literal array of structs exploded
+    from ``spark.range(1)`` (no driver data shipping). Join keys are cast
+    to string on BOTH sides and matched null-safely, so baselines with a
+    None key or mixed-type keys (which ``frequency_fractions`` on a
+    nullable column legitimately produces, incl. the ``__other__`` cap
+    bucket) behave exactly like the scalar ``psi()`` dict lane instead of
+    crashing ``create_map`` on a null key."""
+    base = _baseline_literal(df, baseline)
+    freq = (df.groupBy(F.col(column).cast("string").alias("k"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    total = freq.agg(F.sum("n").alias("t"))
+    obs = (freq.crossJoin(F.broadcast(total))
+               .select("k", (F.col("n") / F.col("t")).alias("p")))
+    return obs.join(base, obs["k"].eqNullSafe(base["k"]), "full_outer") \
+              .select("p", "q")
+
+
 def psi_df(df: DataFrame, column: str, baseline: Dict[Any, float],
            digits: int = 6) -> DataFrame:
     """PSI as a one-row DataFrame with ZERO driver round-trips: the whole
@@ -85,25 +127,11 @@ def psi_df(df: DataFrame, column: str, baseline: Dict[Any, float],
     lane pays a driver collect plus a createDataFrame round-trip (~0.5 s of
     py4j/job floor per call) that this lane avoids entirely.
 
-    The observed side stays fully distributed (two-phase hash aggregate);
-    only the per-category frequency table — one row per category — reaches
-    the join, and the baseline side is a literal map exploded from
-    ``spark.range(1)`` (no driver data shipping). Categories observed but
-    absent from the baseline (and vice versa) get the standard ``_EPS``
-    floor, matching ``psi_from_fractions``."""
-    base_map = F.create_map(
-        *[x for k, v in baseline.items()
-          for x in (F.lit(k), F.lit(float(v)))])
-    base = df.sparkSession.range(1).select(
-        F.explode(base_map).alias("k", "b"))
-    freq = (df.groupBy(F.col(column).alias("k"))
-              .agg(F.count(F.lit(1)).alias("n")))
-    total = freq.agg(F.sum("n").alias("t"))
-    joined = (freq.crossJoin(F.broadcast(total))
-                  .withColumn("a", F.col("n") / F.col("t"))
-                  .join(base, "k", "full_outer"))
-    a = F.greatest(F.coalesce(F.col("a"), F.lit(0.0)), F.lit(_EPS))
-    b = F.greatest(F.coalesce(F.col("b"), F.lit(0.0)), F.lit(_EPS))
+    Categories observed but absent from the baseline (and vice versa) get
+    the standard ``_EPS`` floor, matching ``psi_from_fractions``."""
+    joined = _baseline_join(df, column, baseline)
+    a = F.greatest(F.coalesce(F.col("p"), F.lit(0.0)), F.lit(_EPS))
+    b = F.greatest(F.coalesce(F.col("q"), F.lit(0.0)), F.lit(_EPS))
     return joined.agg(
         F.round(F.sum((a - b) * F.log(a / b)), digits).alias("psi"))
 
@@ -117,19 +145,9 @@ def jsd_df(df: DataFrame, column: str, baseline: Dict[Any, float],
     bounded alternative to PSI: robust to zero-probability categories
     (0·log0 ≡ 0 — no epsilon floor needed), which makes it the better
     alarm metric when new categories appear at 100 TB."""
-    base_map = F.create_map(
-        *[x for k, v in baseline.items()
-          for x in (F.lit(k), F.lit(float(v)))])
-    base = df.sparkSession.range(1).select(
-        F.explode(base_map).alias("k", "b"))
-    freq = (df.groupBy(F.col(column).alias("k"))
-              .agg(F.count(F.lit(1)).alias("n")))
-    total = freq.agg(F.sum("n").alias("t"))
-    joined = (freq.crossJoin(F.broadcast(total))
-                  .withColumn("p", F.col("n") / F.col("t"))
-                  .join(base, "k", "full_outer"))
+    joined = _baseline_join(df, column, baseline)
     p = F.coalesce(F.col("p"), F.lit(0.0))
-    q = F.coalesce(F.col("b"), F.lit(0.0))
+    q = F.coalesce(F.col("q"), F.lit(0.0))
     m = (p + q) / 2
     # 0*log(0) -> 0 via the when-guards; log2 for the [0,1] range
     term = (F.when(p > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
@@ -147,15 +165,11 @@ def chi2_df(df: DataFrame, column: str, baseline: Dict[Any, float],
     count against an expected of 0 via the standard convention of folding
     them in with expected≈0 excluded — here they're included with q from
     the baseline only, so the statistic is over the baseline's support)."""
-    base_map = F.create_map(
-        *[x for k, v in baseline.items()
-          for x in (F.lit(k), F.lit(float(v)))])
-    base = df.sparkSession.range(1).select(
-        F.explode(base_map).alias("k", "q"))
-    freq = (df.groupBy(F.col(column).alias("k"))
+    base = _baseline_literal(df, baseline)
+    freq = (df.groupBy(F.col(column).cast("string").alias("k"))
               .agg(F.count(F.lit(1)).alias("n")))
     total = freq.agg(F.sum("n").alias("t"))
-    joined = (base.join(freq, "k", "left")
+    joined = (base.join(freq, base["k"].eqNullSafe(freq["k"]), "left")
                   .crossJoin(F.broadcast(total)))
     observed = F.coalesce(F.col("n"), F.lit(0)).cast("double")
     expected = F.col("q") * F.col("t")

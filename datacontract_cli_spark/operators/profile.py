@@ -82,10 +82,16 @@ def profile(
             exprs.append(F.min(qc).alias(f"{c}::min"))
             exprs.append(F.max(qc).alias(f"{c}::max"))
 
-    row: Row = df.agg(*exprs).collect()[0]
-    if exact_distinct:
-        exact_counts = {c: fut.result() for c, fut in distinct_futs.items()}
-        distinct_pool.shutdown()
+    try:
+        row: Row = df.agg(*exprs).collect()[0]
+        if exact_distinct:
+            exact_counts = {c: fut.result() for c, fut in distinct_futs.items()}
+    finally:
+        if distinct_pool is not None:
+            # on any failure above, don't leave worker threads running
+            # abandoned per-column jobs (they'd keep consuming the cluster
+            # and block interpreter exit)
+            distinct_pool.shutdown(cancel_futures=True)
     d = row.asDict()
     n = d["__n__"]
     out: Dict[str, dict] = {}

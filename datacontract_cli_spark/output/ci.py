@@ -138,6 +138,9 @@ def render_summary(results: List[Tuple[str, Run]]) -> str:
         if checks:
             lines += ["| Result | Check | Field | Details |",
                       "|--------|-------|-------|---------|"]
+            # ALPHABETICAL by result string, matching the reference's step
+            # summary exactly (ci_output.py:121-128) — deliberately NOT the
+            # severity order writers._sorted_checks uses for the console
             for c in sorted(checks, key=lambda c: (c.result.value, c.model or "",
                                                    c.field or "")):
                 lines.append(

@@ -181,10 +181,18 @@ def schemaless_write(out: io.BytesIO, schema: Any, value: Any) -> None:
             lt = schema.get("logicalType")
             if lt == "date":
                 value = (value - _EPOCH_DATE).days
-            elif lt == "timestamp-millis":
-                value = int(value.timestamp() * 1000)
-            elif lt == "timestamp-micros":
-                value = int(value.timestamp() * 1_000_000)
+            elif lt in ("timestamp-millis", "timestamp-micros"):
+                # exact integer datetime arithmetic: float .timestamp()
+                # has ~0.5µs resolution at current epochs (truncation
+                # flips microseconds) and interprets naive datetimes in
+                # LOCAL time while the reader returns UTC — treat naive
+                # as UTC instead
+                if value.tzinfo is None:
+                    value = value.replace(tzinfo=datetime.timezone.utc)
+                unit = (datetime.timedelta(milliseconds=1)
+                        if lt == "timestamp-millis"
+                        else datetime.timedelta(microseconds=1))
+                value = (value - _EPOCH) // unit
             elif lt == "local-timestamp-millis":
                 value = int((value - datetime.datetime(1970, 1, 1))
                             / datetime.timedelta(milliseconds=1))
@@ -262,8 +270,8 @@ def avro_schema_for_object(obj) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 def decode_kafka_avro_batch(raw: DataFrame, obj,
-                            writer_schemas: Optional[Dict[int, Dict[str, Any]]] = None
-                            ) -> DataFrame:
+                            writer_schemas: Optional[Dict[int, Dict[str, Any]]] = None,
+                            framing: str = "auto") -> DataFrame:
     """Decode a kafka-shaped frame (binary ``value`` column) of Avro
     messages into the contract's typed columns.
 
@@ -274,12 +282,22 @@ def decode_kafka_avro_batch(raw: DataFrame, obj,
     (kafka.py:318-330): decoding them with a lookalike schema would
     silently produce nulls. Tombstones (null values) are skipped.
 
+    ``framing`` resolves the magic-byte ambiguity (an UNFRAMED record whose
+    first encoded byte is 0x00 — leading zigzag 0, boolean false, empty
+    string, union branch 0 — is indistinguishable from a Confluent prefix;
+    the reference shares this heuristic): "auto" sniffs per message (the
+    reference behavior, correct for all-framed or non-colliding topics),
+    "none" never strips (unframed topics whose first field can encode to
+    0x00), "confluent" always strips (all-framed topics).
+
     Executed as Arrow-batched ``mapInPandas`` so the decode distributes;
     only the tiny id->schema dict is closure-captured."""
     import pandas as pd
 
     from datacontract_cli_spark.sources.readers import contract_schema
 
+    if framing not in ("auto", "none", "confluent"):
+        raise ValueError("framing must be 'auto', 'none' or 'confluent'")
     contract_avro = avro_schema_for_object(obj)
     writer_schemas = dict(writer_schemas or {})
     out_schema = contract_schema(obj)
@@ -291,7 +309,15 @@ def decode_kafka_avro_batch(raw: DataFrame, obj,
             for value in pdf["value"]:
                 if value is None:
                     continue  # compaction tombstone
-                schema_id, payload = strip_confluent_frame(bytes(value))
+                value = bytes(value)
+                if framing == "none":
+                    schema_id, payload = None, value
+                elif framing == "confluent":
+                    schema_id = int.from_bytes(
+                        value[1:CONFLUENT_PREFIX_LENGTH], "big")
+                    payload = value[CONFLUENT_PREFIX_LENGTH:]
+                else:
+                    schema_id, payload = strip_confluent_frame(value)
                 if schema_id is None:
                     schema = contract_avro
                 elif schema_id in writer_schemas:

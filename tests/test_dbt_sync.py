@@ -124,6 +124,27 @@ def test_write_dbt_tests_sidecar_files(tmp_path):
         assert '"include_in_tests": true' in p.read_text()
 
 
+def test_resync_removes_stale_generated_files(tmp_path):
+    contract = load_contract(REF_CONTRACT)
+    proj = _project(tmp_path)
+    gen = dbt_sync.write_dbt_tests(contract, proj)
+    tests_dir = gen.written_sql[0].parent
+    # simulate a test generated for a check since removed from the contract
+    stale = tests_dir / "zz_removed_check.sql"
+    stale.write_text("-- generated by datacontract-cli-spark from "
+                     "orders-sync-test@0.9.0 (model: orders)\nSELECT 1\n")
+    # another contract's file and a user file must survive
+    other = tests_dir / "other_contract.sql"
+    other.write_text("-- generated by datacontract-cli-spark from "
+                     "other-contract@1.0.0 (model: x)\nSELECT 1\n")
+    user = tests_dir / "user_handwritten.sql"
+    user.write_text("SELECT 1\n")
+    dbt_sync.write_dbt_tests(contract, proj)
+    assert not stale.exists()          # same contract id: regenerated away
+    assert other.exists()              # different contract: untouched
+    assert user.exists()               # no generated header: untouched
+
+
 def test_write_dbt_tests_requires_project(tmp_path):
     contract = load_contract(REF_CONTRACT)
     with pytest.raises(ValueError, match="dbt_project.yml"):

@@ -210,6 +210,34 @@ def test_decode_framed_without_registry_raises(spark):
     assert "schema registry" in str(e.value) or "writer_schemas" in str(e.value)
 
 
+def test_framing_none_decodes_magic_colliding_record(spark):
+    # an UNFRAMED record whose first encoded byte is 0x00 (id=0 zigzag)
+    # misleads the auto sniffer; framing="none" decodes it correctly
+    obj = _obj()
+    schema = ka.avro_schema_for_object(obj)
+    ts = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    rec = {"id": 0, "user": "u0", "score": None, "ok": True, "ts": ts}
+    raw = spark.createDataFrame([(b"k", _encode(schema, rec))],
+                                "key binary, value binary")
+    out = ka.decode_kafka_avro_batch(raw, obj, framing="none").collect()
+    assert out[0]["id"] == 0 and out[0]["user"] == "u0"
+    with pytest.raises(ValueError):
+        ka.decode_kafka_avro_batch(raw, obj, framing="bogus")
+
+
+def test_timestamp_micros_exact_and_naive_is_utc():
+    # integer datetime arithmetic: no float truncation at any microsecond
+    for us in (1, 2, 3, 999999):
+        ts = datetime.datetime(2026, 6, 1, 0, 0, 0, us,
+                               tzinfo=datetime.timezone.utc)
+        assert _roundtrip({"type": "long", "logicalType": "timestamp-micros"},
+                          ts) == ts
+    # a naive datetime is treated as UTC, not host-local time
+    naive = datetime.datetime(2024, 1, 2, 3, 4, 5, 6)
+    got = _roundtrip({"type": "long", "logicalType": "timestamp-micros"}, naive)
+    assert got == naive.replace(tzinfo=datetime.timezone.utc)
+
+
 def test_decoded_frame_validates_against_contract(spark):
     # full loop: decoded topic -> engine test green
     from datacontract_cli_spark.engine.executor import SparkContractEngine

@@ -97,6 +97,24 @@ def test_psi_df_matches_scalar_psi(spark):
         .collect()[0]["psi"] == pytest.approx(0.0, abs=1e-9)
 
 
+def test_psi_df_none_and_mixed_key_baseline(spark):
+    # a baseline produced by frequency_fractions on a nullable column has a
+    # None key; the declarative lane must match the scalar dict lane
+    # instead of crashing create_map on a null map key
+    df = spark.createDataFrame([("a",)] * 60 + [(None,)] * 40, "k string")
+    base = drift.frequency_fractions(df, "k")
+    assert None in base
+    scalar = drift.psi(df, "k", base)
+    assert drift.psi_df(df, "k", base, digits=9).collect()[0]["psi"] == \
+        pytest.approx(scalar, abs=1e-9)
+    # mixed-type keys (int categories + the string OTHER_BUCKET cap)
+    ints = spark.range(0, 100).select((F.col("id") % 4).alias("k"))
+    mixed = {0: 0.25, 1: 0.25, 2: 0.25, 3: 0.15, drift.OTHER_BUCKET: 0.1}
+    scalar = drift.psi(ints, "k", mixed)
+    assert drift.psi_df(ints, "k", mixed, digits=9).collect()[0]["psi"] == \
+        pytest.approx(scalar, abs=1e-9)
+
+
 def test_jsd_df_bounds_and_identity(spark):
     same = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "k string")
     assert drift.jsd_df(same, "k", {"a": 0.5, "b": 0.5}, digits=9) \
