@@ -408,6 +408,31 @@ def _q_streaming_counts(spark, sf):
     ).orderBy("hour")
 
 
+def _q_streaming_psi(spark, sf):
+    """Continuous drift monitoring IN the gate: per-hour PSI of the
+    event_type distribution vs a uniform baseline, computed by ONE
+    streaming aggregation (count-ifs over the known baseline keys; PSI is
+    post-agg Column math, state = one row per window). Must equal the
+    batch per-hour PSI (DuckDB oracle)."""
+    from datacontract_cli_spark.streaming import checks as sc
+
+    baseline = {"click": 0.2, "error": 0.2, "purchase": 0.2,
+                "signup": 0.2, "view": 0.2}
+    out = sc.run_batch_smoke(
+        spark, f"{sf}/events.parquet",
+        lambda s: sc.streaming_psi(
+            s.withColumn("ts", F.col("ts").cast("timestamp")),
+            "event_type", baseline,
+            ts_col="ts", window="1 hour", watermark="0 seconds"),
+        name="gate_stream_psi",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("row_count").cast("long").alias("row_count"),
+        F.col("psi").alias("psi"),
+    ).orderBy("hour")
+
+
 def _q_partitioned_validation(spark, sf):
     """The north-rule centerpiece IN the correctness gate: per-bucket
     verdicts over hash buckets of user_id, folded to global metrics — the
@@ -826,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_totalprice": _q_histogram_totalprice,
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
+        "streaming_psi": _q_streaming_psi,
         "interval_join_events": _q_interval_join_events,
         "dedup_clusters": _q_dedup_clusters,
         "stratified_sample": _q_stratified_sample,
@@ -1153,6 +1179,26 @@ def oracle_sql() -> dict[str, str]:
             "AS missing_et, "
             "count(*) FILTER (WHERE value > 10.0) AS invalid_val "
             "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "streaming_psi": (
+            # batch per-hour PSI replicating streaming_psi's formula exactly
+            # (the all-mass-in-baseline case: the "other" term is zero)
+            "WITH h AS (SELECT date_trunc('hour', ts) AS hr, "
+            "CAST(count(*) AS DOUBLE) AS n, "
+            "CAST(count(*) FILTER (WHERE event_type = 'click') AS DOUBLE) AS c0, "
+            "CAST(count(*) FILTER (WHERE event_type = 'error') AS DOUBLE) AS c1, "
+            "CAST(count(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS c2, "
+            "CAST(count(*) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS c3, "
+            "CAST(count(*) FILTER (WHERE event_type = 'view') AS DOUBLE) AS c4 "
+            "FROM events GROUP BY 1) "
+            "SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour, "
+            "CAST(n AS BIGINT) AS row_count, round("
+            "(greatest(c0/n, 1e-6) - 0.2) * ln(greatest(c0/n, 1e-6) / 0.2) + "
+            "(greatest(c1/n, 1e-6) - 0.2) * ln(greatest(c1/n, 1e-6) / 0.2) + "
+            "(greatest(c2/n, 1e-6) - 0.2) * ln(greatest(c2/n, 1e-6) / 0.2) + "
+            "(greatest(c3/n, 1e-6) - 0.2) * ln(greatest(c3/n, 1e-6) / 0.2) + "
+            "(greatest(c4/n, 1e-6) - 0.2) * ln(greatest(c4/n, 1e-6) / 0.2), 6) "
+            "AS psi FROM h ORDER BY hour"
         ),
         "partitioned_validation": (
             # the per-bucket fold must equal the plain global counts

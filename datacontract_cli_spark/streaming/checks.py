@@ -60,6 +60,53 @@ def streaming_check_counts(
     )
 
 
+def streaming_psi(stream: DataFrame, column: str, baseline: dict,
+                  ts_col: str = "ts", window: str = "5 minutes",
+                  watermark: str = "10 minutes",
+                  digits: int = 6) -> DataFrame:
+    """Per-window PSI of a categorical column against a fixed baseline —
+    continuous distribution-drift monitoring (the streaming analogue of
+    ``drift.psi_df``).
+
+    Streaming allows ONE aggregation per query, so the per-category
+    frequencies come from count-ifs over the (known, finite) baseline keys
+    inside a single windowed agg, and the PSI fold is post-agg Column math:
+    state stays one row per window regardless of stream volume. Mass
+    observed outside the baseline keys contributes its own term (an
+    epsilon-floored "other" category — new categories RAISE the score, the
+    property a drift alarm needs)."""
+    from datacontract_cli_spark.operators.drift import _EPS
+
+    keys = list(baseline)
+    exprs = [F.count(F.lit(1)).alias("__n__")]
+    for i, k in enumerate(keys):
+        exprs.append(F.sum(F.when(F.col(column) == F.lit(k), 1).otherwise(0))
+                     .alias(f"__c_{i}__"))
+    agg = (stream.withWatermark(ts_col, watermark)
+           .groupBy(F.window(F.col(ts_col), window).alias("w"))
+           .agg(*exprs))
+
+    n = F.col("__n__")
+    eps = F.lit(_EPS)
+    terms = []
+    known = F.lit(0)
+    for i, k in enumerate(keys):
+        a = F.greatest(F.col(f"__c_{i}__") / n, eps)
+        b = F.greatest(F.lit(float(baseline[k])), eps)
+        terms.append((a - b) * F.log(a / b))
+        known = known + F.col(f"__c_{i}__")
+    other = F.greatest((n - known) / n, eps)
+    terms.append((other - eps) * F.log(other / eps))
+    psi = terms[0]
+    for t in terms[1:]:
+        psi = psi + t
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        n.alias("row_count"),
+        F.round(psi, digits).alias("psi"))
+
+
 def streaming_freshness(stream: DataFrame, ts_col: str = "ts",
                         window: str = "1 minute",
                         watermark: str = "5 minutes") -> DataFrame:

@@ -41,6 +41,44 @@ def test_streaming_check_counts(spark, stream_dir):
     assert sum(r["role_missing"] for r in rows) == missing
 
 
+def test_streaming_psi_windows(spark, tmp_path):
+    import datetime as dt
+    base_t = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    # hour 0: exactly the baseline distribution -> psi ~ 0
+    for i in range(100):
+        role = ["a", "b"][i % 2]
+        rows.append((role, base_t + dt.timedelta(seconds=i)))
+    # hour 1: heavy drift -> psi >> 0
+    for i in range(100):
+        role = "a" if i < 90 else "b"
+        rows.append((role, base_t + dt.timedelta(hours=1, seconds=i)))
+    # hour 2: a NEW category outside the baseline must RAISE the score
+    for i in range(100):
+        role = ["a", "b"][i % 2] if i < 50 else "zz_new"
+        rows.append((role, base_t + dt.timedelta(hours=2, seconds=i)))
+    path = str(tmp_path / "psi_stream")
+    spark.createDataFrame(rows, "role string, ts timestamp") \
+        .repartition(4).write.parquet(path)
+
+    out = sc.run_batch_smoke(
+        spark, path,
+        lambda s: sc.streaming_psi(s, "role", {"a": 0.5, "b": 0.5},
+                                   ts_col="ts", window="1 hour",
+                                   watermark="0 seconds"),
+        name="psi_out",
+    ).orderBy("window_start").collect()
+    assert len(out) == 3
+    assert all(r["row_count"] == 100 for r in out)
+    assert out[0]["psi"] == pytest.approx(0.0, abs=1e-9)
+    assert out[1]["psi"] > 0.5            # 90/10 vs 50/50 is severe drift
+    assert out[2]["psi"] > out[0]["psi"]  # unseen category alarms
+    # window-1 psi equals the scalar formula on the same fractions
+    from datacontract_cli_spark.operators.drift import psi_from_fractions
+    expect = psi_from_fractions({"a": 0.9, "b": 0.1}, {"a": 0.5, "b": 0.5})
+    assert out[1]["psi"] == pytest.approx(expect, abs=1e-6)
+
+
 def test_streaming_freshness(spark, stream_dir):
     result = sc.run_batch_smoke(
         spark, stream_dir,
