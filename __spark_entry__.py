@@ -370,6 +370,25 @@ def _q_pii_scrub_customer(spark, sf):
     )
 
 
+def _q_lm_quality_score(spark, sf):
+    """CCNet-style quality signal: per-language average perplexity of the
+    held-out half of the corpus under a unigram LM fit on the first half —
+    fit is one grouped count, scoring is a broadcast vocabulary join."""
+    from datacontract_cli_spark.operators import lm_score
+    docs = _t(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    held = docs.filter(F.col("doc_id") % 2 == 1)
+    lm = lm_score.fit_unigram_lm(train, vocab_size=1000)
+    scores = lm_score.score_documents(held, lm)
+    return (scores.join(held.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("perplexity"), 4).alias("avg_perplexity"),
+                 F.round(F.min("perplexity"), 4).alias("min_perplexity"),
+                 F.round(F.max("perplexity"), 4).alias("max_perplexity"))
+            .orderBy("lang"))
+
+
 def _q_benchmark_contamination(spark, sf):
     """Decontamination: corpus docs sharing a 5-word-gram with a benchmark
     set (docs 0-9) — broadcast semi-join, corpus shuffles (doc_id, gram)
@@ -825,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": _q_sessionization,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
+        "lm_quality_score": _q_lm_quality_score,
         "pii_scan_customer": _q_pii_scan_customer,
         "pii_scrub_customer": _q_pii_scrub_customer,
         "benchmark_contamination": _q_benchmark_contamination,
@@ -928,6 +948,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT round(sum((frac - 0.2) * ln(frac / 0.2)), 6) AS psi FROM ("
             "SELECT CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS frac "
             "FROM events GROUP BY event_type)"
+        ),
+        "lm_quality_score": (
+            # identical unigram fit/score: vocab = top-1000 (count DESC,
+            # word ASC) over even doc_ids; add-one smoothing with one OOV
+            # bucket: p(w) = (c+1)/(N+V+1)
+            r"WITH tw AS (SELECT unnest(list_filter(regexp_split_to_array("
+            r"lower(text), '\s+'), x -> x <> '')) AS w FROM documents "
+            r"WHERE doc_id % 2 = 0), "
+            r"counts AS (SELECT w, count(*) AS c FROM tw GROUP BY w), "
+            r"vocab AS (SELECT w, c FROM (SELECT w, c, row_number() "
+            r"OVER (ORDER BY c DESC, w ASC) AS r FROM counts) WHERE r <= 1000), "
+            r"norm AS (SELECT CAST(sum(c) AS DOUBLE) AS N, "
+            r"CAST(count(*) AS DOUBLE) AS V FROM vocab), "
+            r"hw AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+            r"lower(text), '\s+'), x -> x <> '')) AS w FROM documents "
+            r"WHERE doc_id % 2 = 1), "
+            r"scored AS (SELECT hw.doc_id, count(*) AS n_tokens, "
+            r"-sum(ln((coalesce(vocab.c, 0) + 1) / (norm.N + norm.V + 1))) "
+            r"/ count(*) AS anlp FROM hw LEFT JOIN vocab ON hw.w = vocab.w "
+            r"CROSS JOIN norm GROUP BY hw.doc_id), "
+            r"px AS (SELECT doc_id, exp(anlp) AS perplexity FROM scored) "
+            r"SELECT d.lang, count(*) AS n_docs, "
+            r"round(avg(px.perplexity), 4) AS avg_perplexity, "
+            r"round(min(px.perplexity), 4) AS min_perplexity, "
+            r"round(max(px.perplexity), 4) AS max_perplexity "
+            r"FROM px JOIN documents d USING (doc_id) "
+            r"GROUP BY d.lang ORDER BY d.lang"
         ),
         "pii_scan_customer": (
             r"WITH c AS (SELECT 'reach ' || c_name || ' at c' || "

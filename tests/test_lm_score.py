@@ -1,0 +1,61 @@
+"""Unigram-LM quality scoring (fit / score / filter)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacontract_cli_spark.operators import lm_score
+
+
+def test_fit_vocab_deterministic_cap(spark):
+    corpus = spark.createDataFrame(
+        [("a a a b b c",), ("c d",)], "text string")
+    lm = {r["w"]: r["c"] for r in
+          lm_score.fit_unigram_lm(corpus, vocab_size=3).collect()}
+    # counts a=3, b=2, c=2, d=1; cap 3 keeps a then (b,c) by word asc
+    assert lm == {"a": 3, "b": 2, "c": 2}
+    # min_count prunes before the rank without changing the kept set
+    lm2 = {r["w"]: r["c"] for r in
+           lm_score.fit_unigram_lm(corpus, vocab_size=3, min_count=2).collect()}
+    assert lm2 == lm
+
+
+def test_score_hand_computed(spark):
+    corpus = spark.createDataFrame([("a a a b",)], "text string")
+    lm = lm_score.fit_unigram_lm(corpus)      # {a:3, b:1}; N=4, V=2
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "zz zz")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            lm_score.score_documents(docs, lm).collect()}
+    # p(a)=(3+1)/7, p(b)=(1+1)/7, p(oov)=1/7
+    anlp1 = -(math.log(4 / 7) + math.log(2 / 7)) / 2
+    assert rows[1]["avg_neg_logprob"] == pytest.approx(anlp1, abs=1e-12)
+    assert rows[1]["perplexity"] == pytest.approx(math.exp(anlp1), abs=1e-9)
+    assert rows[2]["avg_neg_logprob"] == pytest.approx(math.log(7), abs=1e-12)
+    assert rows[1]["perplexity"] < rows[2]["perplexity"]  # in-vocab wins
+    assert rows[1]["n_tokens"] == 2
+
+
+def test_quality_filter_keeps_reference_like(spark):
+    corpus = spark.createDataFrame(
+        [("the quick brown fox " * 5,)], "text string")
+    lm = lm_score.fit_unigram_lm(corpus)
+    docs = spark.createDataFrame([
+        (1, "the quick brown fox"),
+        (2, "xz qv jk wm pq rr"),
+    ], "doc_id long, text string")
+    scores = {r["doc_id"]: r["perplexity"] for r in
+              lm_score.score_documents(docs, lm).collect()}
+    cut = (scores[1] + scores[2]) / 2
+    kept = lm_score.quality_filter(docs, lm, max_perplexity=cut).collect()
+    assert [r["doc_id"] for r in kept] == [1]
+
+
+def test_score_plan_broadcasts_model(spark):
+    corpus = spark.createDataFrame([("a b c",)], "text string")
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    lm = lm_score.fit_unigram_lm(corpus)
+    plan = lm_score.score_documents(docs, lm) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the vocabulary never shuffles docs
