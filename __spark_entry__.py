@@ -790,6 +790,20 @@ def _q_stratified_sample(spark, sf):
     )
 
 
+def _q_diversity_sample(spark, sf):
+    """Embedding-diversity quota sample: sign-LSH buckets of embedding
+    space, up to 3 docs per bucket by the shared md5 hash order — the
+    cluster-balanced selection keeping dense regions from dominating."""
+    from datacontract_cli_spark.operators.sampling import diversity_sample
+
+    emb = _t(spark, sf, "embeddings")
+    return (
+        diversity_sample(emb, "embedding", "vec_id", quota=3, nbits=6)
+        .select("vec_id", "bucket")
+        .orderBy("bucket", "vec_id")
+    )
+
+
 def _q_repetition_ratio(spark, sf):
     """Within-document repetition (fraction of repeated word 3-grams) per
     language — the Gopher/C4-style boilerplate signal, as pure Column math."""
@@ -875,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_events": _q_interval_join_events,
         "dedup_clusters": _q_dedup_clusters,
         "stratified_sample": _q_stratified_sample,
+        "diversity_sample": _q_diversity_sample,
         "hash_split": _q_hash_split,
         "repetition_ratio": _q_repetition_ratio,
     }
@@ -1279,6 +1294,20 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1 ORDER BY 1"
         ),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "diversity_sample": (
+            # identical sign-bucket: bit i = (embedding[i+1] > 0), 6 bits;
+            # embeddings are float32 -- sign is cast-stable
+            "SELECT vec_id, bucket FROM (SELECT vec_id, bucket, row_number() "
+            "OVER (PARTITION BY bucket ORDER BY md5(vec_id::VARCHAR), vec_id)"
+            " AS rn FROM (SELECT vec_id, "
+            "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + "
+            "(CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END) + "
+            "(CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) + "
+            "(CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) + "
+            "(CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) + "
+            "(CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket "
+            "FROM embeddings)) WHERE rn <= 3 ORDER BY bucket, vec_id"
+        ),
         "stratified_sample": (
             "SELECT doc_id, lang FROM ("
             "SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "

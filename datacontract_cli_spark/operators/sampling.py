@@ -76,3 +76,38 @@ def hash_split(
     # can never produce a NULL split
     expr = expr.otherwise(F.lit(conditions[-1][0]))
     return df.withColumn("split", expr)
+
+
+def sign_bucket(vec_col: Column, nbits: int = 8) -> Column:
+    """Axis-aligned sign bucket of an embedding: bit i = (vec[i] > 0).
+
+    The canonical-basis special case of random-hyperplane LSH — nearby
+    vectors (cosine) land in nearby buckets, and unlike random planes the
+    bucket is a pure function of the vector, reproducible in ANY engine
+    (no plane constants to ship). The coarse-but-auditable lane; use
+    ``similarity.RandomHyperplaneLSH`` when bucket quality matters more
+    than cross-engine reproducibility."""
+    bucket = F.lit(0).cast("long")
+    for i in range(nbits):
+        bit = (F.element_at(vec_col, i + 1) > 0).cast("long")
+        bucket = bucket + bit * F.lit(1 << i)
+    return bucket
+
+
+def diversity_sample(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    quota: int,
+    nbits: int = 8,
+) -> DataFrame:
+    """Embedding-diversity quota sample: partition the corpus into
+    sign-LSH buckets (regions of embedding space) and keep up to ``quota``
+    rows per bucket by deterministic hash order — the cluster-balanced
+    selection a training-data pipeline uses so one dense region cannot
+    dominate the sample. One shuffle (the per-bucket window); the bucket
+    expression is a narrow map."""
+    bucketed = df.withColumn("__bucket__",
+                             sign_bucket(F.col(vec_col), nbits))
+    return stratified_sample(bucketed, "__bucket__", quota, id_col) \
+        .withColumnRenamed("__bucket__", "bucket")
