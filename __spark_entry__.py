@@ -790,6 +790,14 @@ def _q_stratified_sample(spark, sf):
     )
 
 
+def _q_tfidf_top_terms(spark, sf):
+    """Declarative keyword extraction: top-3 tf-idf terms per document
+    (smoothed sklearn idf), deterministic tie-break by term."""
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    return (textstats.tfidf_top_terms(docs, k=3)
+            .orderBy("doc_id", "rank"))
+
+
 def _q_diversity_sample(spark, sf):
     """Embedding-diversity quota sample: sign-LSH buckets of embedding
     space, up to 3 docs per bucket by the shared md5 hash order — the
@@ -890,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "stratified_sample": _q_stratified_sample,
         "diversity_sample": _q_diversity_sample,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "hash_split": _q_hash_split,
         "repetition_ratio": _q_repetition_ratio,
     }
@@ -1294,6 +1303,26 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1 ORDER BY 1"
         ),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "tfidf_top_terms": (
+            # same normalization (lower, collapse ws, trim) and smoothed
+            # idf = ln((1+N)/(1+df)) + 1; '/' is float division in both
+            r"WITH docs AS (SELECT doc_id, text FROM documents "
+            r"WHERE doc_id < 50), "
+            r"terms AS (SELECT doc_id, unnest(string_split(trim("
+            r"regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term "
+            r"FROM docs), "
+            r"tf AS (SELECT doc_id, term, count(*) AS tf FROM terms "
+            r"GROUP BY 1, 2), "
+            r"dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+            r"n AS (SELECT count(DISTINCT doc_id) AS N FROM docs) "
+            r"SELECT doc_id, term, tf, round(score, 6) AS tfidf, rank FROM ("
+            r"SELECT tf.doc_id, tf.term, tf.tf, "
+            r"tf.tf * (ln((1 + N) / (1 + df)) + 1) AS score, "
+            r"row_number() OVER (PARTITION BY tf.doc_id ORDER BY "
+            r"tf.tf * (ln((1 + N) / (1 + df)) + 1) DESC, tf.term) AS rank "
+            r"FROM tf JOIN dfq USING (term) CROSS JOIN n) "
+            r"WHERE rank <= 3 ORDER BY doc_id, rank"
+        ),
         "diversity_sample": (
             # identical sign-bucket: bit i = (embedding[i+1] > 0), 6 bits;
             # embeddings are float32 -- sign is cast-stable

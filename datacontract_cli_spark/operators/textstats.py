@@ -174,3 +174,39 @@ def repetition_ratio(col: Column, n: int = 3) -> Column:
         count > 0,
         F.lit(1.0) - F.size(F.array_distinct(grams)) / count.cast("double"),
     ).otherwise(F.lit(0.0))
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 5,
+                    min_df: int = 1) -> DataFrame:
+    """Top-k tf-idf terms per document — declarative keyword extraction.
+
+    tf = term count within the doc; idf = ln((1 + N) / (1 + df)) + 1
+    (the smoothed scikit-learn formulation, reproducible as pure SQL).
+    Plan shape: one explode -> per-(doc, term) count (two-phase agg) ->
+    document frequencies are a second tiny aggregate over distinct
+    (doc, term) pairs joined back by term, N rides as a broadcast scalar
+    -> per-doc top-k window. Shuffles carry (doc_id, term) pairs only;
+    ties rank deterministically by (score DESC, term ASC)."""
+    from pyspark.sql import Window
+
+    from datacontract_cli_spark.operators.dedup import tokens
+
+    terms = df.select(F.col(id_col),
+                      F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (tf.groupBy("term")
+               .agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") >= min_df))
+    n_docs = df.select(id_col).distinct() \
+        .agg(F.count(F.lit(1)).alias("__N__"))
+    idf = F.log((1 + F.col("__N__")) / (1 + F.col("df"))) + 1
+    scored = (tf.join(dfreq, "term")
+                .crossJoin(F.broadcast(n_docs))
+                .withColumn("tfidf", F.col("tf") * idf))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("__r__", F.row_number().over(w))
+            .filter(F.col("__r__") <= k)
+            .select(id_col, "term", "tf",
+                    F.round("tfidf", 6).alias("tfidf"),
+                    F.col("__r__").alias("rank")))

@@ -59,3 +59,42 @@ def test_score_plan_broadcasts_model(spark):
     plan = lm_score.score_documents(docs, lm) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # the vocabulary never shuffles docs
+
+
+# --- tf-idf ------------------------------------------------------------------
+
+def test_tfidf_top_terms_hand_computed(spark):
+    from datacontract_cli_spark.operators.textstats import tfidf_top_terms
+    docs = spark.createDataFrame([
+        (1, "apple apple banana"),
+        (2, "banana cherry"),
+        (3, "cherry cherry cherry durian"),
+    ], "doc_id long, text string")
+    rows = tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: apple (tf=2, df=1) beats banana (tf=1, df=2)
+    assert [r["term"] for r in sorted(by_doc[1], key=lambda r: r["rank"])] == \
+        ["apple", "banana"]
+    # doc 2: tie on tf*idf? banana df=2, cherry df=2, both tf=1 -> tie
+    # broken alphabetically
+    assert [r["term"] for r in sorted(by_doc[2], key=lambda r: r["rank"])] == \
+        ["banana", "cherry"]
+    # doc 3: cherry tf=3 dominates; durian df=1 ranks over nothing else
+    d3 = sorted(by_doc[3], key=lambda r: r["rank"])
+    assert d3[0]["term"] == "cherry" and d3[1]["term"] == "durian"
+    # idf check: N=3, df(apple)=1 -> idf = ln(4/2)+1
+    import math
+    apple = [r for r in by_doc[1] if r["term"] == "apple"][0]
+    assert apple["tfidf"] == pytest.approx(
+        round(2 * (math.log(4 / 2) + 1), 6), abs=1e-9)
+
+
+def test_tfidf_min_df_prunes_rare_terms(spark):
+    from datacontract_cli_spark.operators.textstats import tfidf_top_terms
+    docs = spark.createDataFrame([
+        (1, "common rare1"), (2, "common rare2")],
+        "doc_id long, text string")
+    rows = tfidf_top_terms(docs, k=5, min_df=2).collect()
+    assert {r["term"] for r in rows} == {"common"}
