@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "jsd_event_type",
     "pii_scan_customer",
     "benchmark_contamination",
+    "lm_quality_score",
+    "tfidf_top_terms",
 ]
 
 TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "1000000"))
