@@ -271,6 +271,48 @@ class SparkContractEngine:
             run.checks.append(check)
         return run.finish(), verdicts
 
+    def test_incremental(
+        self,
+        contract: DataContract,
+        path: str,
+        model: str,
+        checkpoint_dir: str,
+    ):
+        """File-level incremental mode: validate only files new or changed
+        (by size/mtime fingerprint) since the last run, fold count metrics
+        over the per-file manifest; returns (Run, result dict with files /
+        new_files / removed_files / folded). Count checks only — key
+        uniqueness needs test_partitioned (duplicates cross files)."""
+        from datacontract_cli_spark.engine.incremental import IncrementalValidator
+
+        specs = [s for s in compile_checks(contract, None) if s.model == model
+                 and s.metric in (MetricType.ROW_COUNT,
+                                  MetricType.MISSING_COUNT,
+                                  MetricType.INVALID_COUNT)]
+        iv = IncrementalValidator(self.spark, checkpoint_dir)
+        result = iv.run(path, specs, model)
+        run = Run(dataContractId=contract.id,
+                  dataContractVersion=contract.version)
+        for spec in specs:
+            value = result["folded"].get(
+                spec.key, result["folded"]["row_count"]
+                if spec.metric is MetricType.ROW_COUNT else 0)
+            check = Check(key=spec.key, category=spec.category, type=spec.type,
+                          name=spec.name, model=spec.model, field=spec.field,
+                          language="spark-sql", dimension=spec.dimension)
+            if spec.threshold is not None:
+                check.result = (ResultEnum.passed
+                                if spec.threshold.passes(value)
+                                else _fail_result(spec))
+            check.diagnostics = {
+                "metric": spec.metric.value, "value": value,
+                "n_files": len(result["files"]),
+                "n_new_files": len(result["new_files"]),
+                "n_removed_files": len(result["removed_files"]),
+            }
+            run.checks.append(check)
+        return run.finish(), result
+
     # ------------------------------------------------------------------
     # filtering
     # ------------------------------------------------------------------
