@@ -75,3 +75,75 @@ def drift_against_baselines(df: DataFrame, baselines: Dict[str, Any]) -> Dict[st
         else:
             out[column] = drift.ks_statistic(df, column, entry["baseline"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Metric history → anomaly detection (control charts over run metrics)
+# ---------------------------------------------------------------------------
+
+def append_metric_history(path: str, metrics: Dict[str, float],
+                          run_id: Optional[str] = None,
+                          timestamp: Optional[str] = None) -> None:
+    """Append one run's scalar metrics to a JSONL history file — the
+    driver-side record a scheduled validation job keeps between runs
+    (row counts, violation counts, psi values...). Tiny by construction:
+    one line per run."""
+    rec = {"metrics": dict(metrics)}
+    if run_id:
+        rec["run_id"] = run_id
+    if timestamp:
+        rec["timestamp"] = timestamp
+    with open(path, "a", encoding="utf-8") as f:
+        f.write(json.dumps(rec, default=str) + "\n")
+
+
+def load_metric_history(path: str) -> List[Dict[str, Any]]:
+    out: List[Dict[str, Any]] = []
+    try:
+        with open(path, "r", encoding="utf-8") as f:
+            for line in f:
+                if line.strip():
+                    out.append(json.loads(line))
+    except FileNotFoundError:
+        pass
+    return out
+
+
+def detect_metric_anomalies(history: List[Dict[str, Any]],
+                            current: Dict[str, float],
+                            sigma: float = 3.0,
+                            min_history: int = 5) -> Dict[str, Dict[str, Any]]:
+    """Shewhart control chart over each metric's run history: the current
+    value is anomalous when it falls outside mean ± sigma·stddev of the
+    prior runs. Metrics with fewer than ``min_history`` observations or
+    zero variance use a degenerate band (exact-match for zero variance —
+    a previously-always-42 metric flags on 43).
+
+    Returns {metric: {value, mean, stddev, lo, hi, anomalous}} for every
+    metric present in ``current``. Pure driver-side arithmetic over the
+    tiny history — the heavy lifting (producing the metrics) already
+    happened in the validation job."""
+    import statistics
+
+    series: Dict[str, List[float]] = {}
+    for rec in history:
+        for k, v in (rec.get("metrics") or {}).items():
+            if isinstance(v, (int, float)):
+                series.setdefault(k, []).append(float(v))
+
+    out: Dict[str, Dict[str, Any]] = {}
+    for k, value in current.items():
+        prior = series.get(k, [])
+        if len(prior) < min_history:
+            out[k] = {"value": value, "mean": None, "stddev": None,
+                      "lo": None, "hi": None, "anomalous": False,
+                      "n_history": len(prior)}
+            continue
+        mean = statistics.fmean(prior)
+        stddev = statistics.pstdev(prior)
+        lo, hi = mean - sigma * stddev, mean + sigma * stddev
+        out[k] = {"value": value, "mean": mean, "stddev": stddev,
+                  "lo": lo, "hi": hi,
+                  "anomalous": not (lo <= value <= hi),
+                  "n_history": len(prior)}
+    return out

@@ -127,3 +127,36 @@ schema:
     assert run.result is ResultEnum.passed
     ri = run.check("orders__o_custkey__referential_integrity")
     assert ri.result is ResultEnum.passed and ri.diagnostics["value"] == 0
+
+
+# --- metric history control chart --------------------------------------------
+
+def test_metric_anomaly_detection(tmp_path):
+    from datacontract_cli_spark.operators.baselines import (
+        append_metric_history,
+        detect_metric_anomalies,
+        load_metric_history,
+    )
+    path = str(tmp_path / "history.jsonl")
+    for i in range(10):
+        append_metric_history(path, {"row_count": 1000 + i % 3,
+                                     "missing": 5.0,
+                                     "psi": 0.01 + (i % 4) * 0.005},
+                              run_id=f"r{i}")
+    history = load_metric_history(path)
+    assert len(history) == 10 and history[0]["run_id"] == "r0"
+
+    # in-band values pass
+    ok = detect_metric_anomalies(history, {"row_count": 1001, "psi": 0.015})
+    assert not ok["row_count"]["anomalous"] and not ok["psi"]["anomalous"]
+    # a collapse in row count and a psi spike alarm
+    bad = detect_metric_anomalies(history, {"row_count": 20, "psi": 0.9})
+    assert bad["row_count"]["anomalous"] and bad["psi"]["anomalous"]
+    # zero-variance series: exact-match band (43 flags where 42 wouldn't)
+    zv = detect_metric_anomalies(history, {"missing": 6.0})
+    assert zv["missing"]["anomalous"]
+    assert not detect_metric_anomalies(history, {"missing": 5.0})["missing"]["anomalous"]
+    # thin history: no verdict
+    thin = detect_metric_anomalies(history[:3], {"row_count": 20})
+    assert not thin["row_count"]["anomalous"]
+    assert thin["row_count"]["n_history"] == 3
