@@ -790,6 +790,18 @@ def _q_stratified_sample(spark, sf):
     )
 
 
+def _q_sequence_violations(spark, sf):
+    """Funnel/sequence-pattern validation: per user (ordered by ts,
+    event_id), purchases not preceded by click/view and signups that are
+    neither first nor view-preceded — one lag window + one aggregate."""
+    from datacontract_cli_spark.operators.convchecks import predecessor_violations
+    ev = _t(spark, sf, "events")
+    return predecessor_violations(
+        ev, "user_id", ["ts", "event_id"], "event_type",
+        {"purchase": {"allowed": ["click", "view"], "allow_first": False},
+         "signup": {"allowed": ["view"], "allow_first": True}})
+
+
 def _q_tfidf_top_terms(spark, sf):
     """Declarative keyword extraction: top-3 tf-idf terms per document
     (smoothed sklearn idf), deterministic tie-break by term."""
@@ -899,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "diversity_sample": _q_diversity_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "sequence_violations": _q_sequence_violations,
         "hash_split": _q_hash_split,
         "repetition_ratio": _q_repetition_ratio,
     }
@@ -1303,6 +1316,15 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1 ORDER BY 1"
         ),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "sequence_violations": (
+            "WITH lagged AS (SELECT event_type AS s, lag(event_type) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS p FROM events) "
+            "SELECT sum(CASE WHEN s = 'purchase' AND "
+            "(p IS NULL OR p NOT IN ('click', 'view')) THEN 1 ELSE 0 END) "
+            "AS purchase_violations, "
+            "sum(CASE WHEN s = 'signup' AND p IS NOT NULL AND p <> 'view' "
+            "THEN 1 ELSE 0 END) AS signup_violations FROM lagged"
+        ),
         "tfidf_top_terms": (
             # same normalization (lower, collapse ws, trim) and smoothed
             # idf = ln((1+N)/(1+df)) + 1; '/' is float division in both

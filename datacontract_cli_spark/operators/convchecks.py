@@ -94,3 +94,56 @@ def non_monotonic_ts_count_join(df: DataFrame, conv_col: str = "conv_id",
         F.coalesce(F.sum(F.when(F.col("ts1") < F.col("ts0"), 1).otherwise(0)), F.lit(0))
         .alias("non_monotonic_turns")
     )
+
+
+def predecessor_violations(df: DataFrame, key_col: str, order_cols: list,
+                           state_col: str,
+                           rules: dict) -> DataFrame:
+    """Sequence-pattern validation: per state value, how many occurrences
+    have a DISALLOWED predecessor within their key group — the
+    funnel/chat-format invariant ("a purchase must follow a click/view",
+    "a tool turn must follow an assistant turn").
+
+    ``rules``: {state: {"allowed": [states...], "allow_first": bool}} —
+    an occurrence passes iff its lag-1 predecessor (ordered by
+    ``order_cols`` within ``key_col``) is in ``allowed``, or it is the
+    group's first row and ``allow_first``. States without a rule are
+    unconstrained.
+
+    One window pass + one aggregate; returns a single row with one
+    ``{state}_violations`` count per rule. Order by a UNIQUE tuple (e.g.
+    ts + id) for determinism under ties. Skew: a hot key concentrates its
+    window in one task — same caveat as non_monotonic_ts_count; the
+    join-based rewrite applies if a dense index exists."""
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    prev = F.lag(F.col(state_col)).over(w)
+    staged = df.select(F.col(state_col).alias("__s__"), prev.alias("__p__"))
+    aggs = []
+    for state, rule in rules.items():
+        ok = F.col("__p__").isin(list(rule.get("allowed", [])))
+        if rule.get("allow_first", False):
+            ok = ok | F.col("__p__").isNull()
+        bad = (F.col("__s__") == state) & ~F.coalesce(ok, F.lit(False))
+        aggs.append(F.sum(bad.cast("long")).alias(f"{state}_violations"))
+    return staged.agg(*aggs)
+
+
+CHAT_FORMAT_RULES = {
+    # the standard fine-tuning chat template invariants: a conversation
+    # opens with system or user; assistant answers user or tool output;
+    # tool calls follow an assistant turn; user speaks first or after
+    # an assistant reply
+    "system": {"allowed": [], "allow_first": True},
+    "user": {"allowed": ["system", "assistant"], "allow_first": True},
+    "assistant": {"allowed": ["user", "tool"], "allow_first": False},
+    "tool": {"allowed": ["assistant"], "allow_first": False},
+}
+
+
+def chat_format_violations(df: DataFrame, conv_col: str = "conv_id",
+                           turn_col: str = "turn_idx",
+                           role_col: str = "role") -> DataFrame:
+    """Chat-template conformance counts for a transcripts table
+    (:data:`CHAT_FORMAT_RULES`), ordered by turn index."""
+    return predecessor_violations(df, conv_col, [turn_col], role_col,
+                                  CHAT_FORMAT_RULES)

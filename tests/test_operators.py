@@ -335,3 +335,32 @@ def test_repetition_ratio(spark):
     # 9 tokens -> 7 grams; distinct: xyz,yzx,zxy -> 1 - 3/7
     assert got[2] == round(1 - 3 / 7, 4)
     assert got[3] == 0.0 and got[4] == 0.0
+
+
+def test_predecessor_violations_and_chat_format(spark):
+    from datacontract_cli_spark.operators.convchecks import (
+        chat_format_violations,
+        predecessor_violations,
+    )
+    rows = [
+        # conv A: valid chat (system, user, assistant, tool, assistant)
+        ("A", 0, "system"), ("A", 1, "user"), ("A", 2, "assistant"),
+        ("A", 3, "tool"), ("A", 4, "assistant"),
+        # conv B: starts with assistant (bad), tool after user (bad),
+        # user after user (bad)
+        ("B", 0, "assistant"), ("B", 1, "user"), ("B", 2, "tool"),
+        ("B", 3, "user"), ("B", 4, "user"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    out = chat_format_violations(df).collect()[0].asDict()
+    assert out["system_violations"] == 0
+    assert out["assistant_violations"] == 1  # B turn 0 (first, not allowed)
+    assert out["tool_violations"] == 1       # B turn 2 (after user)
+    assert out["user_violations"] == 2       # B turns 3 (after tool), 4 (after user)
+
+    # unconstrained states are ignored; allow_first honored
+    out2 = predecessor_violations(
+        df, "conv_id", ["turn_idx"], "role",
+        {"tool": {"allowed": ["assistant"], "allow_first": True}}
+    ).collect()[0].asDict()
+    assert out2 == {"tool_violations": 1}
