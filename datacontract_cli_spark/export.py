@@ -53,6 +53,8 @@ def _property_dict(p: Property) -> Dict[str, Any]:
         d["physicalType"] = p.physical_type
     if p.physical_name:
         d["physicalName"] = p.physical_name
+    if p.business_name:
+        d["businessName"] = p.business_name
     if p.description:
         d["description"] = p.description
     if p.tags:
@@ -122,6 +124,7 @@ def to_odcs_dict(contract: DataContract) -> Dict[str, Any]:
                 "logicalType": o.logical_type,
                 **({"physicalType": o.physical_type} if o.physical_type else {}),
                 **({"physicalName": o.physical_name} if o.physical_name else {}),
+                **({"businessName": o.business_name} if o.business_name else {}),
                 **({"description": o.description} if o.description else {}),
                 "properties": [_property_dict(p) for p in o.properties],
             }

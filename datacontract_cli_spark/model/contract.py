@@ -79,6 +79,7 @@ class Property:
     logical_type: Optional[str] = None
     physical_type: Optional[str] = None
     physical_name: Optional[str] = None
+    business_name: Optional[str] = None  # ODCS businessName (display title)
     required: bool = False
     unique: bool = False
     primary_key: bool = False
@@ -118,6 +119,7 @@ class Property:
             logical_type=d.get("logicalType"),
             physical_type=d.get("physicalType"),
             physical_name=d.get("physicalName"),
+            business_name=d.get("businessName"),
             required=bool(d.get("required", False)),
             unique=bool(d.get("unique", False)),
             primary_key=bool(d.get("primaryKey", False)),
@@ -137,6 +139,7 @@ class Property:
 class SchemaObject:
     name: str
     physical_name: Optional[str] = None
+    business_name: Optional[str] = None
     logical_type: str = "table"  # table | blob
     physical_type: Optional[str] = None  # table | view | ...
     description: Optional[str] = None
@@ -152,6 +155,7 @@ class SchemaObject:
         return SchemaObject(
             name=d.get("name") or "",
             physical_name=d.get("physicalName"),
+            business_name=d.get("businessName"),
             logical_type=d.get("logicalType") or "table",
             physical_type=d.get("physicalType"),
             description=d.get("description") if isinstance(d.get("description"), str) else None,

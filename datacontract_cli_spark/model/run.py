@@ -61,6 +61,39 @@ class Check:
     tags: Optional[List[str]] = None
     dimension: Optional[str] = None
 
+    # deprecated snake_case aliases (reference model/run.py renamed
+    # quality_id/failed_samples to camelCase; old code keeps working with a
+    # DeprecationWarning — reference test_run_check_deprecated_fields.py)
+    @property
+    def quality_id(self) -> Optional[str]:
+        import warnings
+        warnings.warn("Check.quality_id is deprecated; use Check.qualityId",
+                      DeprecationWarning, stacklevel=2)
+        return self.qualityId
+
+    @quality_id.setter
+    def quality_id(self, value: Optional[str]) -> None:
+        import warnings
+        warnings.warn("Check.quality_id is deprecated; use Check.qualityId",
+                      DeprecationWarning, stacklevel=2)
+        self.qualityId = value
+
+    @property
+    def failed_samples(self) -> Optional[List[Dict[str, Any]]]:
+        import warnings
+        warnings.warn("Check.failed_samples is deprecated; "
+                      "use Check.failedSamples",
+                      DeprecationWarning, stacklevel=2)
+        return self.failedSamples
+
+    @failed_samples.setter
+    def failed_samples(self, value) -> None:
+        import warnings
+        warnings.warn("Check.failed_samples is deprecated; "
+                      "use Check.failedSamples",
+                      DeprecationWarning, stacklevel=2)
+        self.failedSamples = value
+
     def to_dict(self) -> Dict[str, Any]:
         d = {
             "id": self.id,

@@ -107,6 +107,10 @@ def _enum_values(prop: Property):
 def _prop_to_schema(prop: Property) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     jt, jf = _json_type(prop.logical_type, _opt(prop, "format"))
+    if prop.business_name:
+        out["title"] = prop.business_name
+    if prop.description:
+        out["description"] = prop.description
     if jt is not None:
         out["type"] = jt if prop.required else [jt, "null"]
     if jf is not None:
@@ -133,12 +137,19 @@ def _prop_to_schema(prop: Property) -> Dict[str, Any]:
 
 def contract_to_jsonschema(obj: SchemaObject) -> Dict[str, Any]:
     props = obj.properties or []
-    return {
+    out: Dict[str, Any] = {
         "$schema": "http://json-schema.org/draft-07/schema#",
+    }
+    if obj.business_name:
+        out["title"] = obj.business_name
+    if obj.description:
+        out["description"] = obj.description
+    out.update({
         "type": "object",
         "properties": {p.column: _prop_to_schema(p) for p in props},
         "required": [p.column for p in props if p.required],
-    }
+    })
+    return out
 
 
 # --------------------------------------------------------------------------

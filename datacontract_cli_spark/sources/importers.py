@@ -187,17 +187,28 @@ def _jsonschema_to_property(name: str, schema: Dict[str, Any],
         jt = non_null[0] if non_null else "string"
     fmt = schema.get("format")
     logical = _JSON_FORMAT_TO_LOGICAL.get(fmt) or _JSON_TO_LOGICAL.get(jt, "string")
-    prop = Property(name=name, logical_type=logical, required=required)
+    prop = Property(name=name, logical_type=logical, required=required,
+                    business_name=schema.get("title"),
+                    description=schema.get("description"))
     for key in _KEYWORDS:
         if key in schema and key != "format":
             prop.options[key] = schema[key]
+    # unmapped formats (email, uri, uuid...) survive as an option so the
+    # jsonschema exporter round-trips them; mapped formats (date-time,
+    # date, time) are captured by the logical type itself
+    if fmt is not None and fmt not in _JSON_FORMAT_TO_LOGICAL:
+        prop.options["format"] = fmt
     if logical == "object":
         req = set(schema.get("required") or [])
         children = schema.get("properties") or schema.get("patternProperties") or {}
         prop.properties = [_jsonschema_to_property(k, v, k in req)
                            for k, v in children.items()] or None
     if logical == "array" and isinstance(schema.get("items"), dict):
-        prop.items = _jsonschema_to_property("items", schema["items"], True)
+        items_type = schema["items"].get("type")
+        items_required = not (isinstance(items_type, list)
+                              and "null" in items_type)
+        prop.items = _jsonschema_to_property("items", schema["items"],
+                                             items_required)
     return prop
 
 
@@ -217,6 +228,8 @@ def import_jsonschema(schema: Any, name: str = "model",
         id=contract_id or schema.get("title") or name,
         version="0.0.1",
         schema_objects=[SchemaObject(name=schema.get("title") or name,
+                                     business_name=schema.get("title"),
+                                     description=schema.get("description"),
                                      properties=props)],
     )
 

@@ -114,3 +114,27 @@ def test_avro_import_from_file(tmp_path):
     assert not by["status"].required
     assert by["status"].options["enum"] == ["A", "B"]
     assert by["placed"].logical_type == "timestamp"
+
+
+def test_jsonschema_roundtrip_reference_orders_fixture():
+    """import jsonschema -> export jsonschema reproduces the reference's
+    orders.json byte-for-byte semantically (reference
+    test_roundtrip_jsonschema.py): titles via businessName, descriptions,
+    unmapped formats (email), nullable array items."""
+    import json as _json
+
+    from datacontract_cli_spark.export import to_jsonschema_dict
+    from datacontract_cli_spark.sources.importers import import_jsonschema
+
+    src = "/root/reference/tests/fixtures/import/orders.json"
+    contract = import_jsonschema(src)
+    with open(src, "r", encoding="utf-8") as f:
+        expected = _json.load(f)
+    assert to_jsonschema_dict(contract) == expected
+    # the title lands in ODCS businessName, like the reference exporter
+    obj = contract.schema_objects[0]
+    assert obj.business_name == "OrderSchema"
+    by_name = {p.name: p for p in obj.properties}
+    assert by_name["order_id"].business_name == "Order ID"
+    assert by_name["customer_email_address"].options.get("format") == "email"
+    assert by_name["line_items"].items.required is False

@@ -90,3 +90,27 @@ def test_api_json_source(spark):
         assert df.agg(F.sum("id")).first()[0] == sum(range(20))
     finally:
         server.shutdown()
+
+
+def test_check_deprecated_snake_case_aliases():
+    """Old snake_case names keep working with a DeprecationWarning
+    (reference test_run_check_deprecated_fields.py; constructor stays
+    camelCase-only in this dataclass model)."""
+    import pytest as _pytest
+
+    from datacontract_cli_spark.model.run import Check
+
+    c = Check(key="k", category="quality", type="t", name="n",
+              qualityId="orders_not_empty", failedSamples=[{"id": 1}])
+    with _pytest.warns(DeprecationWarning, match="quality_id is deprecated"):
+        assert c.quality_id == "orders_not_empty"
+    with _pytest.warns(DeprecationWarning, match="failed_samples is deprecated"):
+        assert c.failed_samples == [{"id": 1}]
+    with _pytest.warns(DeprecationWarning):
+        c.quality_id = "other"
+    with _pytest.warns(DeprecationWarning):
+        c.failed_samples = [{"id": 2}]
+    assert c.qualityId == "other" and c.failedSamples == [{"id": 2}]
+    # serialization uses the canonical camelCase names
+    d = c.to_dict()
+    assert d["qualityId"] == "other" and d["failedSamples"] == [{"id": 2}]
