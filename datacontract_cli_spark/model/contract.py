@@ -462,5 +462,26 @@ def load_contract_str(text: str, inline_references: bool = False) -> DataContrac
 
 
 def load_contract(path: str, inline_references: bool = False) -> DataContract:
+    """Load from a local path or an http(s) URL (reference lint/urls.py
+    fetch_resource: GET with an Accept: application/yaml header; a non-200
+    answer is an error, not an empty contract). An API key from
+    $DATACONTRACT_API_KEY rides as x-api-key, mirroring the reference's
+    registry-host auth lane without hardcoding hosts."""
+    if path.startswith(("http://", "https://")):
+        import os
+        import urllib.error
+        import urllib.request
+
+        headers = {"accept": "application/yaml"}
+        api_key = os.environ.get("DATACONTRACT_API_KEY")
+        if api_key:
+            headers["x-api-key"] = api_key
+        req = urllib.request.Request(path, headers=headers)
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                text = resp.read().decode("utf-8")
+        except urllib.error.URLError as e:
+            raise ValueError(f"cannot read data contract from {path}: {e}")
+        return load_contract_str(text, inline_references=inline_references)
     with open(path, "r", encoding="utf-8") as f:
         return load_contract_str(f.read(), inline_references=inline_references)

@@ -230,3 +230,53 @@ def test_api_server_connection_error_is_run_error(spark, api_server):
         API_CONTRACT.format(port=port).replace("/orders", "/fail"))
     run = SparkContractEngine(spark).test(contract)
     assert run.result is ResultEnum.error
+
+
+def test_load_contract_from_url(tmp_path):
+    """Contracts load from http(s) URLs (reference lint/urls.py lane):
+    200 -> parsed contract (with the api-key header when configured),
+    404 -> error, never an empty contract."""
+    import http.server
+    import os
+    import threading
+
+    import pytest as _pytest
+
+    from datacontract_cli_spark.model.contract import load_contract
+
+    yaml_text = (
+        "apiVersion: v3.1.0\nkind: DataContract\nid: url-contract\n"
+        "version: 1.0.0\nstatus: active\nschema:\n  - name: t\n"
+        "    properties:\n      - name: id\n        logicalType: integer\n")
+    seen = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            seen["accept"] = self.headers.get("accept")
+            seen["x-api-key"] = self.headers.get("x-api-key")
+            if self.path == "/dc.yaml":
+                body = yaml_text.encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
+    server = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{server.server_port}"
+    try:
+        os.environ["DATACONTRACT_API_KEY"] = "sekrit"
+        contract = load_contract(f"{base}/dc.yaml")
+        assert contract.id == "url-contract"
+        assert seen["accept"] == "application/yaml"
+        assert seen["x-api-key"] == "sekrit"
+        with _pytest.raises(ValueError, match="cannot read data contract"):
+            load_contract(f"{base}/missing.yaml")
+    finally:
+        os.environ.pop("DATACONTRACT_API_KEY", None)
+        server.shutdown()
