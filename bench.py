@@ -97,8 +97,11 @@ def main() -> None:
     # expr's cost is Catalyst optimizing the K-way unrolled expressions,
     # paid again on every fresh plan).
     os.environ.setdefault("DCSPARK_MINHASH_KERNEL", "arrow")
-    os.environ.setdefault("DCSPARK_SIMHASH_FAMILY", "xxhash64")
-    os.environ.setdefault("DCSPARK_WINNOW_FAMILY", "xxhash64")
+    # simhash: numpy kernel ~4x the 64-way-unrolled JVM expr kernel
+    os.environ.setdefault("DCSPARK_SIMHASH_FAMILY", "arrow")
+    # winnow: the numpy rolling-hash kernel is ~5x the JVM expr
+    # kernel at sf0.1 (7.7s -> 1.5s cold with warm workers)
+    os.environ.setdefault("DCSPARK_WINNOW_FAMILY", "arrow")
 
     import __spark_entry__ as entry_mod
     from datacontract_cli_spark.session import get_spark

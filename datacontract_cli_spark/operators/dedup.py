@@ -465,6 +465,58 @@ def simhash_words(df: DataFrame, id_col: str, text_col: str = "text") -> DataFra
     )
 
 
+def _simhash_words_arrow(df: DataFrame, id_col: str,
+                         text_col: str = "text") -> DataFrame:
+    """Arrow-batched 64-bit SimHash (same output shape as
+    :func:`simhash_words`, different hash family — pandas siphash instead
+    of xxhash64). Fully vectorized across the batch: one flat token hash
+    array, a 64-column bit matrix via shifts, per-document vote sums via
+    ``np.add.reduceat`` — no per-token Python, no 64-way Catalyst unroll
+    (the expr kernel's vote tree runs interpreted and re-pays seconds of
+    optimizer time per fresh plan)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            toks = (pdf[text_col].fillna("").astype(str).str.lower()
+                    .str.split())
+            lens = toks.str.len().to_numpy(dtype=np.int64)
+            d = len(lens)
+            if d == 0 or lens.sum() == 0:
+                bits = np.zeros((d, 64), dtype=np.int32)
+            else:
+                flat = toks.explode().dropna().to_numpy(dtype=object)
+                h = pd.util.hash_array(flat).astype(np.uint64)
+                bitm = ((h[:, None] >> np.arange(64, dtype=np.uint64))
+                        & np.uint64(1)).astype(np.int64)
+                # reduceat over NON-EMPTY docs only: an empty doc's offset
+                # equals its neighbor's, which corrupts adjacent segments
+                # (clamping instead would steal the previous doc's last
+                # token when an empty doc ends the batch)
+                nz = lens > 0
+                lens_nz = lens[nz]
+                off_nz = np.zeros(len(lens_nz), dtype=np.int64)
+                np.cumsum(lens_nz[:-1], out=off_nz[1:])
+                sums = np.add.reduceat(bitm, off_nz, axis=0)
+                votes = 2 * sums - lens_nz[:, None]
+                bits = np.zeros((d, 64), dtype=np.int32)
+                bits[nz] = (votes > 0).astype(np.int32)
+            w = np.zeros((d, 4), dtype=np.int64)
+            for wi in range(4):
+                for b in range(16):
+                    w[:, wi] = w[:, wi] * 2 + bits[:, wi * 16 + b]
+            yield pd.DataFrame({
+                "id": pdf[id_col], "bits": list(bits),
+                "w0": w[:, 0], "w1": w[:, 1], "w2": w[:, 2], "w3": w[:, 3],
+            })
+
+    return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+        kernel,
+        f"id {dict(df.dtypes)[id_col]}, bits array<int>, "
+        "w0 long, w1 long, w2 long, w3 long")
+
+
 def simhash_words_md5(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """60-bit SimHash on the shared md5 hash family (4×15-bit words).
 
@@ -511,8 +563,10 @@ def simhash_near_duplicates(
     """Near-dup pairs with hamming(simhash) ≤ max_hamming (≤3 ⇒ pigeonhole
     over 4 words is exhaustive). Candidates block on each word; the
     exact hamming distance filters them. hash_family="md5" uses the
-    oracle-reproducible 60-bit fingerprint."""
-    words_fn = simhash_words_md5 if hash_family == "md5" else simhash_words
+    oracle-reproducible 60-bit fingerprint; "arrow" the vectorized numpy
+    kernel (fastest with warm Python workers); "xxhash64" the JVM expr."""
+    words_fn = {"md5": simhash_words_md5,
+                "arrow": _simhash_words_arrow}.get(hash_family, simhash_words)
     # persist the fingerprints: the 4 word-blocks self-join this frame (8
     # scans) and projection collapse would otherwise inline the whole
     # vote-aggregate tree into every branch — recomputing the per-token
@@ -600,6 +654,60 @@ def winnow_fingerprints(col: Column, k: int = 8, window: int = 4,
     )
 
 
+def _winnow_fingerprints_arrow(df: DataFrame, id_col: str, text_col: str,
+                               k: int, window: int) -> DataFrame:
+    """Arrow-batched winnowing kernel: same normalization and winnowing
+    guarantees as the Column kernel, different (numpy) hash family.
+
+    Per document: UTF-8 bytes of the normalized text → rolling polynomial
+    k-gram hash (k vectorized multiply-adds on wrapping uint64 — no hash
+    call per substring) → sliding-window minimum (stride view) → unique.
+    The Column kernel's nested HOF tree runs interpreted and re-pays
+    Catalyst optimization per fresh plan; this is a small fixed plan with
+    all inner loops in C. Byte-level grams differ from the expr kernel's
+    character grams only for non-ASCII text — both are valid winnowing
+    families, neither reproduces the md5 oracle family."""
+    import numpy as np
+    import pandas as pd
+
+    B = np.uint64(1099511628211)  # FNV-1a prime: good avalanche as a base
+    POW = np.empty(k, dtype=np.uint64)
+    POW[0] = 1
+    for j in range(1, k):
+        POW[j] = POW[j - 1] * B
+
+    def kernel(batches):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            texts = (pdf[text_col].fillna("").astype(str).str.lower()
+                     .str.replace(r"\s+", " ", regex=True).str.strip())
+            fps = []
+            for t in texts:
+                b = np.frombuffer(t.encode("utf-8"),
+                                  dtype=np.uint8).astype(np.uint64)
+                if len(b) < k:
+                    h = np.uint64(0)
+                    for x in b:
+                        h = h * B + x
+                    fps.append(np.array([h], dtype=np.uint64)
+                               .view(np.int64))
+                    continue
+                n = len(b) - k + 1
+                h = np.zeros(n, dtype=np.uint64)
+                for j in range(k):  # k wrapping multiply-adds, all C-speed
+                    h += b[j:j + n] * POW[k - 1 - j]
+                if n >= window:
+                    mins = sliding_window_view(h, window).min(axis=1)
+                else:
+                    mins = h.min(keepdims=True)
+                fps.append(np.unique(mins).view(np.int64))
+            yield pd.DataFrame({"id": pdf[id_col], "fp": fps})
+
+    return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+        kernel, f"id {dict(df.dtypes)[id_col]}, fp array<long>")
+
+
 def winnow_shared_pairs(
     df: DataFrame,
     id_col: str,
@@ -619,11 +727,21 @@ def winnow_shared_pairs(
     appearing in more than that many documents before the self-join —
     stop-gram fingerprints ("and the ", " of the ") carry no dedup signal
     but dominate the pair volume; at corpus scale this filter is what keeps
-    the join linear."""
-    fp = _ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        winnow_fingerprints(F.col(text_col), k, window, hash_family).alias("fp"),
-    )
+    the join linear.
+
+    ``hash_family``: "md5" (oracle-reproducible), "xxhash64" (codegen'd JVM
+    expr), or "arrow" (vectorized numpy rolling-hash kernel — the fastest
+    production lane when Python workers are warm)."""
+    if hash_family == "arrow":
+        fp = _winnow_fingerprints_arrow(_ensure_parallelism(df), id_col,
+                                        text_col, k, window) \
+            .withColumnRenamed("id", "id") \
+            .select(F.col("id"), F.col("fp"))
+    else:
+        fp = _ensure_parallelism(df).select(
+            F.col(id_col).alias("id"),
+            winnow_fingerprints(F.col(text_col), k, window, hash_family).alias("fp"),
+        )
     inv = fp.select("id", F.explode("fp").alias("f"))
     if max_doc_freq is not None:
         # document frequency as a window count over the fingerprint: ONE

@@ -149,3 +149,53 @@ def test_hash_split_rejects_bad_weights(spark):
     docs = spark.range(3).withColumnRenamed("id", "doc_id")
     with pytest.raises(ValueError):
         hash_split(docs, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_winnow_arrow_kernel_guarantee_and_determinism(spark):
+    from datacontract_cli_spark.operators import dedup
+    shared = "zqxwvu shared substring block here"  # > k+window-1 chars
+    rows = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "different lead " + shared + " other tail"),
+        (3, "completely unrelated text with nothing common at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.winnow_shared_pairs(df, "doc_id", k=8, window=4,
+                                      min_shared=1, hash_family="arrow")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # winnowing guarantee: docs sharing a substring of length >= k+window-1
+    # share at least one fingerprint, regardless of hash family
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+    # deterministic under different partitioning
+    again = dedup.winnow_shared_pairs(df.repartition(5), "doc_id", k=8,
+                                      window=4, min_shared=1,
+                                      hash_family="arrow")
+    assert {(r["id_a"], r["id_b"]) for r in again.collect()} == got
+
+
+def test_simhash_arrow_kernel(spark):
+    from datacontract_cli_spark.operators import dedup
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        (2, "the quick brown fox jumps over the lazy dog again today"),  # dup
+        (3, "the quick brown fox jumps over the lazy cat again today"),  # near
+        (4, "entirely different words about benchmarks and shuffles"),
+        (5, ""),  # empty doc must not crash or alias a neighbor's bits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.simhash_near_duplicates(df, "doc_id", max_hamming=3,
+                                           hash_family="arrow").collect()}
+    assert (1, 2) in pairs           # identical: hamming 0 in ANY family
+    assert not any(4 in p for p in pairs)
+    assert not any(5 in p for p in pairs)
+    # signatures deterministic under partitioning
+    s1 = dedup._simhash_words_arrow(df, "doc_id").orderBy("id").collect()
+    s2 = dedup._simhash_words_arrow(df.repartition(4), "doc_id") \
+        .orderBy("id").collect()
+    assert [tuple(r) for r in s1] == [tuple(r) for r in s2]
+    # identical docs have identical signatures; empty doc is all-zero
+    by_id = {r["id"]: r for r in s1}
+    assert by_id[1]["bits"] == by_id[2]["bits"]
+    assert all(b == 0 for b in by_id[5]["bits"])
