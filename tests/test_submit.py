@@ -69,3 +69,38 @@ def test_spark_submit_partitioned_with_resume(tmp_path, spark):
                         env=env, cwd=str(tmp_path))
     assert p2.returncode == 0
     assert len(open(manifest).read().strip().splitlines()) == 4
+
+
+@pytest.mark.skipif(SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_incremental(tmp_path, spark):
+    import json
+
+    from datacontract_cli_spark.sources.transcripts import synthesize_transcripts
+    from tools.package import build
+
+    data = str(tmp_path / "transcripts")
+    synthesize_transcripts(spark, n_convs=50, turns_per_conv=4).write.parquet(data)
+    zip_path = build(str(tmp_path / "dcspark.zip"))
+    ckpt = str(tmp_path / "ckpt")
+
+    env = dict(os.environ)
+    cmd = [SUBMIT, "--master", "local[2]",
+           "--conf", "spark.ui.enabled=false",
+           "--py-files", zip_path,
+           os.path.join(REPO, "tools", "validate_job.py"),
+           "--contract", os.path.join(HERE, "fixtures", "transcripts_contract.yaml"),
+           "--data", data, "--model", "transcripts",
+           "--incremental", "--checkpoint-dir", ckpt]
+    p1 = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
+                        env=env, cwd=str(tmp_path))
+    assert p1.returncode == 0, p1.stdout[-2000:] + p1.stderr[-2000:]
+    line1 = next(l for l in p1.stdout.splitlines() if l.startswith("{"))
+    r1 = json.loads(line1)
+    assert r1["folded"]["row_count"] == 200 and r1["new_files"]
+
+    # second run: nothing new, same fold
+    p2 = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
+                        env=env, cwd=str(tmp_path))
+    assert p2.returncode == 0
+    r2 = json.loads(next(l for l in p2.stdout.splitlines() if l.startswith("{")))
+    assert r2["new_files"] == [] and r2["folded"] == r1["folded"]

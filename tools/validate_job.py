@@ -25,6 +25,9 @@ def main() -> int:
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--partitioned", action="store_true",
                    help="per-partition verdicts with resume (needs --checkpoint-dir)")
+    p.add_argument("--incremental", action="store_true",
+                   help="validate only files new/changed since the last run "
+                        "(needs --checkpoint-dir); count checks only")
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--partition-key", default="conv_id")
     args = p.parse_args()
@@ -42,6 +45,21 @@ def main() -> int:
     from datacontract_cli_spark.output import writers
 
     contract = load_contract(args.contract)
+
+    if args.incremental:
+        if not args.checkpoint_dir:
+            print("error: --incremental needs --checkpoint-dir", file=sys.stderr)
+            return 2
+        engine = SparkContractEngine(spark)
+        run, result = engine.test_incremental(contract, args.data, args.model,
+                                              args.checkpoint_dir)
+        print(json.dumps({"new_files": result["new_files"],
+                          "removed_files": result["removed_files"],
+                          "n_files": len(result["files"]),
+                          "folded": result["folded"]}, default=str))
+        print(writers.console_table(run))
+        return writers.exit_code(run)
+
     df = spark.read.parquet(args.data)
 
     if args.partitioned:
