@@ -293,13 +293,25 @@ class SparkContractEngine:
         result = iv.run(path, specs, model)
         run = Run(dataContractId=contract.id,
                   dataContractVersion=contract.version)
+        unevaluated = set(result.get("unevaluated") or [])
         for spec in specs:
-            value = result["folded"].get(
-                spec.key, result["folded"]["row_count"]
-                if spec.metric is MetricType.ROW_COUNT else 0)
             check = Check(key=spec.key, category=spec.category, type=spec.type,
                           name=spec.name, model=spec.model, field=spec.field,
                           language="spark-sql", dimension=spec.dimension)
+            if spec.key in unevaluated:
+                # a column absent from the validated files is an ERROR,
+                # never a passing zero — the batch lane errors the same way
+                check.result = ResultEnum.error
+                check.reason = (f"column '{spec.field}' not present in the "
+                                "validated files")
+                check.diagnostics = {"metric": spec.metric.value,
+                                     "value": None,
+                                     "n_files": len(result["files"])}
+                run.checks.append(check)
+                continue
+            value = result["folded"].get(
+                spec.key, result["folded"]["row_count"]
+                if spec.metric is MetricType.ROW_COUNT else 0)
             if spec.threshold is not None:
                 check.result = (ResultEnum.passed
                                 if spec.threshold.passes(value)

@@ -63,9 +63,16 @@ class FileVerdict:
     row_count: int
     metrics: Dict[str, Any]
     validated_at: str
+    # spec keys that could NOT be evaluated on this file (column absent
+    # from the scanned schema) — recorded so the fold can surface them as
+    # errors instead of silently passing with 0
+    unevaluated: List[str] = None
 
     def to_json(self) -> str:
-        return json.dumps(self.__dict__, default=str)
+        d = dict(self.__dict__)
+        if not d.get("unevaluated"):
+            d.pop("unevaluated", None)
+        return json.dumps(d, default=str)
 
 
 def list_data_files(spark: SparkSession, path: str,
@@ -110,16 +117,31 @@ class IncrementalValidator:
     def run(self, path: str, specs: List[CheckSpec], model: str,
             schema=None) -> Dict[str, Any]:
         """Validate new/changed files only; returns
-        ``{files, new_files, removed_files, folded}`` where ``folded`` sums
-        count metrics over every CURRENT file's manifest row."""
+        ``{files, new_files, removed_files, folded, unevaluated}`` where
+        ``folded`` sums count metrics over every CURRENT file's manifest
+        row and ``unevaluated`` lists spec keys some live file could not
+        evaluate (absent column) — the caller must surface those as
+        errors, never as passing zeros."""
         listing = list_data_files(self.spark, path)
         current = {f: (size, mtime) for f, size, mtime in listing}
         known = self.validated_files(model)
         removed = sorted(set(known) - set(current))
+        # a manifest row "covers" a spec when the key is in its metrics or
+        # recorded as unevaluated; a contract that GAINS a check must
+        # revalidate fingerprint-unchanged files too, else the new metric
+        # folds as a partial sum over only later files (silent undercount)
+        spec_keys = {s.key for s in specs
+                     if s.metric is not MetricType.ROW_COUNT}
+
+        def _covers(v: FileVerdict) -> bool:
+            have = set(v.metrics) | set(v.unevaluated or [])
+            return spec_keys <= have
+
         todo = [f for f, (size, mtime) in current.items()
                 if f not in known
                 or known[f].size != size
-                or abs(known[f].mtime - mtime) > 1e-6]
+                or abs(known[f].mtime - mtime) > 1e-6
+                or not _covers(known[f])]
 
         new_verdicts: List[FileVerdict] = []
         if todo:
@@ -144,6 +166,8 @@ class IncrementalValidator:
                         exprs.append(count_if(cond, alias))
                         evaluators.append((spec, alias))
                 # duplicate checks cross file boundaries: bucketed lane
+            evaluated_keys = {spec.key for spec, _ in evaluators}
+            skipped = sorted(spec_keys - evaluated_keys)
             rows = (df.withColumn(_FILE, F.input_file_name())
                       .groupBy(_FILE).agg(*exprs).collect())
             by_file = {_norm_uri(r[_FILE]): r for r in rows}
@@ -158,7 +182,8 @@ class IncrementalValidator:
                     metrics[spec.key] = int(v) if v is not None else 0
                 new_verdicts.append(FileVerdict(
                     file=f, size=size, mtime=mtime, row_count=n,
-                    metrics=metrics, validated_at=now))
+                    metrics=metrics, validated_at=now,
+                    unevaluated=skipped or None))
             os.makedirs(self.checkpoint_dir, exist_ok=True)
             with open(self._manifest_path(model), "a", encoding="utf-8") as fh:
                 for v in new_verdicts:
@@ -169,14 +194,21 @@ class IncrementalValidator:
 
         folded: Dict[str, Any] = {"row_count": sum(v.row_count
                                                    for v in live.values())}
+        unevaluated: set = set()
         for v in live.values():
+            unevaluated.update(v.unevaluated or [])
             for k, val in v.metrics.items():
                 if k == "row_count":
                     continue
                 folded[k] = folded.get(k, 0) + val
+        # a spec key no live file evaluated (e.g. empty todo on a stale
+        # manifest) is unevaluated, never a passing zero
+        unevaluated.update(k for k in spec_keys
+                           if k not in folded and k not in unevaluated)
         return {
             "files": live,
             "new_files": sorted(v.file for v in new_verdicts),
             "removed_files": removed,
             "folded": folded,
+            "unevaluated": sorted(unevaluated),
         }

@@ -477,6 +477,21 @@ def _simhash_words_arrow(df: DataFrame, id_col: str,
     import numpy as np
     import pandas as pd
 
+    # token budget per inner chunk: bounds transient memory at ~chunk x 64
+    # int8 (the uint64 shift intermediate is per-bit-column, chunk x 8B) —
+    # without this, a batch of long documents materializes a
+    # total_tokens x 64 int64 matrix (~0.5 KB/token) per Python worker
+    CHUNK_TOKENS = 1 << 20
+
+    def _doc_chunks(lens):
+        start, tok = 0, 0
+        for i, n in enumerate(lens):
+            if tok and tok + n > CHUNK_TOKENS:
+                yield start, i
+                start, tok = i, 0
+            tok += n
+        yield start, len(lens)
+
     def kernel(batches):
         for pdf in batches:
             toks = (pdf[text_col].fillna("").astype(str).str.lower()
@@ -486,22 +501,31 @@ def _simhash_words_arrow(df: DataFrame, id_col: str,
             if d == 0 or lens.sum() == 0:
                 bits = np.zeros((d, 64), dtype=np.int32)
             else:
-                flat = toks.explode().dropna().to_numpy(dtype=object)
-                h = pd.util.hash_array(flat).astype(np.uint64)
-                bitm = ((h[:, None] >> np.arange(64, dtype=np.uint64))
-                        & np.uint64(1)).astype(np.int64)
-                # reduceat over NON-EMPTY docs only: an empty doc's offset
-                # equals its neighbor's, which corrupts adjacent segments
-                # (clamping instead would steal the previous doc's last
-                # token when an empty doc ends the batch)
-                nz = lens > 0
-                lens_nz = lens[nz]
-                off_nz = np.zeros(len(lens_nz), dtype=np.int64)
-                np.cumsum(lens_nz[:-1], out=off_nz[1:])
-                sums = np.add.reduceat(bitm, off_nz, axis=0)
-                votes = 2 * sums - lens_nz[:, None]
                 bits = np.zeros((d, 64), dtype=np.int32)
-                bits[nz] = (votes > 0).astype(np.int32)
+                for lo, hi in _doc_chunks(lens):
+                    cl = lens[lo:hi]
+                    if cl.sum() == 0:
+                        continue
+                    flat = toks.iloc[lo:hi].explode().dropna() \
+                        .to_numpy(dtype=object)
+                    h = pd.util.hash_array(flat).astype(np.uint64)
+                    bitm = np.empty((len(h), 64), dtype=np.int8)
+                    for b in range(64):  # per-column: peak extra = len(h)*8B
+                        bitm[:, b] = (h >> np.uint64(b)) & np.uint64(1)
+                    # reduceat over NON-EMPTY docs only: an empty doc's
+                    # offset equals its neighbor's, which corrupts adjacent
+                    # segments (clamping instead would steal the previous
+                    # doc's last token when an empty doc ends the batch)
+                    nz = cl > 0
+                    lens_nz = cl[nz]
+                    off_nz = np.zeros(len(lens_nz), dtype=np.int64)
+                    np.cumsum(lens_nz[:-1], out=off_nz[1:])
+                    sums = np.add.reduceat(bitm, off_nz, axis=0,
+                                           dtype=np.int64)
+                    votes = 2 * sums - lens_nz[:, None]
+                    sub = np.zeros((hi - lo, 64), dtype=np.int32)
+                    sub[nz] = (votes > 0).astype(np.int32)
+                    bits[lo:hi] = sub
             w = np.zeros((d, 4), dtype=np.int64)
             for wi in range(4):
                 for b in range(16):
@@ -734,9 +758,7 @@ def winnow_shared_pairs(
     production lane when Python workers are warm)."""
     if hash_family == "arrow":
         fp = _winnow_fingerprints_arrow(_ensure_parallelism(df), id_col,
-                                        text_col, k, window) \
-            .withColumnRenamed("id", "id") \
-            .select(F.col("id"), F.col("fp"))
+                                        text_col, k, window)
     else:
         fp = _ensure_parallelism(df).select(
             F.col(id_col).alias("id"),

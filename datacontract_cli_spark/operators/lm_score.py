@@ -60,16 +60,22 @@ def score_documents(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
     add-one-smoothed unigram model: p(w) = (c(w)+1) / (N+V+1), OOV words
     get c=0 — one smoothing bucket for everything outside the vocabulary.
 
-    Lower perplexity = more reference-like. The model and its (N, V)
-    normalizer ride as broadcasts; only (id, word) pairs shuffle."""
-    norm = lm.agg(F.sum("c").alias("__N__"),
-                  F.count(F.lit(1)).alias("__V__"))
+    Lower perplexity = more reference-like. The model is persisted on
+    first use (its plan embeds the reference-corpus aggregate + the
+    vocabulary sort — without caching, the N/V normalizer AND the
+    broadcast join would each recompute the full fit); call
+    ``lm.unpersist()`` when a scoring session ends. N and V collect as
+    two scalars and inline as literals; only (id, word) pairs shuffle."""
+    if not lm.is_cached:
+        lm.persist()
+    row = lm.agg(F.sum("c").alias("N"), F.count(F.lit(1)).alias("V")) \
+        .collect()[0]
+    n_total, v_size = int(row["N"] or 0), int(row["V"])
     tokens = docs.select(F.col(id_col),
                          F.explode(_words(F.col(text_col))).alias("w"))
-    joined = (tokens.join(F.broadcast(lm), "w", "left")
-                    .crossJoin(F.broadcast(norm)))
+    joined = tokens.join(F.broadcast(lm), "w", "left")
     logp = F.log((F.coalesce(F.col("c"), F.lit(0)) + 1)
-                 / (F.col("__N__") + F.col("__V__") + 1))
+                 / F.lit(float(n_total + v_size + 1)))
     return (joined.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  (-F.sum(logp) / F.count(F.lit(1))).alias("avg_neg_logprob"))

@@ -139,3 +139,63 @@ schema:
                                             str(tmp_path / "ckpt"))
     assert result2["new_files"] == []
     assert result2["folded"] == result["folded"]
+
+
+def test_incremental_missing_column_is_error_not_pass(spark, tmp_path):
+    """A spec whose column is absent from the scanned files must surface
+    as an ERROR check, never a passing zero (review finding: silent false
+    pass on schema drift)."""
+    data = str(tmp_path / "data")
+    spark.range(0, 100).select("id").coalesce(1) \
+        .write.mode("append").parquet(data)  # no 'v' column at all
+    iv = IncrementalValidator(spark, str(tmp_path / "ckpt"))
+    r = iv.run(data, SPECS, "m")
+    assert "missing_v" in r["unevaluated"]
+    assert "invalid_v" in r["unevaluated"]
+    assert "missing_v" not in r["folded"]
+
+    from datacontract_cli_spark.engine.executor import SparkContractEngine
+    from datacontract_cli_spark.model.contract import load_contract_str
+    contract = load_contract_str("""
+apiVersion: v3.1.0
+kind: DataContract
+id: inc-err
+version: 1.0.0
+status: active
+schema:
+  - name: m
+    properties:
+      - name: id
+        logicalType: integer
+      - name: v
+        logicalType: number
+        required: true
+""")
+    run, result = SparkContractEngine(spark).test_incremental(
+        contract, data, "m", str(tmp_path / "ckpt2"))
+    errs = [c for c in run.checks if c.result.value == "error"]
+    assert errs and any("not present" in (c.reason or "") for c in errs)
+    assert run.result.value == "error"
+
+
+def test_incremental_new_spec_revalidates_unchanged_files(spark, tmp_path):
+    """Adding a check to the contract must revalidate fingerprint-unchanged
+    files; otherwise the new metric folds as a partial sum (review
+    finding: silent undercount)."""
+    data = str(tmp_path / "data")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, data, 0, 1000, nulls=10)
+    iv = IncrementalValidator(spark, ckpt)
+    only_rows = [SPECS[0]]
+    r1 = iv.run(data, only_rows, "m")
+    assert r1["new_files"]
+
+    # same files, WIDER spec set: files must re-scan to cover the new keys
+    r2 = iv.run(data, SPECS, "m")
+    assert set(r2["new_files"]) == set(r1["files"])  # revalidated
+    full = spark.read.parquet(data)
+    assert r2["folded"]["missing_v"] == \
+        full.filter(F.col("v").isNull()).count()
+    # and a third run with the same specs is again incremental-quiet
+    r3 = iv.run(data, SPECS, "m")
+    assert r3["new_files"] == []
