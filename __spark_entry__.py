@@ -790,6 +790,15 @@ def _q_stratified_sample(spark, sf):
     )
 
 
+def _q_cohort_retention(spark, sf):
+    """Weekly cohort retention over events — first-touch cohorts, distinct
+    weekly activity, cohort x offset distinct-user counts (three bounded
+    shuffles; cohort sizes broadcast back for the rate)."""
+    from datacontract_cli_spark.operators.cohorts import cohort_retention
+    return cohort_retention(_t(spark, sf, "events"), "user_id", "ts",
+                            period="week", max_offset=8)
+
+
 def _q_sequence_violations(spark, sf):
     """Funnel/sequence-pattern validation: per user (ordered by ts,
     event_id), purchases not preceded by click/view and signups that are
@@ -911,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "diversity_sample": _q_diversity_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "cohort_retention": _q_cohort_retention,
         "sequence_violations": _q_sequence_violations,
         "hash_split": _q_hash_split,
         "repetition_ratio": _q_repetition_ratio,
@@ -1316,6 +1326,24 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1 ORDER BY 1"
         ),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "cohort_retention": (
+            "WITH first AS (SELECT user_id AS u, "
+            "min(date_trunc('week', ts)) AS cohort FROM events GROUP BY 1), "
+            "active AS (SELECT DISTINCT user_id AS u, "
+            "date_trunc('week', ts) AS p FROM events), "
+            "j AS (SELECT a.u, f.cohort, "
+            "CAST(date_diff('day', f.cohort, a.p) / 7 AS BIGINT) AS off "
+            "FROM active a JOIN first f USING (u)), "
+            "counts AS (SELECT cohort, off, count(DISTINCT u) AS n_active "
+            "FROM j WHERE off <= 8 GROUP BY 1, 2), "
+            "sizes AS (SELECT cohort, count(*) AS cohort_size "
+            "FROM first GROUP BY 1) "
+            "SELECT strftime(cohort, '%Y-%m-%d') AS cohort, "
+            "off AS period_offset, n_active, cohort_size, "
+            "round(CAST(n_active AS DOUBLE) / cohort_size, 4) AS retention "
+            "FROM counts JOIN sizes USING (cohort) "
+            "ORDER BY cohort, period_offset"
+        ),
         "sequence_violations": (
             "WITH lagged AS (SELECT event_type AS s, lag(event_type) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id) AS p FROM events) "

@@ -364,3 +364,35 @@ def test_predecessor_violations_and_chat_format(spark):
         {"tool": {"allowed": ["assistant"], "allow_first": True}}
     ).collect()[0].asDict()
     assert out2 == {"tool_violations": 1}
+
+
+def test_cohort_retention_hand_computed(spark):
+    import datetime as dt
+
+    from datacontract_cli_spark.operators.cohorts import cohort_retention
+    w0 = dt.datetime(2024, 1, 1)   # a Monday
+    w1 = w0 + dt.timedelta(weeks=1)
+    w2 = w0 + dt.timedelta(weeks=2)
+    rows = [  # cohort w0: users a,b ; cohort w1: user c
+        ("a", w0), ("b", w0),
+        ("a", w1),             # a retained in week 1
+        ("a", w2), ("b", w2),  # both retained in week 2
+        ("c", w1), ("c", w2),  # c: cohort w1, retained offset 1
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {(r["cohort"], r["period_offset"]): r
+           for r in cohort_retention(df, max_offset=5).collect()}
+    c0, c1 = "2024-01-01", "2024-01-08"
+    assert out[(c0, 0)]["n_active"] == 2 and out[(c0, 0)]["retention"] == 1.0
+    assert out[(c0, 1)]["n_active"] == 1 and out[(c0, 1)]["retention"] == 0.5
+    assert out[(c0, 2)]["n_active"] == 2
+    assert out[(c1, 0)]["cohort_size"] == 1
+    assert out[(c1, 1)]["retention"] == 1.0
+    # month period uses calendar months, not day arithmetic
+    m = cohort_retention(
+        spark.createDataFrame(
+            [("a", dt.datetime(2024, 1, 31)), ("a", dt.datetime(2024, 2, 1))],
+            "user_id string, ts timestamp"),
+        period="month", max_offset=3).collect()
+    offs = {r["period_offset"] for r in m}
+    assert offs == {0, 1}  # Jan 31 -> Feb 1 is one calendar month apart
