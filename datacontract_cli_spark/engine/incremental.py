@@ -145,7 +145,10 @@ class IncrementalValidator:
 
         new_verdicts: List[FileVerdict] = []
         if todo:
-            reader = self.spark.read
+            # basePath preserves hive-partition directory columns even
+            # though we hand the reader leaf FILES — without it a check on
+            # a partition column would be unevaluable on every file
+            reader = self.spark.read.option("basePath", path)
             if schema is not None:
                 reader = reader.schema(schema)
             df = reader.parquet(*sorted(todo))

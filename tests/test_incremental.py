@@ -199,3 +199,29 @@ def test_incremental_new_spec_revalidates_unchanged_files(spark, tmp_path):
     # and a third run with the same specs is again incremental-quiet
     r3 = iv.run(data, SPECS, "m")
     assert r3["new_files"] == []
+
+
+def test_incremental_hive_partitioned_table(spark, tmp_path):
+    """Hive-partition directory columns stay checkable: basePath restores
+    them even though the validator scans leaf files directly."""
+    data = str(tmp_path / "data")
+    df = spark.range(0, 300).select(
+        F.col("id"),
+        (F.col("id") % 90).cast("double").alias("v"),
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("part"))
+    df.write.partitionBy("part").parquet(data)
+    specs = SPECS + [_spec("missing_part", field="part",
+                           metric=MetricType.MISSING_COUNT)]
+    iv = IncrementalValidator(spark, str(tmp_path / "ckpt"))
+    r = iv.run(data, specs, "m")
+    assert r["unevaluated"] == []             # partition column evaluable
+    assert r["folded"]["row_count"] == 300
+    assert r["folded"]["missing_part"] == 0
+    # appending a new partition validates only the new files
+    spark.range(300, 400).select(
+        F.col("id"), (F.col("id") % 90).cast("double").alias("v"),
+        F.lit("c").alias("part")).write.mode("append") \
+        .partitionBy("part").parquet(data)
+    r2 = iv.run(data, specs, "m")
+    assert r2["new_files"] and all("part=c" in f for f in r2["new_files"])
+    assert r2["folded"]["row_count"] == 400
