@@ -1,0 +1,123 @@
+"""The canonical training-data curation pipeline, composed from the
+operator library — the end-to-end shape a 100 TB corpus actually runs
+(C4/CCNet/Gopher-style): dedup → decontaminate → quality-filter → PII
+scrub → sample/split.
+
+Each stage is one of this repo's operators; this module only wires them,
+so every stage keeps its own scale story (bucketed LSH joins, broadcast
+benchmark grams, broadcast LM vocabulary, narrow regex maps, md5-rank
+sampling). Stages that are iterative or reuse an intermediate run their
+jobs at build time (near-dup signatures persist for the band joins;
+connected components iterates to a fixpoint; the LM fit collects its
+normalizer); everything else stays lazy until the final write.
+
+Stage order matters and mirrors production practice:
+  1. exact dedup FIRST (cheapest, shrinks everything downstream),
+  2. near-dedup on the survivors (LSH candidate pairs → connected
+     components → keep each cluster's representative),
+  3. benchmark decontamination (drop docs sharing n-grams with eval sets),
+  4. quality filters (length/repetition heuristics, then LM perplexity
+     against a reference corpus),
+  5. PII scrubbing (transforms text, so AFTER the content-hash stages —
+     scrubbing first would split near-dup groups),
+  6. leakage-safe split (or diversity sampling) LAST, on the final ids.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CurationReport:
+    """Row counts after each stage — the audit trail a curation run keeps."""
+    stages: List[Dict[str, object]] = field(default_factory=list)
+
+    def record(self, stage: str, count: int) -> None:
+        self.stages.append({"stage": stage, "rows": count})
+
+    def to_rows(self):
+        return list(self.stages)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark: Optional[DataFrame] = None,
+    lm_corpus: Optional[DataFrame] = None,
+    max_perplexity: Optional[float] = None,
+    min_tokens: int = 5,
+    max_repetition: float = 0.5,
+    near_dup_threshold: float = 0.85,
+    contamination_ngram: int = 5,
+    scrub_pii: bool = True,
+    split_weights: Optional[Dict[str, float]] = None,
+    report: Optional[CurationReport] = None,
+) -> DataFrame:
+    """Run the full curation chain; returns the curated frame (with a
+    ``split`` column when ``split_weights`` is given). Pass a
+    ``CurationReport`` to receive per-stage row counts (each count is an
+    extra aggregate job — skip the report in production if the counts
+    aren't needed; the pipeline itself stays lazy without it)."""
+    from datacontract_cli_spark.operators import dedup, pii, textstats
+    from datacontract_cli_spark.operators.contamination import contaminated_docs
+    from datacontract_cli_spark.operators.sampling import hash_split
+
+    def _tick(stage: str, frame: DataFrame) -> None:
+        if report is not None:
+            report.record(stage, frame.count())
+
+    out = docs
+    _tick("input", out)
+
+    # 1. exact dedup (normalized-text fingerprint, keep lowest id)
+    out = dedup.dedup_exact(out, id_col, text_col)
+    _tick("exact_dedup", out)
+
+    # 2. near-dedup: banded-LSH candidates -> connected components ->
+    #    keep each cluster's minimum id (the cluster representative)
+    pairs = dedup.minhash_near_duplicates(out, id_col, text_col,
+                                          threshold=near_dup_threshold,
+                                          kernel="arrow")
+    clusters = dedup.connected_components(pairs)
+    losers = clusters.filter(F.col("node") != F.col("cluster_id")) \
+        .select(F.col("node").alias(id_col))
+    out = out.join(losers, id_col, "left_anti")
+    _tick("near_dedup", out)
+
+    # 3. benchmark decontamination (broadcast semi-join on shared n-grams)
+    if benchmark is not None:
+        contaminated = contaminated_docs(out, benchmark, id_col, text_col,
+                                         n=contamination_ngram,
+                                         hash_grams=True)
+        out = out.join(contaminated, id_col, "left_anti")
+        _tick("decontaminated", out)
+
+    # 4a. heuristic quality: token floor + repetition ceiling (narrow maps)
+    out = out.filter(
+        (textstats.whitespace_token_count(F.col(text_col)) >= min_tokens)
+        & (textstats.repetition_ratio(F.col(text_col)) <= max_repetition))
+    _tick("heuristic_quality", out)
+
+    # 4b. LM perplexity filter against the reference corpus
+    if lm_corpus is not None and max_perplexity is not None:
+        from datacontract_cli_spark.operators import lm_score
+        lm = lm_score.fit_unigram_lm(lm_corpus, text_col)
+        out = lm_score.quality_filter(out, lm, max_perplexity,
+                                      id_col, text_col)
+        _tick("lm_quality", out)
+
+    # 5. PII scrub (AFTER content-hash stages: scrubbing changes the text)
+    if scrub_pii:
+        out = out.withColumn(text_col, pii.scrub(F.col(text_col)))
+
+    # 6. leakage-safe split on the surviving ids
+    if split_weights:
+        out = hash_split(out, id_col, split_weights)
+    return out

@@ -1,0 +1,92 @@
+"""End-to-end curation pipeline: every training-data operator composed in
+the canonical C4/CCNet order, on a corpus engineered to exercise each
+stage exactly once."""
+
+from pyspark.sql import functions as F
+
+from datacontract_cli_spark.pipeline import CurationReport, curate_corpus
+
+
+def _corpus(spark):
+    base = ("large language models learn from carefully curated text "
+            "corpora with diverse high quality content across many domains")
+    near = base.replace("many domains", "several domains")
+    rows = [
+        (1, base),                        # keeps (cluster representative)
+        (2, base),                        # exact dup of 1 -> dropped
+        (3, near),                        # near dup of 1 -> dropped
+        (4, "the secret eval answer is forty two exactly as printed here"),
+        #    ^ contaminated vs the benchmark below -> dropped
+        (5, "spam spam spam spam spam spam spam spam spam spam"),
+        #    ^ repetition ratio ~1 -> dropped
+        (6, "too short"),                 # token floor -> dropped
+        (7, "contact me at alice@example.com for the full curated dataset "
+            "of high quality diverse text content"),   # keeps, PII scrubbed
+        (8, "completely unrelated technical document about distributed "
+            "query engines and shuffle optimization strategies"),  # keeps
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curate_corpus_end_to_end(spark):
+    docs = _corpus(spark)
+    bench = spark.createDataFrame(
+        [(100, "the secret eval answer is forty two exactly")],
+        "doc_id long, text string")
+    report = CurationReport()
+    out = curate_corpus(
+        docs,
+        benchmark=bench,
+        min_tokens=5,
+        max_repetition=0.5,
+        near_dup_threshold=0.7,
+        split_weights={"train": 0.8, "valid": 0.2},
+        report=report,
+    ).collect()
+
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 7, 8]
+    by_id = {r["doc_id"]: r for r in out}
+    # PII scrubbed in place
+    assert "alice@example.com" not in by_id[7]["text"]
+    assert "[PII]" in by_id[7]["text"]
+    # deterministic split column present
+    assert all(r["split"] in ("train", "valid") for r in out)
+
+    stages = {s["stage"]: s["rows"] for s in report.to_rows()}
+    assert stages["input"] == 8
+    assert stages["exact_dedup"] == 7          # doc 2 out
+    assert stages["near_dedup"] == 6           # doc 3 out
+    assert stages["decontaminated"] == 5       # doc 4 out
+    assert stages["heuristic_quality"] == 3    # docs 5, 6 out
+
+
+def test_curate_corpus_lm_stage(spark):
+    docs = spark.createDataFrame([
+        (1, "distributed query engines optimize shuffle heavy workloads"),
+        (2, "zzz qqq vvv kkk www yyy xxx jjj uuu ooo"),
+    ], "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(0, "distributed query engines optimize shuffle workloads " * 3)],
+        "doc_id long, text string")
+    from datacontract_cli_spark.operators import lm_score
+    lm = lm_score.fit_unigram_lm(ref)
+    scores = {r["doc_id"]: r["perplexity"]
+              for r in lm_score.score_documents(docs, lm).collect()}
+    cut = (scores[1] + scores[2]) / 2
+    out = curate_corpus(docs, lm_corpus=ref, max_perplexity=cut,
+                        min_tokens=2, scrub_pii=False)
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_curate_corpus_report_optional_and_deterministic(spark):
+    # without a report the same frame comes back (no per-stage counts),
+    # and re-running yields the identical curated set
+    docs = _corpus(spark)
+    a = sorted(r["doc_id"] for r in
+               curate_corpus(docs, min_tokens=5, near_dup_threshold=0.7)
+               .collect())
+    b = sorted(r["doc_id"] for r in
+               curate_corpus(docs.repartition(5), min_tokens=5,
+                             near_dup_threshold=0.7).collect())
+    assert a == b == [1, 4, 7, 8]  # no benchmark passed -> doc 4 stays
