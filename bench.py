@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "benchmark_contamination",
     "lm_quality_score",
     "tfidf_top_terms",
+    "cohort_retention",
 ]
 
 TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "1000000"))

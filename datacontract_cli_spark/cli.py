@@ -149,7 +149,8 @@ def build_parser() -> argparse.ArgumentParser:
                      choices=["parquet", "orc", "csv", "json", "avro",
                               "jsonschema", "sql", "dbt", "bigquery", "unity",
                               "iceberg", "dbml", "protobuf", "powerbi", "excel",
-                              "odcs", "dcs", "spark"])
+                              "odcs", "dcs", "spark",
+                              "great-expectations"])
     imp.add_argument("--source", required=True,
                      help="file or schema path; for --format spark a "
                           "comma-separated list of tables/views in the "
@@ -190,7 +191,8 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"error: {e}", file=sys.stderr)
                 return 1
         elif args.format in ("dbt", "bigquery", "unity", "iceberg", "dbml",
-                             "protobuf", "powerbi", "excel"):
+                             "protobuf", "powerbi", "excel",
+                             "great-expectations"):
             from datacontract_cli_spark.sources.excel_import import import_excel
             from datacontract_cli_spark.sources.powerbi_import import import_powerbi_file
             from datacontract_cli_spark.sources.proto_import import import_protobuf
@@ -198,6 +200,8 @@ def main(argv: list[str] | None = None) -> int:
             def _import_protobuf_file(path):
                 return import_protobuf([path])
             loaders = {"dbt": importers.import_dbt_manifest_file,
+                       "great-expectations":
+                           importers.import_great_expectations_file,
                        "bigquery": importers.import_bigquery_json_file,
                        "unity": importers.import_unity_json_file,
                        "iceberg": importers.import_iceberg_json_file,

@@ -781,3 +781,115 @@ def import_dbml(text: str, import_schemas: Optional[list] = None,
 def import_dbml_file(path: str, **kwargs) -> DataContract:
     with open(path, "r", encoding="utf-8") as f:
         return import_dbml(f.read(), **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Great Expectations suite -> contract (inverse of export_code's exporter;
+# beyond-reference: the reference only EXPORTS to GX, but pipelines
+# migrating from GX need the other direction)
+# ---------------------------------------------------------------------------
+
+_GX_TYPE_TO_LOGICAL = {
+    # spark / GX / python spellings all normalize to contract logical types
+    "stringtype": "string", "str": "string", "string": "string",
+    "text": "string", "varchar": "string",
+    "integertype": "integer", "longtype": "integer", "int": "integer",
+    "integer": "integer", "bigint": "integer", "int64": "integer",
+    "doubletype": "number", "floattype": "number", "float": "number",
+    "double": "number", "number": "number", "float64": "number",
+    "decimaltype": "number", "numeric": "number",
+    "booleantype": "boolean", "bool": "boolean", "boolean": "boolean",
+    "timestamptype": "timestamp", "datetime": "timestamp",
+    "timestamp": "timestamp", "datetype": "date", "date": "date",
+}
+
+
+def import_great_expectations(suite: Any, name: str = "model",
+                              contract_id: Optional[str] = None) -> DataContract:
+    """Great Expectations suite JSON (dict, string, or path) -> contract.
+
+    Structural expectations map to fields (ordered column list, types,
+    not-null, unique, lengths/ranges/sets/regex); row-count expectations
+    become table-level quality rules; anything unmapped is preserved as a
+    ``engine: great-expectations`` quality rule carrying the original
+    expectation — so export_code.to_great_expectations round-trips it."""
+    from datacontract_cli_spark.model.contract import QualityRule
+
+    if isinstance(suite, str):
+        if suite.lstrip().startswith("{"):
+            suite = json.loads(suite)
+        else:
+            with open(suite, "r", encoding="utf-8") as f:
+                suite = json.load(f)
+
+    props: Dict[str, Property] = {}
+    order: list = []
+    table_quality: list = []
+
+    def _prop(column: str) -> Property:
+        if column not in props:
+            props[column] = Property(name=column)
+            order.append(column)
+        return props[column]
+
+    for exp in suite.get("expectations") or []:
+        etype = exp.get("type") or exp.get("expectation_type") or ""
+        kwargs = exp.get("kwargs") or {}
+        column = kwargs.get("column")
+        if etype == "expect_table_columns_to_match_ordered_list":
+            for c in kwargs.get("column_list") or []:
+                _prop(c)
+        elif etype == "expect_column_values_to_be_of_type" and column:
+            t = str(kwargs.get("type_") or kwargs.get("type") or "").lower()
+            lt = _GX_TYPE_TO_LOGICAL.get(t)
+            if lt:
+                _prop(column).logical_type = lt
+        elif etype == "expect_column_values_to_not_be_null" and column:
+            _prop(column).required = True
+        elif etype == "expect_column_values_to_be_unique" and column:
+            _prop(column).unique = True
+        elif etype == "expect_column_value_lengths_to_be_between" and column:
+            p = _prop(column)
+            if kwargs.get("min_value") is not None:
+                p.options["minLength"] = kwargs["min_value"]
+            if kwargs.get("max_value") is not None:
+                p.options["maxLength"] = kwargs["max_value"]
+        elif etype == "expect_column_values_to_be_between" and column:
+            p = _prop(column)
+            if kwargs.get("min_value") is not None:
+                p.options["minimum"] = kwargs["min_value"]
+            if kwargs.get("max_value") is not None:
+                p.options["maximum"] = kwargs["max_value"]
+        elif etype == "expect_column_values_to_be_in_set" and column:
+            _prop(column).options["enum"] = list(kwargs.get("value_set") or [])
+        elif etype == "expect_column_values_to_match_regex" and column:
+            _prop(column).options["pattern"] = kwargs.get("regex")
+        elif etype == "expect_table_row_count_to_be_between":
+            table_quality.append(QualityRule(
+                type="library", metric="rowCount",
+                must_be_ge=kwargs.get("min_value"),
+                must_be_le=kwargs.get("max_value")))
+        else:
+            # preserve unmapped expectations losslessly as GX-engine rules
+            rule = QualityRule(type="custom", engine="great-expectations",
+                               implementation=json.dumps(
+                                   {"type": etype, "kwargs": kwargs,
+                                    "meta": exp.get("meta") or {}}))
+            if column:
+                _prop(column).quality.append(rule)
+            else:
+                table_quality.append(rule)
+
+    suite_name = (suite.get("name") or suite.get("expectation_suite_name")
+                  or name).split(".")[0]
+    return DataContract(
+        id=contract_id or suite_name or name,
+        version="0.0.1",
+        schema_objects=[SchemaObject(name=suite_name or name,
+                                     properties=[props[c] for c in order],
+                                     quality=table_quality)],
+    )
+
+
+def import_great_expectations_file(path: str, **kwargs) -> DataContract:
+    return import_great_expectations(path, **kwargs)

@@ -138,3 +138,78 @@ def test_jsonschema_roundtrip_reference_orders_fixture():
     assert by_name["order_id"].business_name == "Order ID"
     assert by_name["customer_email_address"].options.get("format") == "email"
     assert by_name["line_items"].items.required is False
+
+
+def test_great_expectations_import_and_roundtrip(tmp_path):
+    """GX suite -> contract (structural expectations map to fields; the
+    unmapped tail is preserved as GX-engine quality rules that the GX
+    EXPORTER re-emits — lossless round-trip for the unknown part)."""
+    import json as _json
+
+    from datacontract_cli_spark.export_code import to_great_expectations
+    from datacontract_cli_spark.sources.importers import import_great_expectations
+
+    suite = {
+        "name": "orders.1.0.0",
+        "expectations": [
+            {"type": "expect_table_columns_to_match_ordered_list",
+             "kwargs": {"column_list": ["order_id", "amount", "status"]}},
+            {"type": "expect_column_values_to_be_of_type",
+             "kwargs": {"column": "order_id", "type_": "StringType"}},
+            {"type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "order_id"}},
+            {"type": "expect_column_values_to_be_unique",
+             "kwargs": {"column": "order_id"}},
+            {"type": "expect_column_value_lengths_to_be_between",
+             "kwargs": {"column": "order_id", "min_value": 8, "max_value": 10}},
+            {"type": "expect_column_values_to_be_of_type",
+             "kwargs": {"column": "amount", "type_": "DoubleType"}},
+            {"type": "expect_column_values_to_be_between",
+             "kwargs": {"column": "amount", "min_value": 0, "max_value": 10000}},
+            {"type": "expect_column_values_to_be_in_set",
+             "kwargs": {"column": "status", "value_set": ["open", "closed"]}},
+            {"type": "expect_table_row_count_to_be_between",
+             "kwargs": {"min_value": 1, "max_value": 1000000}},
+            # legacy key spelling + an unmapped expectation
+            {"expectation_type": "expect_column_kl_divergence_to_be_less_than",
+             "kwargs": {"column": "amount", "threshold": 0.1}},
+        ],
+    }
+    contract = import_great_expectations(suite)
+    [obj] = contract.schema_objects
+    assert obj.name == "orders"
+    by = {p.name: p for p in obj.properties}
+    assert [p.name for p in obj.properties] == ["order_id", "amount", "status"]
+    assert by["order_id"].logical_type == "string"
+    assert by["order_id"].required and by["order_id"].unique
+    assert by["order_id"].options["minLength"] == 8
+    assert by["amount"].logical_type == "number"
+    assert by["amount"].options["maximum"] == 10000
+    assert by["status"].options["enum"] == ["open", "closed"]
+    [rc] = [q for q in obj.quality if q.metric == "rowCount"]
+    assert (rc.must_be_ge, rc.must_be_le) == (1, 1000000)
+    # unmapped expectation preserved and re-exported verbatim
+    [kl] = by["amount"].quality
+    assert kl.engine == "great-expectations"
+    exported = _json.loads(to_great_expectations(contract, "orders"))
+    types = [e["type"] for e in exported["expectations"]]
+    assert "expect_column_kl_divergence_to_be_less_than" in types
+    kl_out = next(e for e in exported["expectations"]
+                  if e["type"] == "expect_column_kl_divergence_to_be_less_than")
+    assert kl_out["kwargs"]["threshold"] == 0.1
+
+
+def test_cli_import_great_expectations(tmp_path, capsys):
+    import json as _json
+
+    from datacontract_cli_spark.cli import main
+    path = tmp_path / "suite.json"
+    path.write_text(_json.dumps({
+        "name": "t", "expectations": [
+            {"type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "id"}}]}))
+    rc = main(["import", "--format", "great-expectations",
+               "--source", str(path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "name: id" in out and "required: true" in out
