@@ -42,6 +42,12 @@ from datacontract_cli_spark.engine.predicates import (
 
 _FILE = "__dc_file__"
 
+# Bumped when evaluation semantics change in a way that can turn a
+# previously-unevaluable spec evaluable (e.g. the basePath fix that
+# restored hive-partition columns): rows written under an older lane are
+# revalidated ONCE, then re-recorded under the current lane.
+LANE_VERSION = 2
+
 
 def _norm_uri(uri: str) -> str:
     """Canonical file URI: Hadoop's Path.toString() renders local paths as
@@ -67,6 +73,7 @@ class FileVerdict:
     # from the scanned schema) — recorded so the fold can surface them as
     # errors instead of silently passing with 0
     unevaluated: List[str] = None
+    lane: int = 1  # LANE_VERSION the row was written under
 
     def to_json(self) -> str:
         d = dict(self.__dict__)
@@ -134,6 +141,8 @@ class IncrementalValidator:
                      if s.metric is not MetricType.ROW_COUNT}
 
         def _covers(v: FileVerdict) -> bool:
+            if v.lane != LANE_VERSION:
+                return False  # older evaluation semantics: revalidate once
             have = set(v.metrics) | set(v.unevaluated or [])
             return spec_keys <= have
 
@@ -147,8 +156,15 @@ class IncrementalValidator:
         if todo:
             # basePath preserves hive-partition directory columns even
             # though we hand the reader leaf FILES — without it a check on
-            # a partition column would be unevaluable on every file
-            reader = self.spark.read.option("basePath", path)
+            # a partition column would be unevaluable on every file.
+            # Only valid when the data path is a directory (a single-file
+            # table has no partition dirs and Spark rejects a file basePath)
+            reader = self.spark.read
+            jvm = self.spark._jvm
+            hp = jvm.org.apache.hadoop.fs.Path(path)
+            if hp.getFileSystem(self.spark._jsc.hadoopConfiguration()) \
+                    .getFileStatus(hp).isDirectory():
+                reader = reader.option("basePath", path)
             if schema is not None:
                 reader = reader.schema(schema)
             df = reader.parquet(*sorted(todo))
@@ -186,7 +202,7 @@ class IncrementalValidator:
                 new_verdicts.append(FileVerdict(
                     file=f, size=size, mtime=mtime, row_count=n,
                     metrics=metrics, validated_at=now,
-                    unevaluated=skipped or None))
+                    unevaluated=skipped or None, lane=LANE_VERSION))
             os.makedirs(self.checkpoint_dir, exist_ok=True)
             with open(self._manifest_path(model), "a", encoding="utf-8") as fh:
                 for v in new_verdicts:

@@ -26,10 +26,14 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
                      max_offset: int = 12, digits: int = 4) -> DataFrame:
     """(cohort, period_offset, n_active, cohort_size, retention) rows.
 
-    ``period``: any ``date_trunc`` unit (week / month / day). Offsets are
-    whole periods between the cohort period and the activity period;
-    ``max_offset`` bounds the output width (and the join fan-out) — the
-    tail beyond it is rarely plotted and never worth the rows."""
+    ``period``: "day", "week" or "month" (offsets must be exact whole
+    periods — day/week via date arithmetic, month via calendar months; a
+    unit this function can't offset correctly is rejected rather than
+    silently mis-bucketed). ``max_offset`` bounds the output width (and
+    the join fan-out) — the tail beyond it is rarely plotted and never
+    worth the rows."""
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"period must be day/week/month, got {period!r}")
     per_days = {"day": 1, "week": 7}.get(period)
     cohort_of = F.date_trunc(period, F.col(ts_col))
 
@@ -48,7 +52,10 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
     counts = (joined.withColumn("off", offset)
               .filter(F.col("off") <= max_offset)
               .groupBy("cohort", "off")
-              .agg(F.count_distinct("u").alias("n_active")))
+              # (u, p) is distinct and p -> off is injective per cohort, so
+              # each user appears once per group: a plain count avoids the
+              # two-exchange distinct-aggregate plan on the widest frame
+              .agg(F.count(F.lit(1)).alias("n_active")))
     sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
     return (counts.join(F.broadcast(sizes), "cohort")
             .select(F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),

@@ -852,6 +852,13 @@ def connected_components(
             labels = new_labels
             if changed == 0:
                 break
-        return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+        # same scoped-persist discipline as minhash_candidates: the caller
+        # receives THE cached frame (their unpersist() actually releases
+        # storage), and the per-round internal table is dropped here
+        result = labels.select(F.col("node"),
+                               F.col("label").alias("cluster_id")).persist()
+        result.count()
+        labels.unpersist()
+        return result
     finally:
         edges.unpersist()

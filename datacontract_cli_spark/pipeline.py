@@ -64,7 +64,11 @@ def curate_corpus(
     ``split`` column when ``split_weights`` is given). Pass a
     ``CurationReport`` to receive per-stage row counts (each count is an
     extra aggregate job — skip the report in production if the counts
-    aren't needed; the pipeline itself stays lazy without it)."""
+    aren't needed)."""
+    if (lm_corpus is None) != (max_perplexity is None):
+        raise ValueError("lm_corpus and max_perplexity must be given "
+                         "together (half-specifying them would silently "
+                         "skip the LM quality stage)")
     from datacontract_cli_spark.operators import dedup, pii, textstats
     from datacontract_cli_spark.operators.contamination import contaminated_docs
     from datacontract_cli_spark.operators.sampling import hash_split
@@ -86,8 +90,14 @@ def curate_corpus(
                                           threshold=near_dup_threshold,
                                           kernel="arrow")
     clusters = dedup.connected_components(pairs)
+    # localCheckpoint truncates lineage so the (persisted) pairs and
+    # cluster tables can be RELEASED here — without this, every
+    # curate_corpus call would leak two cached frames into executor
+    # storage (the exact leak class behind the round-2 bench regression)
     losers = clusters.filter(F.col("node") != F.col("cluster_id")) \
-        .select(F.col("node").alias(id_col))
+        .select(F.col("node").alias(id_col)).localCheckpoint(eager=True)
+    pairs.unpersist()
+    clusters.unpersist()
     out = out.join(losers, id_col, "left_anti")
     _tick("near_dedup", out)
 

@@ -832,6 +832,20 @@ def import_great_expectations(suite: Any, name: str = "model",
             order.append(column)
         return props[column]
 
+    def _preserve(etype, kwargs, meta, column):
+        # lossless fallback: anything not mapped structurally survives as
+        # an engine=great-expectations quality rule the GX exporter
+        # re-emits verbatim
+        from datacontract_cli_spark.model.contract import QualityRule
+        rule = QualityRule(type="custom", engine="great-expectations",
+                           implementation=json.dumps(
+                               {"type": etype, "kwargs": kwargs,
+                                "meta": meta or {}}))
+        if column:
+            _prop(column).quality.append(rule)
+        else:
+            table_quality.append(rule)
+
     for exp in suite.get("expectations") or []:
         etype = exp.get("type") or exp.get("expectation_type") or ""
         kwargs = exp.get("kwargs") or {}
@@ -844,6 +858,9 @@ def import_great_expectations(suite: Any, name: str = "model",
             lt = _GX_TYPE_TO_LOGICAL.get(t)
             if lt:
                 _prop(column).logical_type = lt
+            else:
+                # unknown type spelling: don't silently drop the expectation
+                _preserve(etype, kwargs, exp.get("meta"), column)
         elif etype == "expect_column_values_to_not_be_null" and column:
             _prop(column).required = True
         elif etype == "expect_column_values_to_be_unique" and column:
@@ -870,15 +887,7 @@ def import_great_expectations(suite: Any, name: str = "model",
                 must_be_ge=kwargs.get("min_value"),
                 must_be_le=kwargs.get("max_value")))
         else:
-            # preserve unmapped expectations losslessly as GX-engine rules
-            rule = QualityRule(type="custom", engine="great-expectations",
-                               implementation=json.dumps(
-                                   {"type": etype, "kwargs": kwargs,
-                                    "meta": exp.get("meta") or {}}))
-            if column:
-                _prop(column).quality.append(rule)
-            else:
-                table_quality.append(rule)
+            _preserve(etype, kwargs, exp.get("meta"), column)
 
     suite_name = (suite.get("name") or suite.get("expectation_suite_name")
                   or name).split(".")[0]

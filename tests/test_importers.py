@@ -213,3 +213,24 @@ def test_cli_import_great_expectations(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "name: id" in out and "required: true" in out
+
+
+def test_great_expectations_unknown_type_preserved():
+    import json as _json
+
+    from datacontract_cli_spark.export_code import to_great_expectations
+    from datacontract_cli_spark.sources.importers import import_great_expectations
+
+    suite = {"name": "t", "expectations": [
+        {"type": "expect_column_values_to_be_of_type",
+         "kwargs": {"column": "m", "type_": "MapType"}}]}
+    contract = import_great_expectations(suite)
+    [obj] = contract.schema_objects
+    [m] = obj.properties
+    assert m.logical_type is None          # no guess
+    [rule] = m.quality                     # preserved, not dropped
+    assert rule.engine == "great-expectations"
+    exported = _json.loads(to_great_expectations(contract, "t"))
+    assert any(e["type"] == "expect_column_values_to_be_of_type"
+               and e["kwargs"].get("type_") == "MapType"
+               for e in exported["expectations"])

@@ -225,3 +225,44 @@ def test_incremental_hive_partitioned_table(spark, tmp_path):
     r2 = iv.run(data, specs, "m")
     assert r2["new_files"] and all("part=c" in f for f in r2["new_files"])
     assert r2["folded"]["row_count"] == 400
+
+
+def test_incremental_single_file_path(spark, tmp_path):
+    """A single-parquet-file data path still validates (basePath is only
+    set for directories; Spark rejects a file-valued basePath)."""
+    d = str(tmp_path / "onefile")
+    _write_batch(spark, d, 0, 50)
+    f = [p for p in os.listdir(d) if p.endswith(".parquet")][0]
+    single = os.path.join(d, f)
+    iv = IncrementalValidator(spark, str(tmp_path / "ckpt"))
+    r = iv.run(single, SPECS, "m")
+    assert r["folded"]["row_count"] == 50 and r["unevaluated"] == []
+
+
+def test_incremental_old_lane_rows_revalidate_once(spark, tmp_path):
+    """Manifest rows written under an older lane version revalidate once
+    (the basePath fix made previously-unevaluable columns evaluable; a
+    pre-fix manifest must not pin a now-spurious permanent error)."""
+    import json as _json
+
+    from datacontract_cli_spark.engine import incremental as inc
+    data = str(tmp_path / "data")
+    _write_batch(spark, data, 0, 100, nulls=4)
+    iv = IncrementalValidator(spark, str(tmp_path / "ckpt"))
+    r1 = iv.run(data, SPECS, "m")
+    # rewrite the manifest as lane-1 rows with a stale unevaluated claim
+    mp = iv._manifest_path("m")
+    rows = [_json.loads(l) for l in open(mp) if l.strip()]
+    for row in rows:
+        row["lane"] = 1
+        row["unevaluated"] = ["missing_v", "invalid_v"]
+        row["metrics"] = {}
+    with open(mp, "w") as f:
+        for row in rows:
+            f.write(_json.dumps(row) + "\n")
+    r2 = iv.run(data, SPECS, "m")
+    assert set(r2["new_files"]) == set(r1["files"])  # revalidated once
+    assert r2["unevaluated"] == []
+    assert r2["folded"]["missing_v"] == r1["folded"]["missing_v"]
+    r3 = iv.run(data, SPECS, "m")
+    assert r3["new_files"] == []                     # and only once
