@@ -452,6 +452,29 @@ def _q_streaming_psi(spark, sf):
     ).orderBy("hour")
 
 
+def _q_streaming_jsd(spark, sf):
+    """Per-hour Jensen-Shannon divergence of event_type vs a uniform
+    baseline, as ONE streaming aggregation — the bounded companion of
+    streaming_psi. Must equal the batch per-hour JSD (DuckDB oracle)."""
+    from datacontract_cli_spark.streaming import checks as sc
+
+    baseline = {"click": 0.2, "error": 0.2, "purchase": 0.2,
+                "signup": 0.2, "view": 0.2}
+    out = sc.run_batch_smoke(
+        spark, f"{sf}/events.parquet",
+        lambda s: sc.streaming_jsd(
+            s.withColumn("ts", F.col("ts").cast("timestamp")),
+            "event_type", baseline,
+            ts_col="ts", window="1 hour", watermark="0 seconds"),
+        name="gate_stream_jsd",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("row_count").cast("long").alias("row_count"),
+        F.col("jsd").alias("jsd"),
+    ).orderBy("hour")
+
+
 def _q_partitioned_validation(spark, sf):
     """The north-rule centerpiece IN the correctness gate: per-bucket
     verdicts over hash buckets of user_id, folded to global metrics — the
@@ -915,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
         "streaming_psi": _q_streaming_psi,
+        "streaming_jsd": _q_streaming_jsd,
         "interval_join_events": _q_interval_join_events,
         "dedup_clusters": _q_dedup_clusters,
         "stratified_sample": _q_stratified_sample,
@@ -1273,6 +1297,22 @@ def oracle_sql() -> dict[str, str]:
             "AS missing_et, "
             "count(*) FILTER (WHERE value > 10.0) AS invalid_val "
             "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "streaming_jsd": (
+            # batch per-hour JSD replicating streaming_jsd exactly (all
+            # observed mass is inside the baseline keys -> no other term;
+            # the q-side term is unconditional since q=0.2 > 0)
+            "WITH h AS (SELECT date_trunc('hour', ts) AS hr, "
+            "CAST(count(*) AS DOUBLE) AS n, "
+            "CAST(count(*) FILTER (WHERE event_type = 'click') AS DOUBLE) AS c0, "
+            "CAST(count(*) FILTER (WHERE event_type = 'error') AS DOUBLE) AS c1, "
+            "CAST(count(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS c2, "
+            "CAST(count(*) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS c3, "
+            "CAST(count(*) FILTER (WHERE event_type = 'view') AS DOUBLE) AS c4 "
+            "FROM events GROUP BY 1) "
+            "SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour, "
+            "CAST(n AS BIGINT) AS row_count, "
+            "round(((CASE WHEN c0/n > 0 THEN c0/n * log2((c0/n) / ((c0/n + 0.2)/2)) ELSE 0 END) + 0.2 * log2(0.2 / ((c0/n + 0.2)/2)) + (CASE WHEN c1/n > 0 THEN c1/n * log2((c1/n) / ((c1/n + 0.2)/2)) ELSE 0 END) + 0.2 * log2(0.2 / ((c1/n + 0.2)/2)) + (CASE WHEN c2/n > 0 THEN c2/n * log2((c2/n) / ((c2/n + 0.2)/2)) ELSE 0 END) + 0.2 * log2(0.2 / ((c2/n + 0.2)/2)) + (CASE WHEN c3/n > 0 THEN c3/n * log2((c3/n) / ((c3/n + 0.2)/2)) ELSE 0 END) + 0.2 * log2(0.2 / ((c3/n + 0.2)/2)) + (CASE WHEN c4/n > 0 THEN c4/n * log2((c4/n) / ((c4/n + 0.2)/2)) ELSE 0 END) + 0.2 * log2(0.2 / ((c4/n + 0.2)/2))) / 2, 6) AS jsd FROM h ORDER BY hour"
         ),
         "streaming_psi": (
             # batch per-hour PSI replicating streaming_psi's formula exactly

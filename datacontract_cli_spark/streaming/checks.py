@@ -107,6 +107,49 @@ def streaming_psi(stream: DataFrame, column: str, baseline: dict,
         F.round(psi, digits).alias("psi"))
 
 
+def streaming_jsd(stream: DataFrame, column: str, baseline: dict,
+                  ts_col: str = "ts", window: str = "5 minutes",
+                  watermark: str = "10 minutes",
+                  digits: int = 6) -> DataFrame:
+    """Per-window Jensen-Shannon divergence (base-2, [0,1]) against a fixed
+    baseline — the bounded, symmetric companion of :func:`streaming_psi`
+    for alerting thresholds that must not depend on an epsilon floor. Same
+    single-aggregation shape: count-ifs over the known baseline keys, the
+    JSD fold as post-agg Column math (0·log0 ≡ 0 via when-guards; mass
+    outside the baseline keys forms an "other" category whose q=0 side
+    contributes p·log2(2) — new categories raise the score, capped at 1)."""
+    keys = list(baseline)
+    exprs = [F.count(F.lit(1)).alias("__n__")]
+    for i, k in enumerate(keys):
+        exprs.append(F.sum(F.when(F.col(column) == F.lit(k), 1).otherwise(0))
+                     .alias(f"__c_{i}__"))
+    agg = (stream.withWatermark(ts_col, watermark)
+           .groupBy(F.window(F.col(ts_col), window).alias("w"))
+           .agg(*exprs))
+
+    n = F.col("__n__")
+    terms = []
+    known = F.lit(0)
+    for i, k in enumerate(keys):
+        p = F.col(f"__c_{i}__") / n
+        q = F.lit(float(baseline[k]))
+        m = (p + q) / 2
+        terms.append(F.when(p > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
+                     + F.when(q > 0, q * F.log2(q / m)).otherwise(F.lit(0.0)))
+        known = known + F.col(f"__c_{i}__")
+    other_p = (n - known) / n
+    terms.append(F.when(other_p > 0, other_p * F.log2(F.lit(2.0)))
+                 .otherwise(F.lit(0.0)))
+    jsd = terms[0]
+    for t in terms[1:]:
+        jsd = jsd + t
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        n.alias("row_count"),
+        F.round(jsd / 2, digits).alias("jsd"))
+
+
 def streaming_freshness(stream: DataFrame, ts_col: str = "ts",
                         window: str = "1 minute",
                         watermark: str = "5 minutes") -> DataFrame:

@@ -184,3 +184,26 @@ def test_streaming_dedup_counts_per_window(spark, tmp_path):
         name="dedupwin_stream")
     counts = {r["window_start"].hour: r["n_unique"] for r in out.collect()}
     assert counts == {0: 10, 1: 10, 2: 10}
+
+
+def test_streaming_jsd_windows(spark, tmp_path):
+    import datetime as dt
+    base_t = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(100):  # hour 0: exactly baseline -> 0
+        rows.append((["a", "b"][i % 2], base_t + dt.timedelta(seconds=i)))
+    for i in range(100):  # hour 1: all mass OUTSIDE the baseline -> 1.0
+        rows.append(("zz", base_t + dt.timedelta(hours=1, seconds=i)))
+    path = str(tmp_path / "jsd_stream")
+    spark.createDataFrame(rows, "role string, ts timestamp") \
+        .repartition(4).write.parquet(path)
+    out = sc.run_batch_smoke(
+        spark, path,
+        lambda s: sc.streaming_jsd(s, "role", {"a": 0.5, "b": 0.5},
+                                   ts_col="ts", window="1 hour",
+                                   watermark="0 seconds"),
+        name="jsd_out",
+    ).orderBy("window_start").collect()
+    assert len(out) == 2
+    assert out[0]["jsd"] == pytest.approx(0.0, abs=1e-9)
+    assert out[1]["jsd"] == pytest.approx(1.0, abs=1e-9)  # bounded max
