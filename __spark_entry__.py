@@ -813,6 +813,20 @@ def _q_stratified_sample(spark, sf):
     )
 
 
+def _q_fd_violations(spark, sf):
+    """Functional-dependency validation: c_custkey -> c_nationkey must be
+    deterministic within customer (every key maps to one nation), and a
+    REAL dependency check across orders: o_orderkey -> o_custkey."""
+    from datacontract_cli_spark.operators.refintegrity import fd_violations
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    a = fd_violations(cust, ["c_custkey"], "c_nationkey") \
+        .select(F.col("violating_groups").alias("cust_nation_violations"))
+    b = fd_violations(orders, ["o_orderkey"], "o_custkey") \
+        .select(F.col("violating_groups").alias("order_cust_violations"))
+    return a.crossJoin(b)
+
+
 def _q_cohort_retention(spark, sf):
     """Weekly cohort retention over events — first-touch cohorts, distinct
     weekly activity, cohort x offset distinct-user counts (three bounded
@@ -944,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "diversity_sample": _q_diversity_sample,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "fd_violations": _q_fd_violations,
         "cohort_retention": _q_cohort_retention,
         "sequence_violations": _q_sequence_violations,
         "hash_split": _q_hash_split,
@@ -1366,6 +1381,15 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1 ORDER BY 1"
         ),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "fd_violations": (
+            "SELECT "
+            "(SELECT coalesce(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0) "
+            "FROM (SELECT count(DISTINCT c_nationkey) AS n FROM customer "
+            "GROUP BY c_custkey)) AS cust_nation_violations, "
+            "(SELECT coalesce(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0) "
+            "FROM (SELECT count(DISTINCT o_custkey) AS n FROM orders "
+            "GROUP BY o_orderkey)) AS order_cust_violations"
+        ),
         "cohort_retention": (
             "WITH first AS (SELECT user_id AS u, "
             "min(date_trunc('week', ts)) AS cohort FROM events GROUP BY 1), "

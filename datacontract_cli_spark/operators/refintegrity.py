@@ -50,3 +50,22 @@ def orphan_rows(
 
 def orphan_count(child: DataFrame, child_col: str, parent: DataFrame, parent_col: str) -> int:
     return orphan_rows(child, child_col, parent, parent_col).count()
+
+
+def fd_violations(df, lhs_cols, rhs_col):
+    """Functional-dependency check: how many LHS groups map to MORE than
+    one distinct RHS value (lhs -> rhs should be deterministic — e.g.
+    nation key determines region key, order id determines customer id).
+
+    One two-phase aggregate: groupBy(lhs).agg(count_distinct(rhs)); the
+    shuffle carries one row per distinct (lhs, rhs) combination at most
+    (map-side partial dedup), so clean data pays roughly a distinct scan.
+    Returns a one-row frame (violating_groups, max_rhs_per_group)."""
+    from pyspark.sql import functions as F
+
+    grouped = (df.groupBy(*[F.col(c) for c in lhs_cols])
+               .agg(F.count_distinct(F.col(rhs_col)).alias("__n_rhs__")))
+    return grouped.agg(
+        F.coalesce(F.sum(F.when(F.col("__n_rhs__") > 1, 1).otherwise(0)),
+                   F.lit(0)).alias("violating_groups"),
+        F.coalesce(F.max("__n_rhs__"), F.lit(0)).alias("max_rhs_per_group"))

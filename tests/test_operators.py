@@ -396,3 +396,21 @@ def test_cohort_retention_hand_computed(spark):
         period="month", max_offset=3).collect()
     offs = {r["period_offset"] for r in m}
     assert offs == {0, 1}  # Jan 31 -> Feb 1 is one calendar month apart
+
+
+def test_fd_violations(spark):
+    from datacontract_cli_spark.operators.refintegrity import fd_violations
+    df = spark.createDataFrame([
+        (1, "de"), (1, "de"),          # consistent
+        (2, "fr"), (2, "it"),          # violation: 2 -> {fr, it}
+        (3, "us"), (3, "us"), (3, "uk"),  # violation: 3 -> {us, uk}
+        (4, None),                     # null rhs: count_distinct ignores
+    ], "k int, v string")
+    row = fd_violations(df, ["k"], "v").collect()[0]
+    assert row["violating_groups"] == 2
+    assert row["max_rhs_per_group"] == 2
+    # clean dependency -> zeros (and an empty frame stays a one-row result)
+    clean = fd_violations(df.filter("k = 1"), ["k"], "v").collect()[0]
+    assert clean["violating_groups"] == 0
+    empty = fd_violations(df.filter("k = 99"), ["k"], "v").collect()[0]
+    assert empty["violating_groups"] == 0 and empty["max_rhs_per_group"] == 0
