@@ -268,3 +268,61 @@ def render_text(result: ChangelogResult) -> str:
                    for e in result.entries],
                   ["Change", "Path", "Old Value", "New Value"])]
     return "\n".join(out) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# breaking-change classification (beyond-reference: the reference changelog
+# lists changes but does not classify them; CI pipelines need the verdict)
+# ---------------------------------------------------------------------------
+
+# consumer-perspective rules: a change is BREAKING when existing consumers
+# of the data can stop working — schema removals, type changes, and
+# constraint TIGHTENING (producers may now reject/alter what consumers
+# relied on receiving). Additions and constraint loosening are safe.
+_TYPE_KEYS = ("logicaltype", "physicaltype")
+_TIGHTEN_UP = ("minlength", "minimum", "exclusiveminimum")   # raising breaks
+_TIGHTEN_DOWN = ("maxlength", "maximum", "exclusivemaximum")  # lowering breaks
+
+
+def is_breaking(entry: ChangelogEntry) -> bool:
+    path = entry.path.lower()
+    in_schema = path.startswith("schema")
+    leaf = path.rsplit(".", 1)[-1]
+    if entry.type is ChangelogType.removed:
+        # removing models/properties/enum members breaks readers; removing
+        # a constraint (e.g. a pattern) only loosens
+        if not in_schema:
+            return False
+        return not any(k in path for k in
+                       ("pattern", "minlength", "maxlength", "minimum",
+                        "maximum", "quality", "description", "tags"))
+    if entry.type is ChangelogType.added:
+        # new required field: existing producers' data fails validation
+        return in_schema and leaf == "required" and bool(entry.new_value)
+    # Updated
+    if not in_schema:
+        return False
+    if leaf in _TYPE_KEYS:
+        return True
+    if leaf == "required":
+        return bool(entry.new_value) and not bool(entry.old_value)
+    if leaf in _TIGHTEN_UP:
+        try:
+            return float(entry.new_value) > float(entry.old_value)
+        except (TypeError, ValueError):
+            return True
+    if leaf in _TIGHTEN_DOWN:
+        try:
+            return float(entry.new_value) < float(entry.old_value)
+        except (TypeError, ValueError):
+            return True
+    if leaf == "pattern":
+        return True  # regex change: no containment check, assume breaking
+    if "enum" in path:
+        return True  # enum member changed in place
+    return False
+
+
+def breaking_changes(result: ChangelogResult) -> List[ChangelogEntry]:
+    """The subset of DETAIL entries that break existing consumers."""
+    return [e for e in result.entries if is_breaking(e)]

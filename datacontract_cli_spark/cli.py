@@ -117,6 +117,10 @@ def build_parser() -> argparse.ArgumentParser:
     clog = sub.add_parser("changelog", help="diff two contract versions")
     clog.add_argument("v1", help="the source (before) contract YAML")
     clog.add_argument("v2", help="the target (after) contract YAML")
+    clog.add_argument("--fail-on-breaking", action="store_true",
+                      help="exit 1 when the diff contains consumer-breaking "
+                           "changes (removals, type changes, tightened "
+                           "constraints)")
 
     dbt = sub.add_parser(
         "dbt", help="sync contract checks into a dbt project / run them")
@@ -396,13 +400,24 @@ def main(argv: list[str] | None = None) -> int:
         return 1 if ci_out.should_fail(results, args.fail_on) else 0
 
     if args.command == "changelog":
-        from datacontract_cli_spark.changelog import build_changelog, render_text
+        from datacontract_cli_spark.changelog import (
+            breaking_changes,
+            build_changelog,
+            render_text,
+        )
         try:
             result = build_changelog(args.v1, args.v2)
         except (OSError, ValueError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 1
         print(render_text(result))
+        if args.fail_on_breaking:
+            breaking = breaking_changes(result)
+            if breaking:
+                print(f"{len(breaking)} breaking change(s):", file=sys.stderr)
+                for e in breaking:
+                    print(f"  {e.type.value}: {e.path}", file=sys.stderr)
+                return 1
         return 0
 
     if args.command == "lint":

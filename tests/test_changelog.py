@@ -178,3 +178,105 @@ def test_diff_is_antisymmetric(a, b):
     assert fwd_set == rev_flipped
     assert {(e.path, flip[e.type]) for e in rev.summary} == \
         {(e.path, e.type) for e in fwd.summary}
+
+
+# --- breaking-change classification ------------------------------------------
+
+def test_breaking_change_classification(tmp_path):
+    from datacontract_cli_spark.changelog import (
+        breaking_changes,
+        build_changelog,
+    )
+    v1 = tmp_path / "v1.yaml"
+    v2 = tmp_path / "v2.yaml"
+    v1.write_text("""
+apiVersion: v3.1.0
+kind: DataContract
+id: c
+version: 1.0.0
+status: active
+schema:
+  - name: t
+    properties:
+      - name: a
+        logicalType: integer
+      - name: b
+        logicalType: string
+        logicalTypeOptions: {maxLength: 100}
+      - name: dropped
+        logicalType: string
+""")
+    v2.write_text("""
+apiVersion: v3.1.0
+kind: DataContract
+id: c
+version: 2.0.0
+status: active
+schema:
+  - name: t
+    properties:
+      - name: a
+        logicalType: string
+        required: true
+      - name: b
+        logicalType: string
+        logicalTypeOptions: {maxLength: 50}
+      - name: brand_new
+        logicalType: string
+""")
+    result = build_changelog(str(v1), str(v2))
+    breaking = breaking_changes(result)
+    paths = {(e.type.value, e.path) for e in breaking}
+    joined = " | ".join(p for _, p in paths)
+    # type change, new required, tightened maxLength, removed property break
+    assert "logicalType" in joined
+    assert "required" in joined
+    assert "maxLength" in joined
+    assert any("dropped" in p for _, p in paths)
+    # the purely additive property is NOT breaking
+    assert not any("brand_new" in p and t != "Added" for t, p in paths)
+    assert not any("brand_new" in p and "required" not in p
+                   for t, p in paths)
+    # version bump itself is not breaking
+    assert not any(p == "version" for _, p in paths)
+
+
+def test_cli_changelog_fail_on_breaking(tmp_path):
+    import os as _os
+    import subprocess
+    import sys as _sys
+
+    REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
+    v1 = tmp_path / "v1.yaml"
+    v2 = tmp_path / "v2.yaml"
+    base = """
+apiVersion: v3.1.0
+kind: DataContract
+id: c
+version: {v}
+status: active
+schema:
+  - name: t
+    properties:
+      - name: a
+        logicalType: {t}
+"""
+    v1.write_text(base.format(v="1.0.0", t="integer"))
+    v2.write_text(base.format(v="1.1.0", t="string"))
+    proc = subprocess.run(
+        [_sys.executable, "-m", "datacontract_cli_spark", "changelog",
+         str(v1), str(v2), "--fail-on-breaking"],
+        capture_output=True, text=True, cwd=REPO, timeout=120)
+    assert proc.returncode == 1
+    assert "breaking change" in proc.stderr
+    # additive-only diff passes
+    v2.write_text(base.format(v="1.1.0", t="integer").replace(
+        "        logicalType: integer",
+        "        logicalType: integer\n      - name: extra\n"
+        "        logicalType: string"))
+    proc = subprocess.run(
+        [_sys.executable, "-m", "datacontract_cli_spark", "changelog",
+         str(v1), str(v2), "--fail-on-breaking"],
+        capture_output=True, text=True, cwd=REPO, timeout=120)
+    assert proc.returncode == 0, proc.stderr
