@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["warning", "error", "never"],
                     help="minimum severity that causes a non-zero exit code")
     ci.add_argument("--inline-references", action="store_true")
+    ci.add_argument("--breaking-against", default=None, metavar="PREV_YAML",
+                    help="also diff each contract against this previous "
+                         "version and fail on consumer-breaking changes")
     ci.add_argument("--master", default=None)
 
     lint = sub.add_parser("lint", help="parse + structurally check a contract")
@@ -397,7 +400,26 @@ def main(argv: list[str] | None = None) -> int:
         ci_out.write_summary(results)
         if args.json_output:
             print(ci_out.json_results(results))
-        return 1 if ci_out.should_fail(results, args.fail_on) else 0
+        failed = ci_out.should_fail(results, args.fail_on)
+        if args.breaking_against:
+            from datacontract_cli_spark.changelog import (
+                breaking_changes,
+                build_changelog,
+            )
+            for location in locations:
+                try:
+                    diff = build_changelog(args.breaking_against, location)
+                except (OSError, ValueError) as e:
+                    print(f"error: {e}", file=sys.stderr)
+                    return 1
+                breaking = breaking_changes(diff)
+                if breaking:
+                    print(f"{location}: {len(breaking)} breaking "
+                          "change(s) vs previous version:", file=human)
+                    for e in breaking:
+                        print(f"  {e.type.value}: {e.path}", file=human)
+                    failed = True
+        return 1 if failed else 0
 
     if args.command == "changelog":
         from datacontract_cli_spark.changelog import (

@@ -180,3 +180,29 @@ def test_cli_ci_missing_contract_is_error_run(tmp_path):
     assert proc.returncode == 1
     payload = json.loads(proc.stdout)
     assert payload["result"] == "error"
+
+
+def test_cli_ci_breaking_against(tmp_path):
+    contract = _prepare(tmp_path)
+    # a previous version whose field type differs -> breaking
+    prev = tmp_path / "prev.yaml"
+    prev.write_text(open(contract).read().replace(
+        "logicalType: string", "logicalType: integer", 1))
+    proc = subprocess.run(
+        [sys.executable, "-m", "datacontract_cli_spark", "ci", contract,
+         "--master", "local[2]", "--fail-on", "never",
+         "--breaking-against", str(prev)],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    # data checks are waived (--fail-on never) so the exit code isolates
+    # the contract-evolution gate
+    assert proc.returncode == 1, proc.stdout + proc.stderr
+    assert "breaking change" in proc.stdout
+    # identical previous version -> passes
+    proc = subprocess.run(
+        [sys.executable, "-m", "datacontract_cli_spark", "ci", contract,
+         "--master", "local[2]", "--fail-on", "never",
+         "--breaking-against", contract],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
