@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "lm_quality_score",
     "tfidf_top_terms",
     "cohort_retention",
+    "fd_violations",
 ]
 
 TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "1000000"))
