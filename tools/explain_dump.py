@@ -137,6 +137,14 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
                      "broadcast-join against the (tiny) benchmark gram set; "
                      "8-byte xxhash64 join keys, no corpus-side shuffle", cont))
 
+    # round 4 tail: cohort retention — three bounded two-phase shuffles,
+    # cohort sizes broadcast back
+    from datacontract_cli_spark.operators.cohorts import cohort_retention
+    coh = cohort_retention(ev4, "user_id", "ts", period="week", max_offset=8)
+    sections.append(("Cohort retention: first-touch agg + distinct activity "
+                     "+ cohort x offset counts; sizes joined back broadcast",
+                     coh))
+
     out = ["# PLANS — physical plans of the engine's core query shapes\n",
            f"Generated by `python tools/explain_dump.py {sf_dir}` "
            "(Spark " + spark.version + ").\n"]
