@@ -414,3 +414,16 @@ def test_fd_violations(spark):
     assert clean["violating_groups"] == 0
     empty = fd_violations(df.filter("k = 99"), ["k"], "v").collect()[0]
     assert empty["violating_groups"] == 0 and empty["max_rhs_per_group"] == 0
+
+
+def test_chi2_pvalue_known_critical_values():
+    # textbook critical values: P(chi2 > x | df) = alpha
+    assert drift.chi2_pvalue(3.841, 1) == pytest.approx(0.05, abs=2e-4)
+    assert drift.chi2_pvalue(6.635, 1) == pytest.approx(0.01, abs=2e-4)
+    assert drift.chi2_pvalue(9.488, 4) == pytest.approx(0.05, abs=2e-4)
+    assert drift.chi2_pvalue(15.086, 5) == pytest.approx(0.01, abs=2e-4)
+    assert drift.chi2_pvalue(0.0, 3) == 1.0
+    assert drift.chi2_pvalue(1000.0, 2) < 1e-100
+    # monotone decreasing in the statistic
+    ps = [drift.chi2_pvalue(x, 4) for x in (1.0, 5.0, 10.0, 20.0)]
+    assert ps == sorted(ps, reverse=True)
