@@ -104,6 +104,8 @@ def main() -> None:
     # winnow: the numpy rolling-hash kernel is ~5x the JVM expr
     # kernel at sf0.1 (7.7s -> 1.5s cold with warm workers)
     os.environ.setdefault("DCSPARK_WINNOW_FAMILY", "arrow")
+    # contamination: production joins on xxhash64(gram) longs, not strings
+    os.environ.setdefault("DCSPARK_CONTAM_HASH_GRAMS", "1")
 
     import __spark_entry__ as entry_mod
     from datacontract_cli_spark.session import get_spark
@@ -137,18 +139,26 @@ def main() -> None:
     run = _validate_transcripts(spark, tpath)
     timings["transcripts_validation"] = round(time.perf_counter() - t0, 3)
     # steady state (plan compile + JIT amortized — the per-round number that
-    # reflects sustained throughput on a long-running cluster). Median of 3
+    # reflects sustained throughput on a long-running cluster). Median of 5
     # warm runs: single-shot numbers in this sandbox swing 2-3x, which made
-    # the round-2 headline metric noise-dominated.
+    # the round-2 headline metric noise-dominated (and the r4 median-of-3
+    # still caught one 2x outlier). All samples are reported so a noisy
+    # median is visible in the JSON rather than silently folded in.
+    n_warm = int(os.environ.get("BENCH_WARM_RUNS", "5"))
     warm = []
-    for _ in range(3):
+    for _ in range(n_warm):
         spark._jvm.System.gc()  # untimed: measure the run, not prior garbage
         t0 = time.perf_counter()
         run = _validate_transcripts(spark, tpath)
         warm.append(time.perf_counter() - t0)
-    validate_sec = sorted(warm)[1]
+    validate_sec = sorted(warm)[len(warm) // 2]
     timings["transcripts_validation_warm"] = round(validate_sec, 3)
     turns_per_sec = round(n_turns / validate_sec, 1)
+    warm_samples = [round(w, 3) for w in warm]
+    try:
+        loadavg = os.getloadavg()[0]
+    except OSError:
+        loadavg = None
 
     qs = entry_mod.queries()
     for name in BENCH_QUERIES:
@@ -174,6 +184,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "turns_per_sec": turns_per_sec,
+        "turns_per_sec_best": round(n_turns / min(warm), 1),
+        "warm_samples_sec": warm_samples,
+        "loadavg_1m": loadavg,
         "transcript_turns": n_turns,
         "validation_result": run.result.value,
         "cpus": int(cpus),

@@ -284,18 +284,49 @@ _TIGHTEN_UP = ("minlength", "minimum", "exclusiveminimum")   # raising breaks
 _TIGHTEN_DOWN = ("maxlength", "maximum", "exclusivemaximum")  # lowering breaks
 
 
+_LOOSEN_REMOVAL_LEAVES = frozenset((
+    "pattern", "minlength", "maxlength", "minimum", "maximum",
+    "exclusiveminimum", "exclusivemaximum", "quality", "description",
+    "tags", "examples", "logicaltypeoptions",
+))
+_NONBREAKING_SUBTREES = frozenset(("quality", "tags", "examples",
+                                   "description", "logicaltypeoptions"))
+
+
+def _name_positions(segs: List[str]) -> set:
+    """Indices in a schema path that are model/property NAMES, not attribute
+    keys — a column literally named 'description' or 'tags' must never be
+    classified by the attribute-key tables."""
+    names = set()
+    for i in range(len(segs)):
+        if i == 1 and segs[0] == "schema":
+            names.add(i)  # model name
+        elif i > 0 and segs[i - 1] == "properties":
+            names.add(i)  # property name (any nesting depth)
+    return names
+
+
 def is_breaking(entry: ChangelogEntry) -> bool:
     path = entry.path.lower()
     in_schema = path.startswith("schema")
     leaf = path.rsplit(".", 1)[-1]
     if entry.type is ChangelogType.removed:
-        # removing models/properties/enum members breaks readers; removing
-        # a constraint (e.g. a pattern) only loosens
+        # structural classification (not substring matching): removing a
+        # model or property node breaks readers regardless of its name;
+        # removing a constraint ATTRIBUTE (pattern, max_length, quality…)
+        # only loosens.
         if not in_schema:
             return False
-        return not any(k in path for k in
-                       ("pattern", "minlength", "maxlength", "minimum",
-                        "maximum", "quality", "description", "tags"))
+        segs = path.split(".")
+        names = _name_positions(segs)
+        if len(segs) - 1 in names or len(segs) == 1:
+            return True  # the removed node IS a model/property (or all of schema)
+        # attribute leaf/subtree under a (possibly removed) property:
+        # ignore name positions when looking for non-breaking subtrees
+        if any(segs[i] in _NONBREAKING_SUBTREES
+               for i in range(len(segs) - 1) if i not in names):
+            return False
+        return leaf not in _LOOSEN_REMOVAL_LEAVES
     if entry.type is ChangelogType.added:
         # new required field: existing producers' data fails validation
         return in_schema and leaf == "required" and bool(entry.new_value)

@@ -694,11 +694,15 @@ def _winnow_fingerprints_arrow(df: DataFrame, id_col: str, text_col: str,
     import numpy as np
     import pandas as pd
 
-    B = np.uint64(1099511628211)  # FNV-1a prime: good avalanche as a base
+    B_INT = 1099511628211  # FNV-1a prime: good avalanche as a base
+    # build the power table in Python ints mod 2^64 — numpy uint64 SCALAR
+    # multiplies emit RuntimeWarning on (intentional) wraparound; array ops
+    # below wrap silently.
     POW = np.empty(k, dtype=np.uint64)
-    POW[0] = 1
-    for j in range(1, k):
-        POW[j] = POW[j - 1] * B
+    p = 1
+    for j in range(k):
+        POW[j] = p
+        p = (p * B_INT) & 0xFFFFFFFFFFFFFFFF
 
     def kernel(batches):
         from numpy.lib.stride_tricks import sliding_window_view
@@ -711,9 +715,9 @@ def _winnow_fingerprints_arrow(df: DataFrame, id_col: str, text_col: str,
                 b = np.frombuffer(t.encode("utf-8"),
                                   dtype=np.uint8).astype(np.uint64)
                 if len(b) < k:
-                    h = np.uint64(0)
-                    for x in b:
-                        h = h * B + x
+                    h = 0  # Python-int horner mod 2^64: no scalar-overflow warn
+                    for x in b.tolist():
+                        h = (h * B_INT + x) & 0xFFFFFFFFFFFFFFFF
                     fps.append(np.array([h], dtype=np.uint64)
                                .view(np.int64))
                     continue

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
 
 def _words(col: Column) -> Column:
@@ -41,17 +40,16 @@ def fit_unigram_lm(corpus: DataFrame, text_col: str = "text",
     (count DESC, word ASC) — the tie-break makes the vocabulary cut
     deterministic across engines and partitionings.
 
-    The rank is a global window (one-partition sort over the DISTINCT
-    vocabulary, not the corpus); at web scale raise ``min_count`` so only
-    plausibly-in-vocab words reach that sort — a hapax cut of 2-3 shrinks
-    a crawl vocabulary by ~half without touching the top-V result."""
+    Because ``w`` is unique after the groupBy, (count DESC, word ASC) is a
+    TOTAL order, so ``orderBy(...).limit(V)`` returns the identical
+    vocabulary to a row_number window — but plans TakeOrderedAndProject:
+    each partition keeps a V-element heap and the driver merges heaps, so
+    a billion-word crawl vocabulary never funnels into one partition (the
+    single-partition WindowExec this replaces would)."""
     counts = (corpus.select(F.explode(_words(F.col(text_col))).alias("w"))
                     .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
                     .filter(F.col("c") >= min_count))
-    w = Window.orderBy(F.desc("c"), F.asc("w"))
-    return (counts.withColumn("__r__", F.row_number().over(w))
-                  .filter(F.col("__r__") <= vocab_size)
-                  .drop("__r__"))
+    return counts.orderBy(F.desc("c"), F.asc("w")).limit(vocab_size)
 
 
 def score_documents(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",

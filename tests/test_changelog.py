@@ -241,6 +241,53 @@ schema:
     assert not any(p == "version" for _, p in paths)
 
 
+def test_removed_property_named_like_attribute_is_breaking(tmp_path):
+    # ADVICE r4: columns literally named 'description' / 'tags' / 'pattern'
+    # must still classify as breaking when REMOVED — the verdict is
+    # structural (node position), not substring matching over the path.
+    from datacontract_cli_spark.changelog import breaking_changes, build_changelog
+    v1 = tmp_path / "v1.yaml"
+    v2 = tmp_path / "v2.yaml"
+    v1.write_text("""
+apiVersion: v3.1.0
+kind: DataContract
+id: c
+version: 1.0.0
+status: active
+schema:
+  - name: t
+    properties:
+      - name: description
+        logicalType: string
+      - name: tags
+        logicalType: string
+      - name: keep
+        logicalType: integer
+        logicalTypeOptions: {maximum: 10}
+        quality:
+          - type: sql
+            query: SELECT 1
+""")
+    v2.write_text("""
+apiVersion: v3.1.0
+kind: DataContract
+id: c
+version: 2.0.0
+status: active
+schema:
+  - name: t
+    properties:
+      - name: keep
+        logicalType: integer
+""")
+    breaking = breaking_changes(build_changelog(str(v1), str(v2)))
+    paths = {e.path for e in breaking}
+    assert "schema.t.properties.description" in paths
+    assert "schema.t.properties.tags" in paths
+    # removing a constraint ATTRIBUTE (maximum) or quality block only loosens
+    assert not any(p.startswith("schema.t.properties.keep") for p in paths)
+
+
 def test_cli_changelog_fail_on_breaking(tmp_path):
     import os as _os
     import subprocess

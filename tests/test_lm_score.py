@@ -52,6 +52,17 @@ def test_quality_filter_keeps_reference_like(spark):
     assert [r["doc_id"] for r in kept] == [1]
 
 
+def test_fit_plan_no_single_partition_window(spark):
+    # (count DESC, word ASC) is a total order over the distinct vocabulary,
+    # so the cut is a distributed top-k (TakeOrderedAndProject: per-partition
+    # heaps), never a single-partition WindowExec sort.
+    corpus = spark.createDataFrame([("a b c",)], "text string")
+    plan = lm_score.fit_unigram_lm(corpus, vocab_size=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
 def test_score_plan_broadcasts_model(spark):
     corpus = spark.createDataFrame([("a b c",)], "text string")
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")

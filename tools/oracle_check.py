@@ -16,6 +16,46 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _type_family(t: str) -> str:
+    """Collapse a type name (Spark dtype or Arrow type string) into a family.
+
+    The driver's value hash is TYPE-sensitive: DuckDB's integer sum()
+    returns HUGEINT (arrow decimal128(38,0)) which hash-mismatches Spark's
+    BIGINT even when values are identical (r04 pii_scan/pii_scrub).  We
+    compare families so that class of bug fails locally too.
+    """
+    t = t.lower()
+    if t.startswith(("decimal", "dec")):
+        return "decimal"
+    if t.startswith(("tinyint", "smallint", "int", "bigint", "uint")):
+        return "int"
+    if t.startswith(("float", "double", "halffloat")):
+        return "float"
+    if t.startswith(("string", "large_string", "varchar", "char", "utf8")):
+        return "str"
+    if t.startswith("bool"):
+        return "bool"
+    if t.startswith("timestamp"):
+        return "ts"
+    if t.startswith("date"):
+        return "date"
+    if t.startswith(("array", "list", "large_list")):
+        return "list"
+    return t
+
+
+def type_mismatches(s_dtypes, o_arrow_schema):
+    """Return [(col, spark_family, oracle_family)] for differing families."""
+    sfam = {c: _type_family(t) for c, t in s_dtypes}
+    out = []
+    for field in o_arrow_schema:
+        ofam = _type_family(str(field.type))
+        sf = sfam.get(field.name)
+        if sf is not None and sf != ofam:
+            out.append((field.name, sf, ofam))
+    return out
+
+
 def normalize(rows, colnames):
     """Sort columns by name, stringify values, sort rows — order-insensitive."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
@@ -59,6 +99,7 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            sdtypes = sdf.dtypes
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name:28s} spark error: {e}")
@@ -68,15 +109,20 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
             print(f"rows  {name:28s} spark={len(srows)} (no oracle; rows-only)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            otable = con.execute(oracles[name]).arrow()
+            ocols = otable.schema.names
+            orows = [tuple(r.values()) for r in otable.to_pylist()]
         except Exception as e:
             print(f"FAIL  {name:28s} duckdb error: {e}")
             failures += 1
             continue
         if sorted(scols) != sorted(ocols):
             print(f"FAIL  {name:28s} schema mismatch: {sorted(scols)} vs {sorted(ocols)}")
+            failures += 1
+            continue
+        tmis = type_mismatches(sdtypes, otable.schema)
+        if tmis:
+            print(f"FAIL  {name:28s} type mismatch (driver hash is type-sensitive): {tmis}")
             failures += 1
             continue
         sn = normalize(srows, scols)
