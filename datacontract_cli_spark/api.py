@@ -115,13 +115,53 @@ class DataContractRunner:
 
 
 
+import contextlib
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, HTTPServer, ThreadingHTTPServer
-from typing import Optional
+from typing import Dict, Optional
 from urllib.parse import parse_qs, urlparse
 
 _MAX_BODY = 16 * 1024 * 1024
+
+# per-request credential pass-through (reference api.py config_from_headers:
+# header names map mechanically to env var names — uppercase, dashes to
+# underscores: `datacontract-api-key` -> DATACONTRACT_API_KEY)
+_CONFIG_HEADER_PREFIX = "datacontract-"
+_LOCAL_HOSTS = frozenset(("localhost", "127.0.0.1", "::1", "[::1]"))
+_env_lock = threading.Lock()
+
+
+def config_from_headers(headers) -> Dict[str, str]:
+    """{ENV_NAME: value} for every ``datacontract-*`` request header."""
+    out: Dict[str, str] = {}
+    for name in headers.keys():
+        if name.lower().startswith(_CONFIG_HEADER_PREFIX):
+            out[name.upper().replace("-", "_")] = headers[name]
+    return out
+
+
+@contextlib.contextmanager
+def _scoped_env(overrides: Dict[str, str]):
+    """Apply env overrides for the duration of one request, restoring the
+    prior values after — so header-scoped credentials are visible to the
+    engine's env lookups but never outlive the request. Serialized by a
+    lock (the threaded local server shares one process env)."""
+    if not overrides:
+        yield
+        return
+    with _env_lock:
+        saved = {k: os.environ.get(k) for k in overrides}
+        os.environ.update(overrides)
+        try:
+            yield
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
 
 
 class _ApiState:
@@ -146,8 +186,32 @@ def _export_text(contract, fmt: str, schema_name: str) -> str:
 
 def make_handler(state: _ApiState):
     class Handler(BaseHTTPRequestHandler):
-        def log_message(self, *args):  # quiet by default
-            pass
+        def log_message(self, *args):  # quiet by default (also keeps
+            pass                       # header-borne credentials out of logs)
+
+        def _guard(self) -> bool:
+            """DNS-rebinding / CSRF guard for the loopback-bound server:
+            reject requests whose Host isn't localhost and cross-site
+            requests carrying a non-local Origin. Servers explicitly bound
+            to a non-loopback interface are exempt (operator's choice)."""
+            bind = self.server.server_address[0]
+            if bind not in ("127.0.0.1", "::1", "localhost"):
+                return True
+            host = (self.headers.get("Host") or "").strip()
+            hostname = host.rsplit(":", 1)[0] if not host.startswith("[") \
+                else host.split("]")[0] + "]"
+            if hostname not in _LOCAL_HOSTS:
+                self._reply(403, json.dumps(
+                    {"error": "forbidden: non-local Host header"}))
+                return False
+            origin = self.headers.get("Origin")
+            if origin and origin != "null":
+                ohost = urlparse(origin).hostname
+                if ohost not in _LOCAL_HOSTS:
+                    self._reply(403, json.dumps(
+                        {"error": "forbidden: cross-site request"}))
+                    return False
+            return True
 
         def _reply(self, status: int, body: str,
                    content_type: str = "application/json") -> None:
@@ -167,6 +231,8 @@ def make_handler(state: _ApiState):
         def do_POST(self):  # noqa: N802 — http.server API
             from datacontract_cli_spark.model.contract import load_contract_str
 
+            if not self._guard():
+                return
             url = urlparse(self.path)
             params = {k: v[0] for k, v in parse_qs(url.query).items()}
             try:
@@ -204,9 +270,12 @@ def make_handler(state: _ApiState):
                         state.spark(),
                         include_failed_samples=params.get(
                             "include_failed_samples", "") == "true")
-                    run = engine.test(contract,
-                                      server=params.get("server"),
-                                      schema_name=params.get("schema", "all"))
+                    # datacontract-* headers become request-scoped env
+                    # credentials (reference api.py config_from_headers)
+                    with _scoped_env(config_from_headers(self.headers)):
+                        run = engine.test(contract,
+                                          server=params.get("server"),
+                                          schema_name=params.get("schema", "all"))
                     self._reply(200, run.to_json())
                 else:
                     self._reply(404, json.dumps({"error": "not found"}))

@@ -88,6 +88,8 @@ def make_editor_handler(state: _ApiState, file_path: Path,
             return True
 
         def do_GET(self):  # noqa: N802 — http.server API
+            if not self._guard():  # DNS-rebinding guard (shared with POST)
+                return
             url = urlparse(self.path)
             path = url.path
             try:
@@ -113,6 +115,8 @@ def make_editor_handler(state: _ApiState, file_path: Path,
                 self._reply(400, json.dumps({"error": str(e)}))
 
         def do_PUT(self):  # noqa: N802
+            if not self._guard():  # CSRF/rebinding guard on writes
+                return
             url = urlparse(self.path)
             try:
                 if url.path.startswith("/api/files/"):

@@ -46,7 +46,29 @@ _FILE = "__dc_file__"
 # previously-unevaluable spec evaluable (e.g. the basePath fix that
 # restored hive-partition columns): rows written under an older lane are
 # revalidated ONCE, then re-recorded under the current lane.
-LANE_VERSION = 2
+# v3: manifest rows record per-spec parameter fingerprints.
+LANE_VERSION = 3
+
+# CheckSpec fields that feed missing_condition/invalid_condition — editing
+# any of these (new enum values, a different regex, moved bounds) changes
+# what the counts MEAN, so fingerprint-unchanged files must revalidate.
+_PARAM_FIELDS = ("metric", "field", "missing_values", "valid_values",
+                 "invalid_values", "valid_regex", "valid_min", "valid_max",
+                 "valid_min_length", "valid_max_length", "uses_raw_view")
+
+
+def spec_param_fingerprint(spec: CheckSpec) -> str:
+    """Stable hash of a spec's evaluation parameters. A contract edit that
+    keeps a check's KEY but changes its rule produces a different
+    fingerprint, forcing revalidation of files whose manifest rows were
+    computed against the old rule."""
+    import hashlib
+
+    payload = {f: getattr(spec, f, None) for f in _PARAM_FIELDS}
+    payload["metric"] = spec.metric.value
+    return hashlib.md5(
+        json.dumps(payload, sort_keys=True, default=str).encode()
+    ).hexdigest()[:12]
 
 
 def _norm_uri(uri: str) -> str:
@@ -74,11 +96,14 @@ class FileVerdict:
     # errors instead of silently passing with 0
     unevaluated: List[str] = None
     lane: int = 1  # LANE_VERSION the row was written under
+    # spec key -> parameter fingerprint the metrics were computed under
+    params: Dict[str, str] = None
 
     def to_json(self) -> str:
         d = dict(self.__dict__)
-        if not d.get("unevaluated"):
-            d.pop("unevaluated", None)
+        for opt in ("unevaluated", "params"):
+            if not d.get(opt):
+                d.pop(opt, None)
         return json.dumps(d, default=str)
 
 
@@ -139,12 +164,19 @@ class IncrementalValidator:
         # folds as a partial sum over only later files (silent undercount)
         spec_keys = {s.key for s in specs
                      if s.metric is not MetricType.ROW_COUNT}
+        spec_fps = {s.key: spec_param_fingerprint(s) for s in specs}
 
         def _covers(v: FileVerdict) -> bool:
             if v.lane != LANE_VERSION:
                 return False  # older evaluation semantics: revalidate once
             have = set(v.metrics) | set(v.unevaluated or [])
-            return spec_keys <= have
+            if not (spec_keys <= have):
+                return False
+            # same key, edited rule (new enum set, different regex, moved
+            # bounds): the stored counts were computed against the OLD rule
+            stored = v.params or {}
+            return all(stored.get(k) == spec_fps[k]
+                       for k in spec_keys if k in v.metrics)
 
         todo = [f for f, (size, mtime) in current.items()
                 if f not in known
@@ -202,7 +234,8 @@ class IncrementalValidator:
                 new_verdicts.append(FileVerdict(
                     file=f, size=size, mtime=mtime, row_count=n,
                     metrics=metrics, validated_at=now,
-                    unevaluated=skipped or None, lane=LANE_VERSION))
+                    unevaluated=skipped or None, lane=LANE_VERSION,
+                    params={k: spec_fps[k] for k in metrics}))
             os.makedirs(self.checkpoint_dir, exist_ok=True)
             with open(self._manifest_path(model), "a", encoding="utf-8") as fh:
                 for v in new_verdicts:

@@ -80,11 +80,20 @@ def _baseline_literal(df: DataFrame, baseline: Dict[Any, float]) -> DataFrame:
     from a literal array of structs — no driver data shipping, and unlike
     ``create_map`` it tolerates a None key and mixed-type keys (stringified
     the same way the observed side is cast)."""
+    def _key_lit(k):
+        if k is None:
+            return F.lit(None).cast("string")
+        try:
+            # Spark's OWN string rendering (booleans "true"/"false", float
+            # formatting) so keys match the observed side's cast-to-string;
+            # Python str() renders "True" and some floats differently and
+            # would silently score every category as novel.
+            return F.lit(k).cast("string")
+        except Exception:
+            return F.lit(str(k))  # exotic key types keep the old behavior
+
     entries = [
-        F.struct(
-            (F.lit(None).cast("string") if k is None
-             else F.lit(str(k))).alias("k"),
-            F.lit(float(v)).alias("q"))
+        F.struct(_key_lit(k).alias("k"), F.lit(float(v)).alias("q"))
         for k, v in baseline.items()
     ]
     return df.sparkSession.range(1).select(

@@ -157,15 +157,67 @@ def schemaless_read(buf: io.BytesIO, schema: Any) -> Any:
     raise ValueError(f"unsupported Avro type: {t!r}")
 
 
+def _branch_matches(s: Any, value: Any, lenient: bool = False) -> bool:
+    """Does this union branch's Avro type accept this Python value?"""
+    t = s if isinstance(s, str) else s.get("type")
+    lt = s.get("logicalType") if isinstance(s, dict) else None
+    if value is None:
+        return t == "null"
+    if t == "null":
+        return False
+    if isinstance(value, bool):  # bool before int: bool is an int subclass
+        return t == "boolean"
+    if isinstance(value, datetime.datetime):
+        return t == "long" and (lt or "").startswith(("timestamp",
+                                                      "local-timestamp"))
+    if isinstance(value, datetime.date):
+        return t == "int" and lt == "date"
+    if isinstance(value, decimal.Decimal):
+        return t in ("bytes", "fixed") and lt == "decimal"
+    if isinstance(value, int):
+        if t in ("int", "long") and lt is None:
+            return True
+        return lenient and t in ("float", "double")
+    if isinstance(value, float):
+        return t in ("float", "double")
+    if isinstance(value, str):
+        if t == "string":
+            return True
+        return t == "enum" and value in s.get("symbols", ())
+    if isinstance(value, (bytes, bytearray)):
+        return t in ("bytes", "fixed") and lt != "decimal"
+    if isinstance(value, dict):
+        if t == "record":
+            # strict: field names must match exactly (disambiguates a
+            # union of record + map); lenient: any dict may be a record
+            return lenient or set(value) == {f["name"] for f in s["fields"]}
+        return t == "map"
+    if isinstance(value, (list, tuple)):
+        return t == "array"
+    return False
+
+
+def _union_branch(branches: List[Any], value: Any) -> int:
+    """Index of the union branch whose type matches the value — by
+    Python-type-to-Avro-type matching, not null-vs-non-null (a
+    ["null","int","string"] union must route "x" to the string branch,
+    never corrupt it under the first non-null branch)."""
+    for lenient in (False, True):
+        for i, s in enumerate(branches):
+            if _branch_matches(s, value, lenient):
+                return i
+    raise ValueError(
+        f"no union branch in {branches!r} accepts {type(value).__name__} "
+        f"value {value!r}")
+
+
 def schemaless_write(out: io.BytesIO, schema: Any, value: Any) -> None:
     """Encode one value (inverse of :func:`schemaless_read`; used for
     round-trip tests and synthetic topics)."""
     if isinstance(schema, str):
         t = schema
     elif isinstance(schema, list):
-        # pick the first matching branch: None -> "null", else first non-null
-        idx = next((i for i, s in enumerate(schema)
-                    if (s == "null") == (value is None)), 0)
+        idx = _union_branch(schema, value)
         _write_long(out, idx)
         schemaless_write(out, schema[idx], value)
         return

@@ -100,6 +100,21 @@ def test_file_api_forbids_other_files(live_editor):
     assert e.value.code == 403
 
 
+def test_rebinding_guard_on_editor_get_and_put(live_editor):
+    # ADVICE r4: a remote page using DNS rebinding sends a non-local Host —
+    # the file GET/PUT surface must refuse it
+    base, path = live_editor
+    before = path.read_text()
+    for method, data in (("GET", None), ("PUT", b"pwned: true\n")):
+        req = urllib.request.Request(base + "/api/files/contract.yaml",
+                                     method=method, data=data,
+                                     headers={"Host": "evil.example.com"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=10)
+        assert e.value.code == 403
+    assert path.read_text() == before  # the PUT never landed
+
+
 def test_health_and_config(live_editor):
     base, path = live_editor
     assert json.loads(_get(base + "/api/health")[1])["status"] == "ok"

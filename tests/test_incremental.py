@@ -266,3 +266,31 @@ def test_incremental_old_lane_rows_revalidate_once(spark, tmp_path):
     assert r2["folded"]["missing_v"] == r1["folded"]["missing_v"]
     r3 = iv.run(data, SPECS, "m")
     assert r3["new_files"] == []                     # and only once
+
+
+def test_incremental_edited_rule_revalidates_unchanged_files(spark, tmp_path):
+    # ADVICE r4: a contract that EDITS an existing check's rule without
+    # changing its key must revalidate fingerprint-unchanged files — their
+    # stored counts were computed against the OLD rule.
+    data = str(tmp_path / "data")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(spark, data, 0, 1000)  # v = id % 90, so values 0..89
+    iv = IncrementalValidator(spark, ckpt)
+
+    loose = [_spec("invalid_v", field="v", metric=MetricType.INVALID_COUNT,
+                   valid_max=89.0)]
+    r1 = iv.run(data, loose, "m")
+    assert r1["folded"]["invalid_v"] == 0
+
+    # same key, TIGHTENED bound: every file must re-scan under the new rule
+    tight = [_spec("invalid_v", field="v", metric=MetricType.INVALID_COUNT,
+                   valid_max=44.0)]
+    r2 = iv.run(data, tight, "m")
+    assert r2["new_files"]  # fingerprint-unchanged files revalidated anyway
+    assert r2["folded"]["invalid_v"] == 1000 // 90 * 45 + \
+        max(0, 1000 % 90 - 45)  # v in 45..89 fails
+
+    # unchanged rule on the next run -> nothing re-scanned
+    r3 = iv.run(data, tight, "m")
+    assert r3["new_files"] == []
+    assert r3["folded"]["invalid_v"] == r2["folded"]["invalid_v"]

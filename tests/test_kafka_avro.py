@@ -91,6 +91,30 @@ def test_logical_types_roundtrip():
     assert _roundtrip(dec, decimal.Decimal("-12.345")) == decimal.Decimal("-12.345")
 
 
+@pytest.mark.parametrize("value", [None, 42, "forty-two", True, 1.5,
+                                   b"\x01", [7], {"k": 9}])
+def test_multi_branch_union_routes_by_python_type(value):
+    # ADVICE r4: unions with several non-null branches must pick the branch
+    # whose TYPE matches the value, not the first non-null branch
+    schema = ["null", "boolean", "long", "double", "string", "bytes",
+              {"type": "array", "items": "long"},
+              {"type": "map", "values": "long"}]
+    assert _roundtrip(schema, value) == value
+
+
+def test_union_no_matching_branch_raises():
+    with pytest.raises(ValueError, match="no union branch"):
+        _roundtrip(["null", "long"], "not-a-long")
+
+
+def test_union_record_vs_map_disambiguation():
+    rec_schema = {"type": "record", "name": "r",
+                  "fields": [{"name": "x", "type": "long"}]}
+    schema = ["null", rec_schema, {"type": "map", "values": "long"}]
+    assert _roundtrip(schema, {"x": 5}) == {"x": 5}          # exact fields: record
+    assert _roundtrip(schema, {"y": 5, "z": 6}) == {"y": 5, "z": 6}  # map
+
+
 def test_record_with_union_and_nesting():
     schema = {"type": "record", "name": "r", "fields": [
         {"name": "a", "type": "long"},

@@ -115,6 +115,23 @@ def test_psi_df_none_and_mixed_key_baseline(spark):
         pytest.approx(scalar, abs=1e-9)
 
 
+def test_psi_df_boolean_baseline_keys_match_spark_rendering(spark):
+    # ADVICE r4: Python str(True)="True" vs Spark's cast-to-string "true" —
+    # boolean baseline keys must use Spark's rendering or every category
+    # silently scores as novel. Declarative lane == scalar lane on bools.
+    df = spark.createDataFrame([(True,)] * 70 + [(False,)] * 30, "k boolean")
+    base = {True: 0.5, False: 0.5}
+    scalar = drift.psi(df, "k", base)
+    assert scalar < 0.5  # sanity: nowhere near the all-novel blowup
+    assert drift.psi_df(df, "k", base, digits=9).collect()[0]["psi"] == \
+        pytest.approx(scalar, abs=1e-9)
+    # jsd on the MATCHING distribution must be ~0 — with mis-rendered keys
+    # every category would be novel and jsd would blow up toward ln(2)
+    same = spark.createDataFrame([(True,)] * 50 + [(False,)] * 50, "k boolean")
+    assert drift.jsd_df(same, "k", base, digits=9).collect()[0]["jsd"] == \
+        pytest.approx(0.0, abs=1e-9)
+
+
 def test_jsd_df_bounds_and_identity(spark):
     same = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "k string")
     assert drift.jsd_df(same, "k", {"a": 0.5, "b": 0.5}, digits=9) \
