@@ -156,7 +156,7 @@ def build_parser() -> argparse.ArgumentParser:
                      choices=["parquet", "orc", "csv", "json", "avro",
                               "jsonschema", "sql", "dbt", "bigquery", "unity",
                               "iceberg", "dbml", "protobuf", "powerbi", "excel",
-                              "odcs", "dcs", "spark",
+                              "odcs", "dcs", "spark", "s3", "gcs", "adls",
                               "great-expectations"])
     imp.add_argument("--source", required=True,
                      help="file or schema path; for --format spark a "
@@ -165,6 +165,14 @@ def build_parser() -> argparse.ArgumentParser:
     imp.add_argument("--name", default="model", help="model name for file imports")
     imp.add_argument("--dialect", default=None,
                      help="SQL dialect for --format sql (postgres, tsql, ...)")
+    imp.add_argument("--file-format", default=None,
+                     choices=["csv", "delta", "json", "parquet"],
+                     help="object format for --format s3|gcs|adls "
+                          "(default: from the location's suffix)")
+    imp.add_argument("--delimiter", default=None,
+                     help="CSV delimiter for --format s3|gcs|adls")
+    imp.add_argument("--endpoint-url", default=None,
+                     help="S3-compatible endpoint for --format s3|gcs|adls")
     imp.add_argument("--output", default=None, help="write contract YAML here (default stdout)")
     imp.add_argument("--master", default=None)
     return p
@@ -231,6 +239,12 @@ def main(argv: list[str] | None = None) -> int:
                     # live-session lane: --source names tables/views in the
                     # shared session (getOrCreate reuses an active one)
                     contract = importers.import_spark(spark, source=args.source)
+                elif args.format in ("s3", "gcs", "adls"):
+                    contract = importers.import_object_storage(
+                        spark, args.source, import_format=args.format,
+                        file_format=args.file_format,
+                        delimiter=args.delimiter,
+                        endpoint_url=args.endpoint_url)
                 else:
                     contract = importers.import_file(spark, args.source,
                                                      args.format, args.name)

@@ -902,3 +902,117 @@ def import_great_expectations(suite: Any, name: str = "model",
 
 def import_great_expectations_file(path: str, **kwargs) -> DataContract:
     return import_great_expectations(path, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# object-storage importer (reference imports/object_storage_importer.py:1-120)
+# ---------------------------------------------------------------------------
+
+# file formats an object-storage server can be tested against, by suffix
+_OBJ_FORMATS_BY_SUFFIX = {".json": "json", ".ndjson": "json", ".jsonl": "json",
+                          ".csv": "csv", ".parquet": "parquet"}
+_OBJ_SUPPORTED = ("csv", "delta", "json", "parquet")
+
+# the import format is what a user types; the server type is what goes into
+# the contract (ODCS calls ADLS `azure` and has no GCS type — GCS speaks the
+# S3 protocol through its interoperability endpoint, so a GCS import writes
+# an `s3` server pinned to that endpoint)
+_OBJ_SERVER_TYPES = {"s3": "s3", "gcs": "s3", "adls": "azure"}
+GCS_ENDPOINT_URL = "https://storage.googleapis.com"
+_OBJ_DEFAULT_ENDPOINTS = {"gcs": GCS_ENDPOINT_URL}
+
+_OBJ_EXAMPLES = {"s3": "s3://my-bucket/orders/*.json",
+                 "azure": "abfss://my-container/orders/*.json"}
+
+
+def normalize_object_location(location: Optional[str],
+                               import_format: str) -> Optional[str]:
+    """Rewrite a GCS location to the s3:// scheme the S3 reader expects."""
+    if location and import_format == "gcs":
+        for scheme in ("gs://", "gcs://"):
+            if location.startswith(scheme):
+                return "s3://" + location[len(scheme):]
+    return location
+
+
+def detect_object_format(location: str) -> Optional[str]:
+    """Format from the object suffix; delta has none, so it needs an
+    explicit file_format."""
+    m = re.search(r"(\.[A-Za-z0-9]+)(?:\?.*)?$", location)
+    return _OBJ_FORMATS_BY_SUFFIX.get(m.group(1).lower()) if m else None
+
+
+def object_schema_name(location: str) -> str:
+    """Name the schema after the object, or after the prefix when the last
+    path segment is a glob."""
+    segment = location.rstrip("/").rsplit("/", 1)[-1]
+    if "*" in segment or "?" in segment or not segment:
+        segment = (location.rstrip("/").rsplit("/", 2)[-2]
+                   if "/" in location.rstrip("/") else segment)
+    segment = re.sub(r"\.[A-Za-z0-9]+$", "", segment)
+    return re.sub(r"[^0-9A-Za-z_]+", "_", segment).strip("_") or "data"
+
+
+def import_object_storage(spark: SparkSession, location: Optional[str],
+                          import_format: str = "s3",
+                          file_format: Optional[str] = None,
+                          delimiter: Optional[str] = None,
+                          endpoint_url: Optional[str] = None,
+                          contract_id: Optional[str] = None) -> DataContract:
+    """Infer a contract by reflecting the file schemas at an object-storage
+    location (reference imports/object_storage_importer.py — there via a
+    DuckDB DESCRIBE; here via the same Spark reader ``test`` will later
+    verify with, so the import authenticates and types identically).
+
+    Local paths and ``file://`` URIs exercise the full lane offline; remote
+    schemes (``s3a://``, ``abfss://``) additionally need the connector jars
+    on the classpath — same env gate as the delta/iceberg sources."""
+    from datacontract_cli_spark.model.contract import Server
+
+    server_type = _OBJ_SERVER_TYPES[import_format]
+    if not location:
+        raise ValueError(
+            f"the location is required for the {import_format} import, "
+            f"e.g. --source {_OBJ_EXAMPLES[server_type]}")
+    location = normalize_object_location(location, import_format)
+    fmt = (file_format or detect_object_format(location) or "").lower()
+    if fmt not in _OBJ_SUPPORTED:
+        raise ValueError(
+            f"could not tell the format of {location!r}; pass --file-format "
+            f"with one of: {', '.join(_OBJ_SUPPORTED)}")
+    endpoint_url = endpoint_url or _OBJ_DEFAULT_ENDPOINTS.get(import_format)
+
+    # reflect through the Spark reader (s3:// rides Hadoop's s3a connector)
+    read_location = re.sub(r"^s3://", "s3a://", location)
+    if fmt == "parquet":
+        df = spark.read.parquet(read_location)
+    elif fmt == "csv":
+        reader = spark.read.option("header", "true") \
+            .option("inferSchema", "true")
+        if delimiter:
+            reader = reader.option("sep", delimiter)
+        df = reader.csv(read_location)
+    elif fmt == "json":
+        df = spark.read.json(read_location)
+    else:  # delta (jar-gated, same as sources/readers.py's delta switch)
+        df = spark.read.format("delta").load(read_location)
+    if not df.schema.fields:
+        raise ValueError(f"no columns found at {location!r}")
+
+    options: Dict[str, Any] = {}
+    if delimiter:
+        options["delimiter"] = delimiter
+    if endpoint_url:
+        options["endpointUrl"] = endpoint_url
+    name = object_schema_name(location)
+    props = [spark_type_to_property(f.name, f.dataType)
+             for f in df.schema.fields]
+    for prop, field in zip(props, df.schema.fields):
+        prop.required = not field.nullable
+    return DataContract(
+        id=contract_id or name,
+        version="0.0.1",
+        schema_objects=[SchemaObject(name=name, properties=props)],
+        servers=[Server(server="production", type=server_type, format=fmt,
+                        location=location, options=options)],
+    )

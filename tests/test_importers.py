@@ -234,3 +234,88 @@ def test_great_expectations_unknown_type_preserved():
     assert any(e["type"] == "expect_column_values_to_be_of_type"
                and e["kwargs"].get("type_") == "MapType"
                for e in exported["expectations"])
+
+
+# --- object-storage importer (reference imports/object_storage_importer.py) --
+
+def _write_obj_fixture(spark, base):
+    df = spark.createDataFrame(
+        [(1, "open", 10.5), (2, "closed", None)],
+        "id long, status string, amount double")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{base}/orders_parquet")
+    df.coalesce(1).write.mode("overwrite").option("header", "true") \
+        .csv(f"{base}/orders_csv")
+    return df
+
+
+def test_import_object_storage_local_parquet_glob(spark, tmp_path):
+    from datacontract_cli_spark.sources.importers import import_object_storage
+    _write_obj_fixture(spark, str(tmp_path))
+    c = import_object_storage(
+        spark, f"{tmp_path}/orders_parquet/*.parquet", import_format="s3")
+    assert c.servers[0].type == "s3"
+    assert c.servers[0].format == "parquet"
+    # glob segment -> schema named after the prefix directory
+    assert c.schema_objects[0].name == "orders_parquet"
+    props = {p.name: p for p in c.schema_objects[0].properties}
+    assert set(props) == {"id", "status", "amount"}
+    assert props["id"].logical_type == "integer"
+    assert props["amount"].logical_type == "number"
+
+
+def test_import_object_storage_gcs_normalizes_to_s3_endpoint(spark, tmp_path):
+    # GCS speaks the S3 protocol through its interoperability endpoint: the
+    # contract gets an s3 server pinned to storage.googleapis.com, and the
+    # gs:// scheme is rewritten to s3:// (reference SERVER_TYPES /
+    # DEFAULT_ENDPOINT_URLS). Location normalization is pure — test it
+    # without touching the network.
+    from datacontract_cli_spark.sources.importers import (
+        GCS_ENDPOINT_URL,
+        detect_object_format,
+        normalize_object_location,
+        object_schema_name,
+    )
+    assert normalize_object_location("gs://b/orders/*.json", "gcs") == \
+        "s3://b/orders/*.json"
+    assert normalize_object_location("gcs://b/x.csv", "gcs") == "s3://b/x.csv"
+    assert normalize_object_location("s3://b/x.csv", "s3") == "s3://b/x.csv"
+    assert detect_object_format("s3://b/part-0.ndjson?sig=x") == "json"
+    assert detect_object_format("s3://b/table") is None
+    assert object_schema_name("s3://b/orders/*.parquet") == "orders"
+    assert object_schema_name("abfss://c/dir/events.v2.csv") == "events_v2"
+    # endpoint default lands in the server options for gcs imports
+    from datacontract_cli_spark.sources.importers import import_object_storage
+    _write_obj_fixture(spark, str(tmp_path))
+    # local-path variant of a gcs import keeps the endpoint semantics
+    c = import_object_storage(spark, f"{tmp_path}/orders_csv/*.csv",
+                              import_format="gcs", delimiter=",")
+    assert c.servers[0].type == "s3"
+    assert c.servers[0].options["endpointUrl"] == GCS_ENDPOINT_URL
+    assert c.servers[0].options["delimiter"] == ","
+    assert c.servers[0].format == "csv"
+
+
+def test_import_object_storage_errors(spark, tmp_path):
+    import pytest as _pytest
+    from datacontract_cli_spark.sources.importers import import_object_storage
+    with _pytest.raises(ValueError, match="location is required"):
+        import_object_storage(spark, None, import_format="s3")
+    with _pytest.raises(ValueError, match="file-format"):
+        import_object_storage(spark, f"{tmp_path}/x.unknown", import_format="s3")
+
+
+def test_cli_import_s3_local_path(spark, tmp_path, capsys):
+    # the CLI lane end-to-end over a local directory: reference-shaped
+    # ODCS YAML with the server block on stdout
+    import yaml
+
+    from datacontract_cli_spark.cli import main
+    _write_obj_fixture(spark, str(tmp_path))
+    rc = main(["import", "--format", "s3",
+               "--source", f"{tmp_path}/orders_parquet/*.parquet"])
+    assert rc == 0
+    doc = yaml.safe_load(capsys.readouterr().out)
+    assert doc["servers"][0]["type"] == "s3"
+    assert doc["servers"][0]["format"] == "parquet"
+    names = [p["name"] for p in doc["schema"][0]["properties"]]
+    assert names == ["id", "status", "amount"]
