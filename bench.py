@@ -118,6 +118,21 @@ def main() -> None:
     spark.range(1000).count()
     spark.range(int(cpus) * 4, numPartitions=int(cpus)) \
         .mapInPandas(lambda it: it, "id long").count()
+    # higher-order-function codegen paths (transform/aggregate/slice/
+    # array_join + explode + broadcast semi-join) JIT on first use — ~3s
+    # one-time cost that would otherwise land entirely on whichever gram
+    # query runs first (measured: contamination 4.0s fresh vs 1.2s warm,
+    # all execution variants identical once JIT'd)
+    from pyspark.sql import functions as _F
+
+    from datacontract_cli_spark.operators.contamination import word_ngrams
+    tiny = spark.range(64).select(
+        _F.col("id"), _F.concat_ws(" ", *([_F.lit("w")] * 8)).alias("text"))
+    tiny_grams = tiny.select(
+        "id", _F.explode(_F.array_distinct(
+            word_ngrams(_F.col("text"), 5))).alias("gram"))
+    tiny_grams.join(_F.broadcast(tiny_grams.select("gram").distinct()),
+                    "gram", "left_semi").count()
     for t in ("lineitem", "orders", "customer", "events", "documents",
               "embeddings", "nation"):
         try:
