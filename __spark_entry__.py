@@ -903,6 +903,34 @@ def _q_hash_split(spark, sf):
     )
 
 
+def _q_gopher_quality(spark, sf):
+    """Gopher-style quality rules (word-count bounds, mean-word-length
+    bounds, alpha-word fraction) aggregated to per-rule failure counts.
+    Thresholds tuned so each rule binds on the synthetic corpus."""
+    from datacontract_cli_spark.operators.textstats import gopher_quality
+
+    docs = _t(spark, sf, "documents")
+    flags = gopher_quality(docs, min_words=30, max_words=80,
+                           min_mean_word_len=4.0, max_mean_word_len=5.0,
+                           min_alpha_word_frac=0.8)
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(~F.col("ok_word_count"), 1)).alias("fail_word_count"),
+        F.count(F.when(~F.col("ok_mean_word_len"), 1)).alias("fail_mean_word_len"),
+        F.count(F.when(~F.col("ok_alpha_words"), 1)).alias("fail_alpha_words"),
+        F.count(F.when(F.col("keep"), 1)).alias("kept"),
+    )
+
+
+def _q_top_ngrams(spark, sf):
+    """Corpus-wide most-frequent 5-grams (dedup-analysis view): distributed
+    top-k via TakeOrderedAndProject, (occurrences DESC, gram ASC) order."""
+    from datacontract_cli_spark.operators.contamination import top_ngrams
+
+    docs = _t(spark, sf, "documents")
+    return top_ngrams(docs, n=5, k=15)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate tests only the FIRST 50
     # entries.  Everything that has never been driver-green (or failed last
@@ -919,6 +947,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_violations": _q_sequence_violations,
         "pii_scan_customer": _q_pii_scan_customer,
         "pii_scrub_customer": _q_pii_scrub_customer,
+        # --- new in round 5
+        "gopher_quality": _q_gopher_quality,
+        "top_ngrams": _q_top_ngrams,
         # --- green in r03 but pushed past the cap in r04
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
@@ -954,8 +985,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "lm_quality_score": _q_lm_quality_score,
         "benchmark_contamination": _q_benchmark_contamination,
-        "lang_freq": _q_lang_freq,
-        "text_quality_filter": _q_text_quality,
         "cosine_topk": _q_cosine_topk,
         "minhash_near_dups": _q_minhash_near_dups,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
@@ -964,6 +993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "winnow_dups": _q_winnow_dups,
         # ---------------- position 51+: multi-round driver-green, rotated out
+        "lang_freq": _q_lang_freq,
+        "text_quality_filter": _q_text_quality,
         "invalid_count_enum": _q_invalid_enum,
         "invalid_count_range": _q_invalid_range,
         "invalid_count_regex": _q_invalid_regex,
@@ -1118,6 +1149,40 @@ def oracle_sql() -> dict[str, str]:
             r"len(regexp_extract_all(scrubbed, "
             r"'\b\d{2,3}[-. ]\d{3}[-. ]\d{3,4}(?:[-. ]\d{4})?\b'))) AS BIGINT) "
             r"AS residual_matches FROM s"
+        ),
+        "gopher_quality": (
+            # identical rule math: words = non-empty \s+ splits; mean word
+            # length and alpha-word fraction as double divisions. count(*)
+            # FILTER keeps every count BIGINT (never HUGEINT).
+            r"WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            r"text, '\s+'), x -> x <> '') AS words FROM documents), "
+            r"s AS (SELECT doc_id, len(words) AS n_words, "
+            r"CASE WHEN len(words) > 0 THEN CAST(list_sum(list_transform("
+            r"words, x -> len(x))) AS DOUBLE) / len(words) ELSE 0.0 END AS mwl, "
+            r"CASE WHEN len(words) > 0 THEN CAST(len(list_filter(words, "
+            r"x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(words) "
+            r"ELSE 0.0 END AS af FROM w), "
+            r"f AS (SELECT n_words BETWEEN 30 AND 80 AS ok_wc, "
+            r"mwl >= 4.0 AND mwl <= 5.0 AS ok_mwl, af >= 0.8 AS ok_af FROM s) "
+            r"SELECT count(*) AS n_docs, "
+            r"count(*) FILTER (WHERE NOT ok_wc) AS fail_word_count, "
+            r"count(*) FILTER (WHERE NOT ok_mwl) AS fail_mean_word_len, "
+            r"count(*) FILTER (WHERE NOT ok_af) AS fail_alpha_words, "
+            r"count(*) FILTER (WHERE ok_wc AND ok_mwl AND ok_af) AS kept "
+            r"FROM f"
+        ),
+        "top_ngrams": (
+            # same gram construction as benchmark_contamination (5-word
+            # grams of the lowercased \s+ split), WITHOUT per-doc dedup —
+            # occurrences count every gram instance
+            r"WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), "
+            r"'\s+') AS words FROM documents), "
+            r"g AS (SELECT doc_id, unnest(list_transform("
+            r"generate_series(1, greatest(len(words) - 4, 0)), "
+            r"i -> array_to_string(words[i:i+4], ' '))) AS gram FROM w) "
+            r"SELECT gram, count(*) AS n_occurrences, "
+            r"count(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram "
+            r"ORDER BY n_occurrences DESC, gram ASC LIMIT 15"
         ),
         "benchmark_contamination": (
             r"WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), "

@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "cohort_retention",
     "fd_violations",
+    # round-5 additions
+    "gopher_quality",
+    "top_ngrams",
 ]
 
 TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "1000000"))

@@ -77,3 +77,26 @@ def contamination_stats(corpus: DataFrame, benchmark: DataFrame,
         F.lit(total).alias("total_docs"),
         F.round(F.count(F.lit(1)) / F.lit(float(total)), 6)
         .alias("contamination_rate"))
+
+
+def top_ngrams(corpus: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", n: int = 5, k: int = 20,
+               hash_grams: bool = False) -> DataFrame:
+    """The k most frequent word n-grams across the corpus:
+    (gram, n_occurrences, n_docs), ordered by (n_occurrences DESC,
+    gram ASC) — the deduplication-analysis view (which boilerplate
+    phrases dominate the corpus, what would an exact-substring dedup
+    target first).
+
+    Plan: narrow gram explode (shuffle carries (id, gram) pairs only) →
+    per-gram two-phase aggregate with a partial-distinct doc count →
+    ``orderBy().limit(k)`` plans TakeOrderedAndProject — per-partition
+    top-k heaps, so a trillion-gram crawl never funnels one partition.
+    ``hash_grams`` is pointless here (the gram TEXT is the answer)."""
+    grams = corpus.select(F.col(id_col).alias("id"),
+                          F.explode(word_ngrams(F.col(text_col), n))
+                          .alias("gram"))
+    counts = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct(F.col("id")).alias("n_docs"))
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("gram")).limit(k)

@@ -210,3 +210,49 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
             .select(id_col, "term", "tf",
                     F.round("tfidf", 6).alias("tfidf"),
                     F.col("__r__").alias("rank")))
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   min_alpha_word_frac: float = 0.8) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1) as
+    per-document flag columns: word-count bounds, mean-word-length bounds,
+    and the fraction-of-words-with-an-alphabetic-character rule. The
+    remaining Gopher rules either need line structure (bullet/ellipsis
+    ratios) or a stopword list (:func:`stopword_ratio` covers that lane).
+
+    Appends n_words / mean_word_len / alpha_word_frac and one boolean per
+    rule plus the conjunction ``keep``. Pure Column math — one scan, no
+    shuffle, no Python; thresholds are parameters because the paper's
+    defaults target full web pages, not snippets.
+
+    At 100 TB this composes with :func:`pipeline.curate_corpus`'s quality
+    stage: the flags are narrow per-row expressions, so the filter pushes
+    into the scan stage and drops documents before anything shuffles."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    # bind `words` once via the fold (per-element lambdas re-evaluate
+    # inlined expressions — catalyst trap #1)
+    char_total = F.aggregate(words, F.lit(0),
+                             lambda acc, w: acc + F.length(w))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    mean_len = F.when(n_words > 0,
+                      char_total.cast("double") / n_words).otherwise(F.lit(0.0))
+    alpha_frac = F.when(n_words > 0,
+                        n_alpha.cast("double") / n_words).otherwise(F.lit(0.0))
+    out = (df.withColumn("n_words", n_words)
+             .withColumn("mean_word_len", mean_len)
+             .withColumn("alpha_word_frac", alpha_frac)
+             .withColumn("ok_word_count",
+                         (F.col("n_words") >= min_words)
+                         & (F.col("n_words") <= max_words))
+             .withColumn("ok_mean_word_len",
+                         (F.col("mean_word_len") >= min_mean_word_len)
+                         & (F.col("mean_word_len") <= max_mean_word_len))
+             .withColumn("ok_alpha_words",
+                         F.col("alpha_word_frac") >= min_alpha_word_frac))
+    return out.withColumn("keep", F.col("ok_word_count")
+                          & F.col("ok_mean_word_len")
+                          & F.col("ok_alpha_words"))

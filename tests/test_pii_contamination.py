@@ -118,3 +118,63 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     plan = contaminated_docs(corpus, bench, n=5, hash_grams=True) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+# --- corpus-wide top n-grams (dedup-analysis lane) ---------------------------
+
+def test_top_ngrams_hand_computed(spark):
+    from datacontract_cli_spark.operators.contamination import top_ngrams
+    docs = spark.createDataFrame([
+        (1, "a b c a b c"),     # grams: "a b c","b c a","c a b","a b c"
+        (2, "a b c x y"),       # grams: "a b c","b c x","c x y"
+        (3, "zz"),              # too short: no grams
+    ], "doc_id long, text string")
+    rows = top_ngrams(docs, n=3, k=2).collect()
+    assert [(r["gram"], r["n_occurrences"], r["n_docs"]) for r in rows] == [
+        ("a b c", 3, 2),   # twice in doc 1, once in doc 2
+        ("b c a", 1, 1),   # ties broken by gram ASC
+    ]
+
+
+def test_top_ngrams_plan_is_distributed_topk(spark):
+    from datacontract_cli_spark.operators.contamination import top_ngrams
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    plan = top_ngrams(docs, n=2, k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+# --- gopher quality rules ----------------------------------------------------
+
+def test_gopher_quality_hand_computed(spark):
+    from datacontract_cli_spark.operators.textstats import gopher_quality
+    docs = spark.createDataFrame([
+        (1, "alpha beta gamma delta"),   # 4 words, mwl=(5+4+5+5)/4=4.75
+        (2, "aa bb"),                    # 2 words: fails min_words
+        (3, "lengthy vocabulary words here now"),  # mwl 6.0: fails max_mwl
+        (4, "12 34 56 78"),              # alpha_frac 0: fails alpha rule
+    ], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in gopher_quality(
+        docs, min_words=3, max_words=10,
+        min_mean_word_len=2.0, max_mean_word_len=5.5,
+        min_alpha_word_frac=0.5).collect()}
+    assert rows[1]["n_words"] == 4
+    assert rows[1]["mean_word_len"] == pytest.approx(4.75)
+    assert rows[1]["alpha_word_frac"] == 1.0
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False and rows[2]["ok_word_count"] is False
+    assert rows[3]["keep"] is False and rows[3]["ok_mean_word_len"] is False
+    assert rows[4]["keep"] is False and rows[4]["ok_alpha_words"] is False
+    # every rule evaluated independently: doc 4 still passes word count
+    assert rows[4]["ok_word_count"] is True
+
+
+def test_gopher_quality_empty_text_safe(spark):
+    from datacontract_cli_spark.operators.textstats import gopher_quality
+    docs = spark.createDataFrame([(1, ""), (2, "   ")],
+                                 "doc_id long, text string")
+    rows = gopher_quality(docs, min_words=1).collect()
+    for r in rows:
+        assert r["n_words"] == 0 and r["keep"] is False
+        assert r["mean_word_len"] == 0.0 and r["alpha_word_frac"] == 0.0
