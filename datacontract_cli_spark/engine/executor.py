@@ -28,6 +28,7 @@ driver.
 from __future__ import annotations
 
 import datetime as dt
+import json
 import logging
 import math
 from typing import Any, Dict, List, Optional, Tuple
@@ -523,6 +524,11 @@ class SparkContractEngine:
                              else F.min if spec.metric is MetricType.RETENTION
                              else F.sum)
         dup_alias = "__dc_dup__"
+        kind_alias = "__dc_kind__"
+        skey_alias = "__dc_skey__"
+        sdup_alias = "__dc_sdup__"
+        sample_keys = (self._drop_sensitive(resolved, obj)
+                       if self.include_failed_samples else [])
         try:
             grouped = df.groupBy(*[F.col(c) for c in resolved]).agg(*exprs)
             # an EMPTY table leaves the final fold with NULL sums (unlike a
@@ -535,7 +541,38 @@ class SparkContractEngine:
             finals.append(F.coalesce(
                 F.sum(F.when(F.col(_ROW_COUNT_ALIAS) > 1, 1).otherwise(0)),
                 F.lit(0)).alias(dup_alias))
-            row = grouped.agg(*finals).collect()[0].asDict()
+            combined = (grouped.agg(*finals)
+                        .withColumn(kind_alias, F.lit("fold")))
+            if sample_keys:
+                # ride the duplicate SAMPLES on the same query: both
+                # branches consume the identical grouped subtree, so the
+                # physical planner shares the wide shuffle via
+                # ReusedExchange — the table is scanned and shuffled ONCE
+                # for metrics + dup count + samples (a failing uniqueness
+                # check previously paid a second full scan+shuffle just to
+                # fetch its 5 sample keys). The non-key aggregate columns
+                # are deliberately kept alive above the limit: dropping
+                # them lets column pruning diverge this branch's scan from
+                # the fold branch's and the exchange is no longer reused.
+                extras = [F.col(a) for a in refold if a != _ROW_COUNT_ALIAS]
+                samples_branch = (
+                    grouped.filter(F.col(_ROW_COUNT_ALIAS) > 1)
+                    .orderBy(*[F.col(c) for c in resolved])
+                    .limit(self.sample_limit)
+                    .select(
+                        F.to_json(F.struct(
+                            *[F.col(c) for c in sample_keys])).alias(skey_alias),
+                        F.col(_ROW_COUNT_ALIAS).alias(sdup_alias),
+                        *extras,
+                        F.lit("dup").alias(kind_alias),
+                    )
+                )
+                combined = combined.unionByName(samples_branch,
+                                                allowMissingColumns=True)
+            collected = combined.collect()
+            row = next(r for r in collected
+                       if r[kind_alias] == "fold").asDict()
+            dup_samples = [r for r in collected if r[kind_alias] == "dup"]
         except Exception as e:  # noqa: BLE001
             logger.warning("merged agg+duplicates job failed (%s); "
                            "falling back to separate jobs", e)
@@ -553,7 +590,22 @@ class SparkContractEngine:
         check = run.check(lead.key)
         if (self.include_failed_samples and check is not None
                 and check.result in (ResultEnum.failed, ResultEnum.warning)):
-            self._collect_duplicate_samples(run, lead, df, resolved, obj)
+            if sample_keys:
+                # TakeOrdered emits one sorted partition; collect preserves
+                # intra-partition order, so the rows are already in stable
+                # (key-ascending) order
+                rows = []
+                for r in dup_samples:
+                    rec = json.loads(r[skey_alias])
+                    # to_json omits NULL struct fields — restore them, in
+                    # key order, so the record shape matches the dedicated
+                    # sample path
+                    full = {c: rec.get(c) for c in sample_keys}
+                    full["duplicate_count"] = r[sdup_alias]
+                    rows.append(self._json_safe(full))
+                check.failedSamples = rows
+            else:
+                self._collect_duplicate_samples(run, lead, df, resolved, obj)
         for spec in dup_specs[1:]:
             self._check_duplicates(run, spec, df, obj)
 
@@ -618,9 +670,71 @@ class SparkContractEngine:
                     and spec.key in sample_conds):
                 failed_sample_keys.append(spec)
 
+        if len(failed_sample_keys) > 1:
+            try:
+                self._collect_samples_batch(
+                    run, [(s, sample_conds[s.key]) for s in failed_sample_keys],
+                    df, obj)
+                return
+            except Exception as e:  # noqa: BLE001
+                logger.warning("batched sample collection failed (%s); "
+                               "isolating per-check", e)
         for spec in failed_sample_keys:
             column, cond = sample_conds[spec.key]
             self._collect_samples(run, spec, df, cond, column, obj)
+
+    def _collect_samples_batch(self, run: Run,
+                               specs_conds: List[Tuple[CheckSpec, Any]],
+                               df: DataFrame,
+                               obj: Optional[SchemaObject]) -> None:
+        """Violation samples for EVERY failed check in one Spark job.
+
+        Each check's filter + orderBy + limit becomes a tagged union branch
+        (planned as its own TakeOrderedAndProject), so a validation with k
+        failed checks pays one job-submission round-trip instead of k — on
+        a busy cluster the per-job latency dominates these tiny bounded
+        reads. Branch rows arrive in branch order with each branch's sort
+        order intact, so per-check sample ordering stays stable."""
+        ids = self._identifier_columns(df, obj)
+        order = ids if ids else None
+        branches = []
+        tagged: Dict[str, List[Dict[str, Any]]] = {}
+        cols_by_key: Dict[str, List[str]] = {}
+        for spec, (column, cond) in specs_conds:
+            cols: List[str] = []
+            for c in ids + [column]:
+                if c not in cols:
+                    cols.append(c)
+            cols = self._drop_sensitive(cols, obj)
+            if not cols:
+                continue
+            tagged[spec.key] = []
+            cols_by_key[spec.key] = cols
+            branches.append(
+                df.filter(cond)
+                .orderBy(*[F.col(c) for c in (order or [column])])
+                .limit(self.sample_limit)
+                .select(F.lit(spec.key).alias("__dc_tag__"),
+                        F.to_json(F.struct(
+                            *[F.col(c) for c in cols])).alias("__dc_rec__"))
+            )
+        if not branches:
+            return
+        combined = branches[0]
+        for b in branches[1:]:
+            combined = combined.unionByName(b)
+        for r in combined.collect():
+            rec = json.loads(r["__dc_rec__"])
+            # to_json omits NULL fields; restore them (a missing-value
+            # sample's violating column IS null) so the record shape matches
+            # the per-check path
+            for c in cols_by_key[r["__dc_tag__"]]:
+                rec.setdefault(c, None)
+            tagged[r["__dc_tag__"]].append(self._json_safe(rec))
+        for spec, _ in specs_conds:
+            check = run.check(spec.key)
+            if check is not None and spec.key in tagged:
+                check.failedSamples = tagged[spec.key]
 
     # ------------------------------------------------------------------
     # dedicated jobs

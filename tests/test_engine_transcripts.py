@@ -95,3 +95,66 @@ def test_bad_row_filter_errors_not_fails(spark, contract):
 def test_missing_model_errors(spark, contract):
     run = SparkContractEngine(spark).test(contract, tables={"other": synthesize_transcripts(spark, 2, 2)})
     assert all(c.result is ResultEnum.error for c in run.checks if c.model == "transcripts")
+
+
+def test_merged_dup_samples_match_direct_query(spark, contract):
+    """The dup samples riding the merged union query (executor.py
+    _run_agg_with_duplicates samples_branch) must equal the dedicated
+    groupBy/filter/orderBy/limit query they replaced."""
+    from pyspark.sql import functions as F
+
+    df = synthesize_transcripts(spark, n_convs=150, turns_per_conv=6,
+                                defect_rate=0.25)
+    engine = SparkContractEngine(spark, include_failed_samples=True)
+    run = engine.test(contract, tables={"transcripts": df})
+    pk = run.check("transcripts__primary_key_unique")
+    assert pk.result is ResultEnum.failed
+
+    expected = [
+        {**r.asDict()}
+        for r in (df.groupBy("conv_id", "turn_idx")
+                  .agg(F.count(F.lit(1)).alias("duplicate_count"))
+                  .filter(F.col("duplicate_count") > 1)
+                  .orderBy("conv_id", "turn_idx")
+                  .limit(5)
+                  .collect())
+    ]
+    assert pk.failedSamples == expected
+
+
+def test_batched_violation_samples_match_per_check_query(spark, contract):
+    """Several failed checks' samples collected in ONE union job must equal
+    each check's dedicated filter/orderBy/limit result, including NULL
+    violating columns (to_json drops null fields; the engine restores
+    them)."""
+    from pyspark.sql import functions as F
+
+    df = synthesize_transcripts(spark, n_convs=150, turns_per_conv=6,
+                                defect_rate=0.25)
+    engine = SparkContractEngine(spark, include_failed_samples=True)
+    run = engine.test(contract, tables={"transcripts": df})
+
+    required = run.check("transcripts__role__field_required")
+    assert required.result is ResultEnum.failed
+    expected_required = [
+        r.asDict()
+        for r in (df.filter(F.col("role").isNull())
+                  .select("conv_id", "turn_idx", "role")
+                  .orderBy("conv_id", "turn_idx")
+                  .limit(5).collect())
+    ]
+    assert required.failedSamples == expected_required
+    assert all("role" in s and s["role"] is None
+               for s in required.failedSamples)
+
+    regex = run.check("transcripts__conv_id__field_regex")
+    assert regex.result is ResultEnum.failed
+    expected_regex = [
+        r.asDict()
+        for r in (df.filter(F.col("conv_id").isNotNull()
+                            & ~F.col("conv_id").rlike("^conv-[0-9]{10}$"))
+                  .select("conv_id", "turn_idx")
+                  .orderBy("conv_id", "turn_idx")
+                  .limit(5).collect())
+    ]
+    assert regex.failedSamples == expected_regex
