@@ -931,6 +931,45 @@ def _q_top_ngrams(spark, sf):
     return top_ngrams(docs, n=5, k=15)
 
 
+def _q_key_skew_report(spark, sf):
+    """Heavy-hitter / key-skew diagnostic on the events stream key: top-10
+    user_ids with share-of-rows and ratio-to-mean-key-size. The 'seeing'
+    half of the north rule's explicit skew handling."""
+    from datacontract_cli_spark.operators.skew import key_skew_report
+
+    return key_skew_report(_t(spark, sf, "events"), ["user_id"], top_k=10)
+
+
+def _q_mad_outliers(spark, sf):
+    """Robust (median/MAD) outlier count on events.value — exact
+    interpolated percentiles so the DuckDB quantile_cont oracle matches
+    bit-for-bit; production passes approx=True (t-digest sketch)."""
+    from datacontract_cli_spark.operators.anomaly import mad_outliers
+
+    return mad_outliers(_t(spark, sf, "events"), "value", z=3.5)
+
+
+def _q_props_json_stats(spark, sf):
+    """Per-event-type profile of the embedded JSON props column: JVM-side
+    get_json_object extraction (no Python), parse-failure counting,
+    min/avg/max of $.k."""
+    from datacontract_cli_spark.operators.semistructured import json_field_stats
+
+    return json_field_stats(_t(spark, sf, "events"), "props", "k",
+                            group_by=["event_type"])
+
+
+def _q_dsir_weights(spark, sf):
+    """DSIR importance ranking (Xie et al. 2023): top-20 documents most
+    like the lang='en' target under hashed unigram LMs; md5 bucket family
+    so the oracle reproduces bucket ids (production: xxhash64)."""
+    from datacontract_cli_spark.operators.dsir import dsir_importance
+
+    docs = _t(spark, sf, "documents")
+    return dsir_importance(docs, F.col("lang") == "en",
+                           n_buckets=4096, smoothing=0.5, top_k=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate tests only the FIRST 50
     # entries.  Everything that has never been driver-green (or failed last
@@ -950,6 +989,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 5
         "gopher_quality": _q_gopher_quality,
         "top_ngrams": _q_top_ngrams,
+        "key_skew_report": _q_key_skew_report,
+        "mad_outliers": _q_mad_outliers,
+        "props_json_stats": _q_props_json_stats,
+        "dsir_weights": _q_dsir_weights,
         # --- green in r03 but pushed past the cap in r04
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
@@ -976,9 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- analytics / joins
         "window_top3_per_customer": _q_window_top3,
         "tpch_q1": _q_tpch_q1,
-        "join_revenue_by_nation": _q_join_revenue_by_nation,
         "topk_parts": _q_topk_parts,
-        "sessionization": _q_sessionization,
         # --- LLM-data-pipeline lanes
         "dedup_exact": _q_dedup_exact,
         "dedup_keep_first": _q_dedup_keep_first,
@@ -990,9 +1031,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "embedding_near_dups": _q_embedding_near_dups,
+        # ---------------- position 51+: multi-round driver-green, rotated out
         "bpe_token_stats": _q_bpe_token_stats,
         "winnow_dups": _q_winnow_dups,
-        # ---------------- position 51+: multi-round driver-green, rotated out
+        "join_revenue_by_nation": _q_join_revenue_by_nation,
+        "sessionization": _q_sessionization,
         "lang_freq": _q_lang_freq,
         "text_quality_filter": _q_text_quality,
         "invalid_count_enum": _q_invalid_enum,
@@ -1183,6 +1226,70 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT gram, count(*) AS n_occurrences, "
             r"count(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram "
             r"ORDER BY n_occurrences DESC, gram ASC LIMIT 15"
+        ),
+        "key_skew_report": (
+            # integer divisions cast to DOUBLE on both sides; counts cast
+            # to BIGINT (DuckDB sum/count stay BIGINT here, but the share
+            # math must not go int/int)
+            "WITH c AS (SELECT user_id, count(*) AS n_rows FROM events "
+            "GROUP BY 1), "
+            "t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total, "
+            "count(*) AS n_keys FROM c) "
+            "SELECT user_id, CAST(n_rows AS BIGINT) AS n_rows, "
+            "round(n_rows / CAST(total AS DOUBLE), 6) AS share, "
+            "round(n_rows * n_keys / CAST(total AS DOUBLE), 4) AS skew_ratio "
+            "FROM c CROSS JOIN t ORDER BY n_rows DESC, user_id LIMIT 10"
+        ),
+        "mad_outliers": (
+            # quantile_cont = Spark's exact interpolated percentile; the
+            # median/MAD are computed from the same doubles so the outlier
+            # comparison is bit-identical
+            "WITH v AS (SELECT value AS x FROM events WHERE value IS NOT NULL), "
+            "m AS (SELECT quantile_cont(x, 0.5) AS med FROM v), "
+            "d AS (SELECT quantile_cont(abs(x - med), 0.5) AS mad, "
+            "first(med) AS med FROM v CROSS JOIN m) "
+            "SELECT round(first(med), 6) AS median, "
+            "round(first(mad), 6) AS mad, "
+            "CAST(sum(CASE WHEN abs(x - med) > 3.5 * 1.4826 * mad "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers, "
+            "round(sum(CASE WHEN abs(x - med) > 3.5 * 1.4826 * mad "
+            "THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) "
+            "AS outlier_fraction FROM v CROSS JOIN d"
+        ),
+        "props_json_stats": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') "
+            "AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unparsed, "
+            "min(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "AS min_value, "
+            "round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) "
+            "AS avg_value, "
+            "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+            "AS max_value "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "dsir_weights": (
+            # md5 bucket family shared bit-for-bit with the Spark kernel;
+            # smoothing 0.5, 4096 buckets -> +2048.0 in the denominators
+            r"WITH toks AS (SELECT doc_id, "
+            r"CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_target, "
+            r"unnest(string_split(trim(regexp_replace(lower(text), "
+            r"'\s+', ' ', 'g')), ' ')) AS w FROM documents), "
+            r"f AS (SELECT doc_id, is_target, "
+            r"('0x' || substring(md5(w), 1, 6))::BIGINT % 4096 AS b "
+            r"FROM toks WHERE w <> ''), "
+            r"c AS (SELECT b, count(*) AS raw_n, sum(is_target) AS tgt_n "
+            r"FROM f GROUP BY 1), "
+            r"t AS (SELECT sum(raw_n) AS raw_total, sum(tgt_n) AS tgt_total "
+            r"FROM c), "
+            r"r AS (SELECT b, ln((tgt_n + 0.5) / (tgt_total + 2048.0)) - "
+            r"ln((raw_n + 0.5) / (raw_total + 2048.0)) AS log_ratio "
+            r"FROM c CROSS JOIN t), "
+            r"s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+            r"round(sum(log_ratio), 4) AS log_weight "
+            r"FROM f JOIN r USING (b) GROUP BY 1) "
+            r"SELECT doc_id, n_words, log_weight FROM s "
+            r"ORDER BY log_weight DESC, doc_id LIMIT 20"
         ),
         "benchmark_contamination": (
             r"WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), "

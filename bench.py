@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     # round-5 additions
     "gopher_quality",
     "top_ngrams",
+    "key_skew_report",
+    "mad_outliers",
+    "props_json_stats",
+    "dsir_weights",
 ]
 
 TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "1000000"))

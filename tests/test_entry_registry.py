@@ -18,6 +18,8 @@ import __spark_entry__ as entry_mod
 # must have been driver-green for at least two consecutive rounds before
 # it may be added here
 ROTATED = {
+    "join_revenue_by_nation", "sessionization",
+    "bpe_token_stats", "winnow_dups",
     "lang_freq", "text_quality_filter",
     "invalid_count_enum", "invalid_count_range", "invalid_count_regex",
     "invalid_count_max_length", "events_hourly", "conversation_stats",

@@ -1,0 +1,109 @@
+"""Unit tests for the round-5 diagnostics operators: key-skew report,
+median/MAD outliers, JSON field stats, DSIR importance ranking."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from datacontract_cli_spark.operators.anomaly import mad_outliers
+from datacontract_cli_spark.operators.dsir import dsir_importance
+from datacontract_cli_spark.operators.semistructured import json_field_stats
+from datacontract_cli_spark.operators.skew import key_skew_report
+
+
+def test_key_skew_report_values(spark):
+    # key 'a' 6 rows, 'b' 3, 'c' 1 → total 10, 3 keys, mean size 10/3
+    rows = [Row(k="a")] * 6 + [Row(k="b")] * 3 + [Row(k="c")]
+    df = spark.createDataFrame(rows)
+    out = key_skew_report(df, ["k"], top_k=2).collect()
+    assert [r["k"] for r in out] == ["a", "b"]
+    a = out[0]
+    assert a["n_rows"] == 6
+    assert a["share"] == 0.6
+    assert a["skew_ratio"] == pytest.approx(6 * 3 / 10, abs=1e-4)
+
+
+def test_key_skew_report_tie_break_deterministic(spark):
+    df = spark.createDataFrame([Row(k="z"), Row(k="y"), Row(k="x")])
+    out = key_skew_report(df, ["k"], top_k=2).collect()
+    # equal counts → key-ascending order decides
+    assert [r["k"] for r in out] == ["x", "y"]
+
+
+def test_mad_outliers_flags_the_planted_spike(spark):
+    vals = [float(v) for v in range(1, 101)] + [1e6]
+    df = spark.createDataFrame([Row(value=v) for v in vals])
+    row = mad_outliers(df, "value", z=3.5).collect()[0]
+    assert row["median"] == 51.0  # median of 1..100 + spike
+    assert row["n_outliers"] == 1
+    assert row["outlier_fraction"] == pytest.approx(1 / 101, abs=1e-6)
+    # MAD of 1..100,1e6 around 51: |x-51| medians to 25.0
+    assert row["mad"] == 25.0
+
+
+def test_mad_outliers_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [Row(value=1.0), Row(value=None), Row(value=3.0)])
+    row = mad_outliers(df, "value").collect()[0]
+    assert row["median"] == 2.0
+    assert row["n_outliers"] == 0
+
+
+def test_json_field_stats_counts_unparsed(spark):
+    df = spark.createDataFrame([
+        Row(g="a", props='{"k": 10}'),
+        Row(g="a", props='{"k": 30}'),
+        Row(g="a", props="not json"),
+        Row(g="b", props='{"other": 1}'),
+    ])
+    out = {r["g"]: r for r in
+           json_field_stats(df, "props", "k", group_by=["g"]).collect()}
+    assert out["a"]["n_rows"] == 3
+    assert out["a"]["n_unparsed"] == 1
+    assert out["a"]["min_value"] == 10
+    assert out["a"]["avg_value"] == 20.0
+    assert out["a"]["max_value"] == 30
+    assert out["b"]["n_unparsed"] == 1 and out["b"]["min_value"] is None
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    # target docs speak 'alpha beta'; raw background speaks 'gamma delta'.
+    # The unlabeled doc written in target language must outrank the one
+    # written in background language.
+    rows = (
+        [Row(doc_id=i, lang="en", text="alpha beta alpha beta") for i in range(5)]
+        + [Row(doc_id=10 + i, lang="de", text="gamma delta gamma delta") for i in range(5)]
+        + [Row(doc_id=100, lang="zz", text="alpha beta alpha"),
+           Row(doc_id=101, lang="zz", text="gamma delta gamma")]
+    )
+    df = spark.createDataFrame(rows)
+    out = dsir_importance(df, F.col("lang") == "en", n_buckets=64,
+                          top_k=12, hash_family="xxhash64")
+    scores = {r["doc_id"]: r["log_weight"] for r in out.collect()}
+    assert scores[100] > scores[101]
+    # every target-language doc outranks every background doc
+    assert min(scores[i] for i in range(5)) > max(scores[10 + i] for i in range(5))
+
+
+def test_dsir_md5_and_xxhash_families_agree_on_ranking(spark):
+    rows = (
+        [Row(doc_id=i, lang="en", text=f"common word target{i % 3} extra") for i in range(8)]
+        + [Row(doc_id=50 + i, lang="fr", text=f"common word noise{i} filler junk") for i in range(8)]
+    )
+    df = spark.createDataFrame(rows)
+    a = [r["doc_id"] for r in dsir_importance(
+        df, F.col("lang") == "en", n_buckets=4096, top_k=4,
+        hash_family="md5").collect()]
+    b = [r["doc_id"] for r in dsir_importance(
+        df, F.col("lang") == "en", n_buckets=4096, top_k=4,
+        hash_family="xxhash64").collect()]
+    # different hash families, same model: the top docs are target docs
+    assert set(a) <= set(range(8)) and set(b) <= set(range(8))
+
+
+def test_dsir_rejects_unknown_hash_family(spark):
+    df = spark.createDataFrame([Row(doc_id=1, lang="en", text="a b")])
+    with pytest.raises(ValueError):
+        dsir_importance(df, F.col("lang") == "en", hash_family="sha9")
