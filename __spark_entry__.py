@@ -970,6 +970,25 @@ def _q_dsir_weights(spark, sf):
                            n_buckets=4096, smoothing=0.5, top_k=20)
 
 
+def _q_turn_contiguity(spark, sf):
+    """Turn-index density check (north rule: stable dense turn ordering
+    per conversation) exercised on a driver table: lineitem's
+    (l_orderkey, l_linenumber-1) is dense 0..n-1 until the quantity filter
+    knocks holes in it — violating orders + a global violation count in
+    one result."""
+    from datacontract_cli_spark.operators.convchecks import turn_density_violations
+
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 10).select(
+        F.col("l_orderkey").alias("conv_id"),
+        (F.col("l_linenumber") - 1).alias("turn_idx"))
+    v = turn_density_violations(li, "conv_id", "turn_idx")
+    totals = v.agg(F.count(F.lit(1)).alias("total_violations"))
+    return (v.crossJoin(F.broadcast(totals))
+            .orderBy("conv_id").limit(10)
+            .select("conv_id", "n_turns", "min_turn", "max_turn",
+                    "dup_turn_groups", "total_violations"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate tests only the FIRST 50
     # entries.  Everything that has never been driver-green (or failed last
@@ -993,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": _q_mad_outliers,
         "props_json_stats": _q_props_json_stats,
         "dsir_weights": _q_dsir_weights,
+        "turn_contiguity": _q_turn_contiguity,
         # --- green in r03 but pushed past the cap in r04
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
@@ -1017,7 +1037,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_value": _q_ks_value,
         "json_validation": _q_json_validation,
         # --- analytics / joins
-        "window_top3_per_customer": _q_window_top3,
         "tpch_q1": _q_tpch_q1,
         "topk_parts": _q_topk_parts,
         # --- LLM-data-pipeline lanes
@@ -1032,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "embedding_near_dups": _q_embedding_near_dups,
         # ---------------- position 51+: multi-round driver-green, rotated out
+        "window_top3_per_customer": _q_window_top3,
         "bpe_token_stats": _q_bpe_token_stats,
         "winnow_dups": _q_winnow_dups,
         "join_revenue_by_nation": _q_join_revenue_by_nation,
@@ -1226,6 +1246,26 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT gram, count(*) AS n_occurrences, "
             r"count(DISTINCT doc_id) AS n_docs FROM g GROUP BY gram "
             r"ORDER BY n_occurrences DESC, gram ASC LIMIT 15"
+        ),
+        "turn_contiguity": (
+            "WITH t AS (SELECT l_orderkey AS conv_id, "
+            "l_linenumber - 1 AS turn_idx FROM lineitem "
+            "WHERE l_quantity > 10), "
+            "s AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
+            "min(turn_idx) AS min_turn, max(turn_idx) AS max_turn "
+            "FROM t GROUP BY 1), "
+            "d AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS dup_turn_groups "
+            "FROM (SELECT conv_id, turn_idx FROM t GROUP BY 1, 2 "
+            "HAVING count(*) > 1) GROUP BY 1), "
+            "v AS (SELECT s.conv_id, s.n_turns, s.min_turn, s.max_turn, "
+            "coalesce(d.dup_turn_groups, 0) AS dup_turn_groups "
+            "FROM s LEFT JOIN d USING (conv_id) "
+            "WHERE s.min_turn <> 0 OR s.max_turn <> s.n_turns - 1 "
+            "OR coalesce(d.dup_turn_groups, 0) > 0), "
+            "tot AS (SELECT CAST(count(*) AS BIGINT) AS total_violations FROM v) "
+            "SELECT conv_id, n_turns, min_turn, max_turn, dup_turn_groups, "
+            "total_violations FROM v CROSS JOIN tot "
+            "ORDER BY conv_id LIMIT 10"
         ),
         "key_skew_report": (
             # integer divisions cast to DOUBLE on both sides; counts cast

@@ -17,26 +17,30 @@ _SALT = "__dc_salt__"
 
 
 def conversation_stats(df: DataFrame, conv_col: str = "conv_id",
-                       turn_col: str = "turn_idx", ts_col: str = "ts",
+                       turn_col: str = "turn_idx",
+                       ts_col: str | None = "ts",
                        salt_buckets: int = 16) -> DataFrame:
-    """Per-conversation (n_turns, min/max turn_idx, min/max ts) via salted
-    two-phase aggregation. Output: one row per conv_id."""
+    """Per-conversation (n_turns, min/max turn_idx[, min/max ts]) via salted
+    two-phase aggregation. Output: one row per conv_id. ``ts_col=None``
+    skips the timestamp columns (index-only transcripts)."""
     salted = df.withColumn(
         _SALT, F.pmod(F.xxhash64(F.col(turn_col).cast("long")), F.lit(salt_buckets))
     )
+    partial_ts = ([F.min(ts_col).alias("ts_mn"), F.max(ts_col).alias("ts_mx")]
+                  if ts_col else [])
     partial = salted.groupBy(conv_col, _SALT).agg(
         F.count(F.lit(1)).alias("n"),
         F.min(turn_col).alias("mn"),
         F.max(turn_col).alias("mx"),
-        F.min(ts_col).alias("ts_mn"),
-        F.max(ts_col).alias("ts_mx"),
+        *partial_ts,
     )
+    final_ts = ([F.min("ts_mn").alias("min_ts"), F.max("ts_mx").alias("max_ts")]
+                if ts_col else [])
     return partial.groupBy(conv_col).agg(
         F.sum("n").alias("n_turns"),
         F.min("mn").alias("min_turn"),
         F.max("mx").alias("max_turn"),
-        F.min("ts_mn").alias("min_ts"),
-        F.max("ts_mx").alias("max_ts"),
+        *final_ts,
     )
 
 
@@ -47,7 +51,8 @@ def turn_density_violations(df: DataFrame, conv_col: str = "conv_id",
     duplicate turn indices). Exactness: dense 0..n-1 with no duplicates
     ⟺ min=0 AND max=n_distinct-1 AND no (conv,turn) duplicates; the
     duplicate probe is the fine-grained groupBy (naturally skew-free)."""
-    stats = conversation_stats(df, conv_col, turn_col, salt_buckets=salt_buckets)
+    stats = conversation_stats(df, conv_col, turn_col, ts_col=None,
+                               salt_buckets=salt_buckets)
     dup_turns = (
         df.groupBy(conv_col, turn_col).count().filter(F.col("count") > 1)
         .groupBy(conv_col).agg(F.count(F.lit(1)).alias("dup_turn_groups"))
