@@ -175,6 +175,24 @@ def build_parser() -> argparse.ArgumentParser:
                      help="S3-compatible endpoint for --format s3|gcs|adls")
     imp.add_argument("--output", default=None, help="write contract YAML here (default stdout)")
     imp.add_argument("--master", default=None)
+
+    sug = sub.add_parser(
+        "suggest",
+        help="draft a contract with data-derived constraint suggestions "
+             "(required / enum / range / maxLength / pattern / primaryKey)")
+    sug.add_argument("--source", required=True, help="data file or directory")
+    sug.add_argument("--format", default="parquet",
+                     choices=["parquet", "orc", "csv", "json"])
+    sug.add_argument("--name", default="model", help="model name")
+    sug.add_argument("--enum-max", type=int, default=20,
+                     help="suggest an enum only up to this many values")
+    sug.add_argument("--no-patterns", action="store_true",
+                     help="skip the regex pattern battery")
+    sug.add_argument("--rationale", action="store_true",
+                     help="print the per-column evidence as JSON on stderr")
+    sug.add_argument("--output", default=None,
+                     help="write contract YAML here (default stdout)")
+    sug.add_argument("--master", default=None)
     return p
 
 
@@ -257,6 +275,40 @@ def main(argv: list[str] | None = None) -> int:
                 f.write(text)
         else:
             print(text)
+        return 0
+
+    if args.command == "suggest":
+        import json as _json
+        import os as _os
+
+        from datacontract_cli_spark import export as _export
+        from datacontract_cli_spark.session import get_spark
+        from datacontract_cli_spark.suggest import suggest_contract
+
+        master = args.master or f"local[{_os.environ.get('SPARK_GRAFT_CPUS', '4')}]"
+        spark = get_spark("dcspark-suggest", master=master)
+        try:
+            reader = {"parquet": spark.read.parquet,
+                      "orc": spark.read.orc,
+                      "json": spark.read.json,
+                      "csv": lambda p: spark.read.option("header", "true")
+                      .option("inferSchema", "true").csv(p)}[args.format]
+            df = reader(args.source)
+            contract, rationale = suggest_contract(
+                spark, df, args.name, fmt=args.format, path=args.source,
+                enum_max=args.enum_max,
+                detect_patterns=not args.no_patterns)
+        except Exception as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        text = _export.to_odcs_yaml(contract)
+        if args.output:
+            with open(args.output, "w", encoding="utf-8") as f:
+                f.write(text)
+        else:
+            print(text)
+        if args.rationale:
+            print(_json.dumps(rationale, indent=2, default=str), file=sys.stderr)
         return 0
 
     if args.command == "export":

@@ -1,0 +1,82 @@
+"""Contract suggestion: profile-driven constraint drafting."""
+
+import os
+import subprocess
+import sys
+
+from pyspark.sql import Row
+
+from datacontract_cli_spark.suggest import suggest_contract
+
+
+def _props(contract):
+    return {p.column: p for p in contract.schema_objects[0].properties}
+
+
+def test_suggest_on_orders(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    contract, rationale = suggest_contract(spark, df, "orders",
+                                           fmt="parquet")
+    p = _props(contract)
+    # integer key preferred over the (also unique) float totalprice
+    assert p["o_orderkey"].primary_key
+    assert not p["o_totalprice"].primary_key
+    assert p["o_orderstatus"].options["enum"] == ["F", "O", "P"]
+    assert p["o_orderkey"].required
+    assert p["o_orderkey"].options["minimum"] == 0
+    assert "primaryKey" in rationale["o_orderkey"]
+    # every suggestion carries evidence
+    assert rationale["o_orderstatus"]["enum"].startswith("3 distinct")
+
+
+def test_suggest_pattern_and_maxlength(spark):
+    df = spark.createDataFrame(
+        [Row(conv_id=f"conv-{i:010d}", note="x" * (i + 1), n=i)
+         for i in range(30)])
+    contract, rationale = suggest_contract(spark, df, "t")
+    p = _props(contract)
+    assert p["conv_id"].options["pattern"] == r"^[A-Za-z]+-[0-9]+$"
+    # high-cardinality string, no pattern match → maxLength only
+    assert p["note"].options["maxLength"] == 30
+    assert "pattern" not in p["note"].options
+    assert p["n"].primary_key or p["conv_id"].primary_key
+
+
+def test_suggest_nullable_column_not_required(spark):
+    df = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=2, b=None), Row(a=3, b="y")])
+    contract, _ = suggest_contract(spark, df, "t")
+    p = _props(contract)
+    assert p["a"].required and not p["b"].required
+
+
+def test_suggest_draft_is_testable_roundtrip(spark, tmp_path):
+    """The drafted contract must pass `test` against the very data it was
+    drafted from (conservative suggestions ⇒ zero violations)."""
+    from datacontract_cli_spark import export as _export
+    from datacontract_cli_spark.engine.executor import SparkContractEngine
+    from datacontract_cli_spark.model.contract import load_contract_str
+    from datacontract_cli_spark.model.run import ResultEnum
+
+    df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    contract, _ = suggest_contract(spark, df, "customer")
+    text = _export.to_odcs_yaml(contract)
+    reloaded = load_contract_str(text)
+    run = SparkContractEngine(spark).test(reloaded, tables={"customer": df})
+    bad = [(c.key, c.result.value, c.reason) for c in run.checks
+           if c.result not in (ResultEnum.passed,)]
+    assert run.result is ResultEnum.passed, bad
+
+
+def test_suggest_cli(tmp_path):
+    out = tmp_path / "c.yaml"
+    r = subprocess.run(
+        [sys.executable, "-m", "datacontract_cli_spark", "suggest",
+         "--source", "/root/testdata/sf0.001/nation.parquet",
+         "--name", "nation", "--output", str(out), "--rationale"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    text = out.read_text()
+    assert "n_nationkey" in text and "required: true" in text
+    assert '"required": "0 nulls observed"' in r.stderr
