@@ -207,3 +207,53 @@ def test_streaming_jsd_windows(spark, tmp_path):
     assert len(out) == 2
     assert out[0]["jsd"] == pytest.approx(0.0, abs=1e-9)
     assert out[1]["jsd"] == pytest.approx(1.0, abs=1e-9)  # bounded max
+
+
+def test_validate_stream_full_engine_per_batch(spark, tmp_path):
+    """foreachBatch lane: the FULL engine per micro-batch — batch-identical
+    check keys/results, one JSONL result line per batch, resumable via
+    checkpoint."""
+    import json
+    import os
+
+    from datacontract_cli_spark.model.contract import load_contract
+    from datacontract_cli_spark.model.run import ResultEnum
+    from datacontract_cli_spark.streaming.engine import validate_stream
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    # two files → maxFilesPerTrigger=1 forces two micro-batches
+    clean = synthesize_transcripts(spark, n_convs=40, turns_per_conv=5)
+    bad = synthesize_transcripts(spark, n_convs=40, turns_per_conv=5,
+                                 defect_rate=0.3)
+    clean.coalesce(1).write.parquet(src + "/f1")
+    bad.coalesce(1).write.parquet(src + "/f2")
+    contract = load_contract(
+        os.path.join(os.path.dirname(__file__), "fixtures",
+                     "transcripts_contract.yaml"))
+    stream = (spark.readStream.schema(clean.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*"))
+    results = str(tmp_path / "runs.jsonl")
+    _, runs = validate_stream(
+        spark, contract, stream, "transcripts",
+        results_path=results,
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    assert len(runs) == 2
+    # one clean batch, one defective batch — same check keys as batch mode
+    verdicts = sorted(r.result.value for r in runs)
+    assert verdicts == ["failed", "passed"]
+    keys = {c.key for c in runs[0].checks}
+    assert "transcripts__primary_key_unique" in keys
+    lines = [json.loads(l) for l in open(results)]
+    assert [l["batch_id"] for l in lines] == [0, 1]
+    assert sorted(l["result"] for l in lines) == ["failed", "passed"]
+    # resume: a new identical query against the same checkpoint has no
+    # new batches to process — no new result lines
+    stream2 = (spark.readStream.schema(clean.schema)
+               .option("maxFilesPerTrigger", 1).parquet(src + "/*"))
+    _, runs2 = validate_stream(
+        spark, contract, stream2, "transcripts",
+        results_path=results,
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    assert runs2 == [] and len(open(results).readlines()) == 2
