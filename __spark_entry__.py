@@ -989,6 +989,15 @@ def _q_turn_contiguity(spark, sf):
                     "dup_turn_groups", "total_violations"))
 
 
+def _q_embedding_centroid_drift(spark, sf):
+    """Per-label embedding centroid vs the global centroid (cosine) — the
+    embedding-space analogue of categorical PSI; one scan, shuffle payload
+    groups x dims regardless of row count."""
+    from datacontract_cli_spark.operators.similarity import centroid_drift
+
+    return centroid_drift(_t(spark, sf, "embeddings"), "embedding", "label")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate tests only the FIRST 50
     # entries.  Everything that has never been driver-green (or failed last
@@ -1013,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json_stats": _q_props_json_stats,
         "dsir_weights": _q_dsir_weights,
         "turn_contiguity": _q_turn_contiguity,
+        "embedding_centroid_drift": _q_embedding_centroid_drift,
         # --- green in r03 but pushed past the cap in r04
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
@@ -1041,7 +1051,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_parts": _q_topk_parts,
         # --- LLM-data-pipeline lanes
         "dedup_exact": _q_dedup_exact,
-        "dedup_keep_first": _q_dedup_keep_first,
         "token_stats": _q_token_stats,
         "lm_quality_score": _q_lm_quality_score,
         "benchmark_contamination": _q_benchmark_contamination,
@@ -1051,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "embedding_near_dups": _q_embedding_near_dups,
         # ---------------- position 51+: multi-round driver-green, rotated out
+        "dedup_keep_first": _q_dedup_keep_first,
         "window_top3_per_customer": _q_window_top3,
         "bpe_token_stats": _q_bpe_token_stats,
         "winnow_dups": _q_winnow_dups,
@@ -1266,6 +1276,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, n_turns, min_turn, max_turn, dup_turn_groups, "
             "total_violations FROM v CROSS JOIN tot "
             "ORDER BY conv_id LIMIT 10"
+        ),
+        "embedding_centroid_drift": (
+            # parallel unnests zip positionally in DuckDB; range() is
+            # 0-based like posexplode. Per-dim group sums -> weighted
+            # global mean -> cosine, all in doubles; round 5 absorbs
+            # float-summation order differences between engines
+            "WITH e AS (SELECT label, unnest(range(len(embedding))) AS pos, "
+            "CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings), "
+            "su AS (SELECT label, pos, sum(val) AS s, "
+            "CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2), "
+            "gl AS (SELECT pos, sum(s) / sum(n) AS gm FROM su GROUP BY 1), "
+            "pd AS (SELECT label, pos, s / n AS m, n FROM su), "
+            "j AS (SELECT label, first(n) AS n_vectors, "
+            "round(sum(m * gm) / (sqrt(sum(m * m)) * sqrt(sum(gm * gm))), 5) "
+            "AS centroid_cosine FROM pd JOIN gl USING (pos) GROUP BY 1) "
+            "SELECT label, n_vectors, centroid_cosine FROM j ORDER BY label"
         ),
         "key_skew_report": (
             # integer divisions cast to DOUBLE on both sides; counts cast

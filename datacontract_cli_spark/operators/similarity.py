@@ -262,3 +262,44 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
     )
     return pairs.filter(F.col("cosine_sim") >= threshold)
+
+
+def centroid_drift(df: DataFrame, vec_col: str, group_col: str,
+                   round_to: int = 5) -> DataFrame:
+    """Per-group embedding centroid vs the global centroid (cosine).
+
+    The embedding-space analogue of categorical PSI: when one slice's
+    centroid swings away from the corpus centroid (cosine drops), that
+    slice's content has drifted. Fully declarative:
+
+      posexplode(vec)                         — narrow
+      groupBy(group, pos): sum, count         — the only wide shuffle;
+                                                rows ≤ groups × dims
+      global per-dim mean from the group sums — tiny re-agg (exact: the
+                                                weighted mean, not a
+                                                second data pass)
+      broadcast join on pos → groupBy(group)  — dot/norm folds
+
+    At 100 TB the shuffle payload is (group, pos, double, long) —
+    independent of row count after the map-side combine. One scan total.
+    """
+    e = df.select(
+        F.col(group_col).alias("g"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    ).select("g", "pos", F.col("v").cast("double").alias("v"))
+    sums = e.groupBy("g", "pos").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+    glob = (sums.groupBy("pos")
+            .agg((F.sum("s") / F.sum("n")).alias("gm")))
+    per_dim = (sums.select("g", "pos", (F.col("s") / F.col("n")).alias("m"),
+                           "n")
+               .join(F.broadcast(glob), "pos"))
+    return (per_dim.groupBy("g")
+            .agg(F.first("n").alias("n_vectors"),
+                 F.round(
+                     F.sum(F.col("m") * F.col("gm"))
+                     / (F.sqrt(F.sum(F.col("m") * F.col("m")))
+                        * F.sqrt(F.sum(F.col("gm") * F.col("gm")))),
+                     round_to).alias("centroid_cosine"))
+            .orderBy("g")
+            .withColumnRenamed("g", group_col))

@@ -124,3 +124,20 @@ def test_conversation_stats_without_timestamps(spark):
     assert set(v) == {"b", "c"}
     assert v["b"]["n_turns"] == 3 and v["b"]["max_turn"] == 3
     assert v["c"]["min_turn"] == 1
+
+
+def test_centroid_drift_detects_the_shifted_group(spark):
+    from datacontract_cli_spark.operators.similarity import centroid_drift
+
+    # two large aligned groups + a SMALL group pointing the other way (a
+    # small slice can't drag the global centroid toward itself)
+    rows = ([Row(label=0, embedding=[1.0, 0.0, 0.0]) for _ in range(20)]
+            + [Row(label=1, embedding=[0.9, 0.1, 0.0]) for _ in range(20)]
+            + [Row(label=2, embedding=[-1.0, 2.0, 0.0]) for _ in range(2)])
+    out = {r["label"]: r for r in
+           centroid_drift(spark.createDataFrame(rows), "embedding",
+                          "label").collect()}
+    assert out[0]["n_vectors"] == 20 and out[2]["n_vectors"] == 2
+    assert out[0]["centroid_cosine"] > 0.9
+    assert out[1]["centroid_cosine"] > 0.9
+    assert out[2]["centroid_cosine"] < 0.0  # drifted slice points away
