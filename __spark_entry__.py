@@ -1288,7 +1288,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2), "
             "gl AS (SELECT pos, sum(s) / sum(n) AS gm FROM su GROUP BY 1), "
             "pd AS (SELECT label, pos, s / n AS m, n FROM su), "
-            "j AS (SELECT label, first(n) AS n_vectors, "
+            "j AS (SELECT label, max(n) AS n_vectors, "
             "round(sum(m * gm) / (sqrt(sum(m * m)) * sqrt(sum(gm * gm))), 5) "
             "AS centroid_cosine FROM pd JOIN gl USING (pos) GROUP BY 1) "
             "SELECT label, n_vectors, centroid_cosine FROM j ORDER BY label"

@@ -561,7 +561,8 @@ class SparkContractEngine:
                     .limit(self.sample_limit)
                     .select(
                         F.to_json(F.struct(
-                            *[F.col(c) for c in sample_keys])).alias(skey_alias),
+                            *self._sample_struct_cols(df, sample_keys))
+                        ).alias(skey_alias),
                         F.col(_ROW_COUNT_ALIAS).alias(sdup_alias),
                         *extras,
                         F.lit("dup").alias(kind_alias),
@@ -596,13 +597,9 @@ class SparkContractEngine:
                 # (key-ascending) order
                 rows = []
                 for r in dup_samples:
-                    rec = json.loads(r[skey_alias])
-                    # to_json omits NULL struct fields — restore them, in
-                    # key order, so the record shape matches the dedicated
-                    # sample path
-                    full = {c: rec.get(c) for c in sample_keys}
-                    full["duplicate_count"] = r[sdup_alias]
-                    rows.append(self._json_safe(full))
+                    rec = self._parse_sample(r[skey_alias], sample_keys)
+                    rec["duplicate_count"] = r[sdup_alias]
+                    rows.append(rec)
                 check.failedSamples = rows
             else:
                 self._collect_duplicate_samples(run, lead, df, resolved, obj)
@@ -716,7 +713,8 @@ class SparkContractEngine:
                 .limit(self.sample_limit)
                 .select(F.lit(spec.key).alias("__dc_tag__"),
                         F.to_json(F.struct(
-                            *[F.col(c) for c in cols])).alias("__dc_rec__"))
+                            *self._sample_struct_cols(df, cols))
+                        ).alias("__dc_rec__"))
             )
         if not branches:
             return
@@ -724,13 +722,8 @@ class SparkContractEngine:
         for b in branches[1:]:
             combined = combined.unionByName(b)
         for r in combined.collect():
-            rec = json.loads(r["__dc_rec__"])
-            # to_json omits NULL fields; restore them (a missing-value
-            # sample's violating column IS null) so the record shape matches
-            # the per-check path
-            for c in cols_by_key[r["__dc_tag__"]]:
-                rec.setdefault(c, None)
-            tagged[r["__dc_tag__"]].append(self._json_safe(rec))
+            tagged[r["__dc_tag__"]].append(
+                self._parse_sample(r["__dc_rec__"], cols_by_key[r["__dc_tag__"]]))
         for spec, _ in specs_conds:
             check = run.check(spec.key)
             if check is not None and spec.key in tagged:
@@ -1074,6 +1067,28 @@ class SparkContractEngine:
         check = run.check(spec.key)
         if check is not None:
             check.failedSamples = [self._json_safe(r.asDict()) for r in sample_df.collect()]
+
+    # column types whose JSON rendering (via to_json) differs from the
+    # legacy Row.asDict + str() path — cast to string BEFORE the struct so
+    # every sample path renders values identically (Spark's cast-to-string
+    # of timestamp/date/decimal matches Python str() of the same value)
+    _SAMPLE_STRINGIFY = ("timestamp", "date", "decimal")
+
+    def _sample_struct_cols(self, df: DataFrame, cols: List[str]) -> List[Any]:
+        dtypes = dict(df.dtypes)
+        return [
+            (F.col(c).cast("string").alias(c)
+             if dtypes.get(c, "").startswith(self._SAMPLE_STRINGIFY)
+             else F.col(c))
+            for c in cols
+        ]
+
+    def _parse_sample(self, json_str: str, cols: List[str]) -> Dict[str, Any]:
+        """Decode one to_json'd sample row: restore NULL fields (to_json
+        omits them — a missing-value sample's violating column IS null) in
+        declared column order, then legacy-normalize."""
+        rec = json.loads(json_str)
+        return self._json_safe({c: rec.get(c) for c in cols})
 
     @staticmethod
     def _json_safe(record: Dict[str, Any]) -> Dict[str, Any]:

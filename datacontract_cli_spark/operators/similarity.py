@@ -295,7 +295,11 @@ def centroid_drift(df: DataFrame, vec_col: str, group_col: str,
                            "n")
                .join(F.broadcast(glob), "pos"))
     return (per_dim.groupBy("g")
-            .agg(F.first("n").alias("n_vectors"),
+            # max, not first: first() is nondeterministic and per-dim
+            # counts differ when a group has ragged (truncated) vectors —
+            # max(n) = the group's row count (every non-empty vector has
+            # a dim 0)
+            .agg(F.max("n").alias("n_vectors"),
                  F.round(
                      F.sum(F.col("m") * F.col("gm"))
                      / (F.sqrt(F.sum(F.col("m") * F.col("m")))

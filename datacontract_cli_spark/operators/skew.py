@@ -53,8 +53,11 @@ def key_skew_report(df: DataFrame, keys: List[str], top_k: int = 10) -> DataFram
             *[F.col(k) for k in keys],
             F.col("n_rows"),
             F.round(F.col("n_rows") / F.col("__total__"), 6).alias("share"),
-            F.round(F.col("n_rows") * F.col("__n_keys__")
-                    / F.col("__total__").cast("double"), 4).alias("skew_ratio"),
+            # cast BEFORE multiplying: long*long wraps silently at the
+            # 10^12-row scale this diagnostic targets (n_rows × n_keys can
+            # exceed Long.MAX while each factor is fine)
+            F.round(F.col("n_rows").cast("double") * F.col("__n_keys__")
+                    / F.col("__total__"), 4).alias("skew_ratio"),
         )
         .orderBy(F.desc("n_rows"), *[F.asc(k) for k in keys])
     )

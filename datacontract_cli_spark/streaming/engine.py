@@ -18,10 +18,12 @@ from this implementation):
   passed in ``dim_tables`` (broadcast per batch).
 
 Results land as one JSONL line per micro-batch (run summary + per-check
-results) — append-only, replayable, and the checkpoint directory makes
-the whole pipeline resumable: after a crash, Spark replays the
-unprocessed batches and their result lines are appended exactly once per
-batch id.
+results). foreachBatch is at-least-once — a crash between the result
+write and the streaming commit replays the batch — so the sink is made
+idempotent by keying on batch_id: ids already present in the results
+file (read once at query start, tracked in-memory after) are
+re-validated by Spark but not re-appended, and ``on_result`` does not
+re-fire for them.
 
 At scale: foreachBatch re-plans per batch (unavoidable — the engine is
 plan-per-run); each batch pays one scan of ITS data only. The validation
@@ -65,13 +67,29 @@ def validate_stream(
         spark, include_failed_samples=include_failed_samples)
     runs: List[Run] = []
     lock = threading.Lock()
+    seen_batch_ids: set = set()
+    if results_path:
+        try:
+            with open(results_path, encoding="utf-8") as f:
+                seen_batch_ids = {json.loads(line)["batch_id"]
+                                  for line in f if line.strip()}
+        except FileNotFoundError:
+            pass
 
     def _for_each_batch(batch_df: DataFrame, batch_id: int) -> None:
+        with lock:
+            if batch_id in seen_batch_ids:
+                # at-least-once replay of an already-recorded batch: Spark
+                # re-runs it, the sink must not double-append
+                return
         tables = dict(dim_tables or {})
         tables[model] = batch_df
         run = engine.test(contract, tables=tables)
         with lock:
             runs.append(run)
+            # marked seen only now — a batch that THREW above stays
+            # unmarked so Spark's retry re-validates it
+            seen_batch_ids.add(batch_id)
         if results_path:
             line = json.dumps({
                 "batch_id": batch_id,

@@ -50,6 +50,17 @@ PATTERN_BATTERY: List[Tuple[str, str]] = [
 ]
 
 
+def _yaml_scalar(v: Any) -> Any:
+    """Observed bounds come back as whatever Spark collected — a decimal
+    column yields decimal.Decimal, which yaml.safe_dump cannot represent.
+    Coerce to a plain int/float for the drafted YAML."""
+    from decimal import Decimal
+
+    if isinstance(v, Decimal):
+        return int(v) if v == v.to_integral_value() else float(v)
+    return v
+
+
 def suggest_contract(spark: SparkSession, df: DataFrame, name: str,
                      contract_id: Optional[str] = None,
                      fmt: str = "parquet", path: Optional[str] = None,
@@ -150,8 +161,8 @@ def suggest_contract(spark: SparkSession, df: DataFrame, name: str,
             rationale[c]["maxLength"] = f"observed max length {st['max_len']}"
         if st.get("min") is not None and dtype not in ("timestamp", "date") \
                 and dtype != "string":
-            prop.options["minimum"] = st["min"]
-            prop.options["maximum"] = st["max"]
+            prop.options["minimum"] = _yaml_scalar(st["min"])
+            prop.options["maximum"] = _yaml_scalar(st["max"])
             rationale[c]["range"] = (
                 f"observed [{st['min']}, {st['max']}] — widen before "
                 "enforcing")

@@ -158,3 +158,50 @@ def test_batched_violation_samples_match_per_check_query(spark, contract):
                   .limit(5).collect())
     ]
     assert regex.failedSamples == expected_regex
+
+
+def test_sample_rendering_is_path_independent_for_timestamps(spark):
+    """Timestamp values in failedSamples must render identically whether
+    the samples come from the batched union job (2+ failed checks) or the
+    dedicated per-check query (1 failed check)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from datacontract_cli_spark.model.contract import load_contract_str
+
+    c_yaml = """
+id: t
+version: 0.1.0
+schema:
+  - name: ev
+    properties:
+      - name: ts
+        logicalType: timestamp
+        primaryKey: true
+        primaryKeyPosition: 1
+      - name: a
+        logicalType: string
+        required: true
+      - name: b
+        logicalType: integer
+        logicalTypeOptions:
+          minimum: 0
+"""
+    rows = [Row(ts=dt.datetime(2026, 1, 1, 12, 0, i), a=None if i < 3 else "x",
+                b=-1 if i < 3 else 1) for i in range(10)]
+    df = spark.createDataFrame(rows)
+    contract = load_contract_str(c_yaml)
+    engine = SparkContractEngine(spark, include_failed_samples=True)
+    # batched path: two failed checks
+    run2 = engine.test(contract, tables={"ev": df})
+    a2 = run2.check("ev__a__field_required").failedSamples
+    # per-check path: drop the 'b' constraint rows so only 'a' fails
+    contract_one = load_contract_str(c_yaml.replace(
+        "        logicalTypeOptions:\n          minimum: 0\n", ""))
+    run1 = SparkContractEngine(spark, include_failed_samples=True).test(
+        contract_one, tables={"ev": df})
+    a1 = run1.check("ev__a__field_required").failedSamples
+    assert a1 == a2
+    # the legacy str(datetime) rendering, not ISO-T
+    assert a1[0]["ts"] == "2026-01-01 12:00:00"

@@ -80,3 +80,24 @@ def test_suggest_cli(tmp_path):
     text = out.read_text()
     assert "n_nationkey" in text and "required: true" in text
     assert '"required": "0 nulls observed"' in r.stderr
+
+
+def test_suggest_decimal_column_survives_yaml(spark, tmp_path):
+    """Decimal min/max must coerce to YAML-representable scalars
+    (yaml.safe_dump cannot represent decimal.Decimal)."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType, LongType, StructField, StructType
+
+    from datacontract_cli_spark import export as _export
+
+    schema = StructType([StructField("id", LongType()),
+                         StructField("amount", DecimalType(12, 2))])
+    df = spark.createDataFrame(
+        [(i, Decimal(f"{i}.50")) for i in range(10)], schema)
+    contract, _ = suggest_contract(spark, df, "t")
+    p = _props(contract)
+    assert p["amount"].options["minimum"] == 0.5
+    assert p["amount"].options["maximum"] == 9.5
+    text = _export.to_odcs_yaml(contract)  # must not raise RepresenterError
+    assert "amount" in text
