@@ -998,6 +998,26 @@ def _q_embedding_centroid_drift(spark, sf):
     return centroid_drift(_t(spark, sf, "embeddings"), "embedding", "label")
 
 
+def _q_table_diff(spark, sf):
+    """Version diff of orders against an in-query derived v2 (drop every
+    97th key, bump totalprice on every 13th, add relocated copies of every
+    101st). The oracle derives the expected counts independently from the
+    construction — it never mirrors the join. The operator runs its
+    production xxhash64 fingerprint lane: fingerprint equality is
+    engine-internal, so no cross-engine hash parity is needed."""
+    from datacontract_cli_spark.operators.tablediff import table_diff
+
+    o = _t(spark, sf, "orders")
+    b = (o.filter(F.col("o_orderkey") % 97 != 0)
+         .withColumn("o_totalprice",
+                     F.when(F.col("o_orderkey") % 13 == 0,
+                            F.col("o_totalprice") + 1)
+                     .otherwise(F.col("o_totalprice"))))
+    added = (o.filter(F.col("o_orderkey") % 101 == 0)
+             .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000))
+    return table_diff(o, b.unionByName(added), ["o_orderkey"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate tests only the FIRST 50
     # entries.  Everything that has never been driver-green (or failed last
@@ -1023,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "turn_contiguity": _q_turn_contiguity,
         "embedding_centroid_drift": _q_embedding_centroid_drift,
+        "table_diff_orders": _q_table_diff,
         # --- green in r03 but pushed past the cap in r04
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
@@ -1051,7 +1072,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_parts": _q_topk_parts,
         # --- LLM-data-pipeline lanes
         "dedup_exact": _q_dedup_exact,
-        "token_stats": _q_token_stats,
         "lm_quality_score": _q_lm_quality_score,
         "benchmark_contamination": _q_benchmark_contamination,
         "cosine_topk": _q_cosine_topk,
@@ -1060,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "embedding_near_dups": _q_embedding_near_dups,
         # ---------------- position 51+: multi-round driver-green, rotated out
+        "token_stats": _q_token_stats,
         "dedup_keep_first": _q_dedup_keep_first,
         "window_top3_per_customer": _q_window_top3,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -1276,6 +1297,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, n_turns, min_turn, max_turn, dup_turn_groups, "
             "total_violations FROM v CROSS JOIN tot "
             "ORDER BY conv_id LIMIT 10"
+        ),
+        "table_diff_orders": (
+            # expected counts derived from the v2 construction itself,
+            # independent of the operator's join/fingerprint machinery
+            "SELECT "
+            "CAST((SELECT count(*) FROM orders WHERE o_orderkey % 101 = 0) "
+            "AS BIGINT) AS n_added, "
+            "CAST((SELECT count(*) FROM orders WHERE o_orderkey % 97 = 0) "
+            "AS BIGINT) AS n_removed, "
+            "CAST((SELECT count(*) FROM orders WHERE o_orderkey % 97 <> 0 "
+            "AND o_orderkey % 13 = 0) AS BIGINT) AS n_changed, "
+            "CAST((SELECT count(*) FROM orders WHERE o_orderkey % 97 <> 0 "
+            "AND o_orderkey % 13 <> 0) AS BIGINT) AS n_unchanged"
         ),
         "embedding_centroid_drift": (
             # parallel unnests zip positionally in DuckDB; range() is

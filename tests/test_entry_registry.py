@@ -20,7 +20,7 @@ import __spark_entry__ as entry_mod
 ROTATED = {
     "join_revenue_by_nation", "sessionization",
     "bpe_token_stats", "winnow_dups", "window_top3_per_customer",
-    "dedup_keep_first",
+    "dedup_keep_first", "token_stats",
     "lang_freq", "text_quality_filter",
     "invalid_count_enum", "invalid_count_range", "invalid_count_regex",
     "invalid_count_max_length", "events_hourly", "conversation_stats",

@@ -141,3 +141,36 @@ def test_centroid_drift_detects_the_shifted_group(spark):
     assert out[0]["centroid_cosine"] > 0.9
     assert out[1]["centroid_cosine"] > 0.9
     assert out[2]["centroid_cosine"] < 0.0  # drifted slice points away
+
+
+def test_table_diff_classifies_all_four_kinds(spark):
+    from datacontract_cli_spark.operators.tablediff import (
+        table_diff, table_diff_rows)
+
+    a = spark.createDataFrame(
+        [Row(k=1, v="a", w=1.0), Row(k=2, v="b", w=2.0),
+         Row(k=3, v="c", w=3.0), Row(k=4, v="d", w=4.0)])
+    b = spark.createDataFrame(
+        [Row(k=1, v="a", w=1.0),          # unchanged
+         Row(k=2, v="B", w=2.0),          # changed
+         Row(k=4, v="d", w=4.0),          # unchanged (k=3 removed)
+         Row(k=5, v="e", w=5.0)])         # added
+    for exact in (False, True):
+        row = table_diff(a, b, ["k"], exact=exact).collect()[0]
+        assert (row["n_added"], row["n_removed"], row["n_changed"],
+                row["n_unchanged"]) == (1, 1, 1, 2), exact
+    rows = table_diff_rows(a, b, ["k"]).collect()
+    assert [(r["kind"], r["k"]) for r in rows] == [
+        ("added", 5), ("changed", 2), ("removed", 3)]
+
+
+def test_table_diff_null_values_and_keys(spark):
+    from datacontract_cli_spark.operators.tablediff import table_diff
+
+    a = spark.createDataFrame([Row(k=1, v=None), Row(k=None, v="x")])
+    b = spark.createDataFrame([Row(k=1, v="now-set"), Row(k=None, v="x")])
+    row = table_diff(a, b, ["k"]).collect()[0]
+    # null→value is a CHANGE (null-safe rendering), null keys join to
+    # each other (eqNullSafe), so nothing is added/removed
+    assert (row["n_added"], row["n_removed"], row["n_changed"],
+            row["n_unchanged"]) == (0, 0, 1, 1)
