@@ -343,6 +343,39 @@ def _library_metric(model: str, field: Optional[str], q: QualityRule,
         ]
 
     # --- beyond-reference library metrics (north rule) ----------------------
+    if metric == "quantile":
+        if field is None:
+            logger.warning("Quality metric quantile is only supported at field level")
+            return []
+        args = q.arguments or {}
+        try:
+            qv = float(args.get("quantile", 0.5))
+        except (TypeError, ValueError):
+            logger.warning("quantile on field %s has a non-numeric 'quantile' argument; skipping", field)
+            return []
+        if not 0.0 <= qv <= 1.0:
+            logger.warning("quantile on field %s must be in [0, 1], got %s; skipping", field, qv)
+            return []
+        q_slug = f"{qv:g}".replace(".", "_")
+        return [
+            CheckSpec(
+                # the quantile value is part of the key so multiple
+                # quantile rules on one field (median + p99) don't collide
+                key=f"{model}__{field}__quantile_{q_slug}",
+                category="quality",
+                type="field_quantile",
+                name=f"Check that {field} has p{qv:g} {threshold.describe()}",
+                model=model,
+                field=field,
+                metric=MetricType.QUANTILE,
+                threshold=threshold,
+                quantile=qv,
+                quantile_exact=bool(args.get("exact", False)),
+                severity=severity,
+                dimension=dimension,
+            )
+        ]
+
     if metric == "referentialIntegrity":
         args = q.arguments or {}
         ref = args.get("ref") or ""

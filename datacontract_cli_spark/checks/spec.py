@@ -32,6 +32,7 @@ class MetricType(str, enum.Enum):
     REFERENTIAL_INTEGRITY = "referential_integrity"
     FREQ_DRIFT_PSI = "freq_drift_psi"
     QUANTILE_DRIFT_KS = "quantile_drift_ks"
+    QUANTILE = "quantile"
     COLUMN_PROFILE = "column_profile"
     UNSUPPORTED = "unsupported"
 
@@ -63,24 +64,37 @@ class Threshold:
         if actual is None:
             return False
         try:
-            if self.op is Op.EQ:
-                return actual == self.value
-            if self.op is Op.NE:
-                return actual != self.value
-            if self.op is Op.GT:
-                return actual > self.value
-            if self.op is Op.GE:
-                return actual >= self.value
-            if self.op is Op.LT:
-                return actual < self.value
-            if self.op is Op.LE:
-                return actual <= self.value
-            if self.op is Op.BETWEEN:
-                return self.value <= actual <= self.value2
-            if self.op is Op.NOT_BETWEEN:
-                return not (self.value <= actual <= self.value2)
+            return self._compare(actual, self.value, self.value2)
         except TypeError:
-            return False
+            # mixed numeric/string comparison — most commonly a YAML
+            # threshold like `mustBeLessThan: 1e12`, which PyYAML parses
+            # as a STRING (no dot ⇒ not a float to YAML 1.1). If both
+            # sides are numeric after coercion, compare numerically
+            # instead of silently failing the check.
+            try:
+                return self._compare(
+                    float(actual), float(self.value),
+                    float(self.value2) if self.value2 is not None else None)
+            except (TypeError, ValueError):
+                return False
+
+    def _compare(self, actual: Any, value: Any, value2: Any) -> bool:
+        if self.op is Op.EQ:
+            return actual == value
+        if self.op is Op.NE:
+            return actual != value
+        if self.op is Op.GT:
+            return actual > value
+        if self.op is Op.GE:
+            return actual >= value
+        if self.op is Op.LT:
+            return actual < value
+        if self.op is Op.LE:
+            return actual <= value
+        if self.op is Op.BETWEEN:
+            return value <= actual <= value2
+        if self.op is Op.NOT_BETWEEN:
+            return not (value <= actual <= value2)
         return False
 
     def describe(self) -> str:
@@ -135,6 +149,8 @@ class CheckSpec:
     ref_model: Optional[str] = None  # referential integrity: parent model
     ref_field: Optional[str] = None  # referential integrity: parent key column
     baseline: Optional[Dict[str, Any]] = None  # drift: expected distribution
+    quantile: Optional[float] = None  # quantile metric: the q in [0, 1]
+    quantile_exact: bool = False  # exact percentile vs approx sketch
 
     preset_result: Optional[str] = None
     preset_reason: Optional[str] = None

@@ -66,6 +66,7 @@ _AGG_METRICS = (
     MetricType.INVALID_COUNT,
     MetricType.FRESHNESS,
     MetricType.RETENTION,
+    MetricType.QUANTILE,
 )
 
 _ROW_COUNT_ALIAS = "__dc_row_count__"
@@ -422,14 +423,22 @@ class SparkContractEngine:
         for spec in other:
             run.set_result(spec.key, ResultEnum.warning, f"Unsupported metric {spec.metric}")
 
-        if agg_specs and dup_specs:
-            # piggyback the batched aggregation onto the duplicate job's scan
-            # via df.observe(): the agg metrics ride the same pass as
-            # accumulator-style observed metrics, so the table is scanned
-            # ONCE for agg + uniqueness instead of twice — at warehouse scale
-            # the scan count is the cost that matters (measured 3.0s -> 1.9s
+        # quantile metrics cannot ride the merged groupBy refold (a global
+        # percentile is not a fold of per-group percentiles) — they always
+        # run in the flat agg batch
+        mergeable = [s for s in agg_specs
+                     if s.metric is not MetricType.QUANTILE]
+        quantile_specs = [s for s in agg_specs
+                          if s.metric is MetricType.QUANTILE]
+        if mergeable and dup_specs:
+            # piggyback the batched aggregation onto the duplicate job's
+            # scan: the agg metrics run as partial aggregates inside the
+            # duplicate check's groupBy, so the table is scanned ONCE for
+            # agg + uniqueness instead of twice — at warehouse scale the
+            # scan count is the cost that matters (measured 3.0s -> 1.9s
             # on the 8M-turn transcripts validation locally)
-            self._run_agg_with_duplicates(run, model, agg_specs, dup_specs, df, obj)
+            self._run_agg_with_duplicates(run, model, mergeable, dup_specs, df, obj)
+            self._run_agg_batch(run, model, quantile_specs, df, obj)
         else:
             self._run_agg_batch(run, model, agg_specs, df, obj)
             for spec in dup_specs:
@@ -486,6 +495,16 @@ class SparkContractEngine:
                 evaluators.append((spec, alias))
             elif spec.metric is MetricType.RETENTION:
                 _add(F.min(F.col(column)).alias(alias), alias)
+                evaluators.append((spec, alias))
+            elif spec.metric is MetricType.QUANTILE:
+                q = float(spec.quantile if spec.quantile is not None else 0.5)
+                # approx (t-digest-style sketch, fixed memory) is the 100 TB
+                # default; arguments.exact=true opts into the exact
+                # interpolated percentile (buffers the column per group)
+                expr = (F.percentile(F.col(column), F.lit(q))
+                        if spec.quantile_exact
+                        else F.percentile_approx(F.col(column), q, 10000))
+                _add(expr.alias(alias), alias)
                 evaluators.append((spec, alias))
         return exprs, expr_by_alias, evaluators, constant_zero, sample_conds
 
@@ -658,6 +677,11 @@ class SparkContractEngine:
             value = row[alias]
             if spec.metric in (MetricType.FRESHNESS, MetricType.RETENTION):
                 self._evaluate_timestamp_sla(run, spec, value)
+                continue
+            if spec.metric is MetricType.QUANTILE:
+                self._evaluate(run, spec,
+                               float(value) if value is not None else None,
+                               None, metric_label="quantile")
                 continue
             value = int(value) if value is not None else None
             self._evaluate(run, spec, value, row_count)

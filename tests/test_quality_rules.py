@@ -168,3 +168,78 @@ def test_dialect_rewrites_execute_on_spark(spark):
         rewritten = to_spark_sql(q, dialect)
         rows = spark.sql(rewritten).collect()
         assert check(rows), (q, rewritten, rows)
+
+
+QUANTILE_CONTRACT = """
+id: quantile-rules
+version: 0.1.0
+schema:
+  - name: ev
+    properties:
+      - name: k
+        logicalType: integer
+        primaryKey: true
+        primaryKeyPosition: 1
+      - name: v
+        logicalType: number
+        quality:
+          - metric: quantile
+            arguments: {quantile: 0.5, exact: true}
+            mustBeLessThan: 60
+            id: v-median
+          - metric: quantile
+            arguments: {quantile: 0.99, exact: true}
+            mustBeLessThan: 60
+            id: v-p99
+          - metric: quantile
+            arguments: {quantile: 0.9}
+            mustBeGreaterThan: 0
+            id: v-p90-approx
+"""
+
+
+def test_quantile_metric_exact_and_approx(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(k=i, v=float(i)) for i in range(101)])  # v: 0..100
+    contract = load_contract_str(QUANTILE_CONTRACT)
+    run = SparkContractEngine(spark).test(contract, tables={"ev": df})
+    by_id = {c.qualityId: c for c in run.checks if c.qualityId}
+    med = by_id["v-median"]
+    assert med.result is ResultEnum.passed
+    assert med.diagnostics["value"] == 50.0  # exact interpolated median
+    p99 = by_id["v-p99"]
+    assert p99.result is ResultEnum.failed  # p99 = 99.0, not < 60
+    assert p99.diagnostics["value"] == 99.0
+    approx = by_id["v-p90-approx"]
+    assert approx.result is ResultEnum.passed
+    assert 80.0 <= approx.diagnostics["value"] <= 100.0
+    # the PK uniqueness check still ran via the merged lane
+    assert run.check("ev__k__field_primary_key_unique").result is ResultEnum.passed
+
+
+def test_quantile_metric_rejects_bad_arguments(spark):
+    from pyspark.sql import Row
+
+    bad = QUANTILE_CONTRACT.replace("{quantile: 0.5, exact: true}",
+                                    "{quantile: 1.5}")
+    contract = load_contract_str(bad)
+    df = spark.createDataFrame([Row(k=1, v=1.0)])
+    run = SparkContractEngine(spark).test(contract, tables={"ev": df})
+    # the out-of-range rule is skipped at compile time, the others survive
+    ids = {c.qualityId for c in run.checks if c.qualityId}
+    assert "v-median" not in ids and "v-p99" in ids
+
+
+def test_numeric_string_threshold_compares_numerically():
+    """PyYAML parses `mustBeLessThan: 1e12` as a STRING (YAML 1.1 needs a
+    dot for scientific floats); the threshold must still compare
+    numerically instead of silently failing the check."""
+    from datacontract_cli_spark.checks.spec import Op, Threshold
+
+    assert Threshold(Op.LT, "1e12").passes(35.62)
+    assert not Threshold(Op.GT, "1e12").passes(35.62)
+    assert Threshold(Op.BETWEEN, "1e1", "1e3").passes(100)
+    # non-numeric strings still fail closed
+    assert not Threshold(Op.LT, "not-a-number").passes(1.0)
