@@ -45,6 +45,29 @@ def import_dataframe(df: DataFrame, name: str, contract_id: str = None,
     )
 
 
+_QUALITY_KEYS = [
+    ("type", "type"), ("metric", "metric"), ("arguments", "arguments"),
+    ("description", "description"), ("query", "query"),
+    ("dialect", "dialect"), ("engine", "engine"),
+    ("implementation", "implementation"),
+    ("must_be", "mustBe"), ("must_not_be", "mustNotBe"),
+    ("must_be_gt", "mustBeGreaterThan"),
+    ("must_be_ge", "mustBeGreaterOrEqualTo"),
+    ("must_be_lt", "mustBeLessThan"), ("must_be_le", "mustBeLessOrEqualTo"),
+    ("must_be_between", "mustBeBetween"),
+    ("must_not_be_between", "mustNotBeBetween"),
+    ("unit", "unit"), ("severity", "severity"), ("dimension", "dimension"),
+    ("id", "id"), ("tags", "tags"),
+]
+
+
+def _quality_dict(q) -> Dict[str, Any]:
+    """Inverse of QualityRule.from_dict — quality blocks must survive the
+    ODCS round-trip (import --format odcs, catalog, suggest, edit)."""
+    return {key: getattr(q, attr) for attr, key in _QUALITY_KEYS
+            if getattr(q, attr) is not None}
+
+
 def _property_dict(p: Property) -> Dict[str, Any]:
     d: Dict[str, Any] = {"name": p.name}
     if p.logical_type:
@@ -90,6 +113,8 @@ def _property_dict(p: Property) -> Dict[str, Any]:
         d["properties"] = [_property_dict(c) for c in p.properties]
     if p.items is not None:
         d["items"] = _property_dict(p.items)
+    if p.quality:
+        d["quality"] = [_quality_dict(q) for q in p.quality]
     return d
 
 
@@ -127,6 +152,8 @@ def to_odcs_dict(contract: DataContract) -> Dict[str, Any]:
                 **({"businessName": o.business_name} if o.business_name else {}),
                 **({"description": o.description} if o.description else {}),
                 "properties": [_property_dict(p) for p in o.properties],
+                **({"quality": [_quality_dict(q) for q in o.quality]}
+                   if o.quality else {}),
             }
             for o in contract.schema_objects
         ],

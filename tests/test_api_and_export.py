@@ -132,3 +132,43 @@ def test_cli_export_formats(tmp_path):
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))), timeout=120)
         assert r.returncode == 0, (fmt, r.stderr)
         assert probe in r.stdout, (fmt, r.stdout[:200])
+
+
+def test_odcs_roundtrip_preserves_quality_blocks():
+    """Property- and model-level quality rules must survive
+    contract → to_odcs_yaml → load_contract_str → to_odcs_yaml."""
+    from datacontract_cli_spark import export as _export
+    from datacontract_cli_spark.model.contract import load_contract_str
+
+    src = """
+id: q-rt
+version: 0.1.0
+schema:
+  - name: m
+    properties:
+      - name: v
+        logicalType: number
+        quality:
+          - metric: quantile
+            arguments: {quantile: 0.99, exact: true}
+            mustBeLessThan: 100
+            id: p99
+          - metric: nullValues
+            mustBeLessOrEqualTo: 5
+            unit: percent
+    quality:
+      - type: library
+        metric: rowCount
+        mustBeGreaterThan: 0
+"""
+    c1 = load_contract_str(src)
+    y1 = _export.to_odcs_yaml(c1)
+    c2 = load_contract_str(y1)
+    y2 = _export.to_odcs_yaml(c2)
+    assert y1 == y2  # stable fixed point
+    p = c2.schema_objects[0].properties[0]
+    assert [q.metric for q in p.quality] == ["quantile", "nullValues"]
+    assert p.quality[0].arguments == {"quantile": 0.99, "exact": True}
+    assert p.quality[0].must_be_lt == 100 and p.quality[0].id == "p99"
+    assert p.quality[1].unit == "percent"
+    assert c2.schema_objects[0].quality[0].metric == "rowCount"
