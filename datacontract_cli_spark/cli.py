@@ -188,6 +188,10 @@ def build_parser() -> argparse.ArgumentParser:
                      help="suggest an enum only up to this many values")
     sug.add_argument("--no-patterns", action="store_true",
                      help="skip the regex pattern battery")
+    sug.add_argument("--baselines", action="store_true",
+                     help="also draft drift checks (freqDriftPsi for enum "
+                          "columns, quantileDriftKs for float columns) with "
+                          "baselines from the observed distributions")
     sug.add_argument("--rationale", action="store_true",
                      help="print the per-column evidence as JSON on stderr")
     sug.add_argument("--output", default=None,
@@ -297,7 +301,8 @@ def main(argv: list[str] | None = None) -> int:
             contract, rationale = suggest_contract(
                 spark, df, args.name, fmt=args.format, path=args.source,
                 enum_max=args.enum_max,
-                detect_patterns=not args.no_patterns)
+                detect_patterns=not args.no_patterns,
+                drift_baselines=args.baselines)
         except Exception as e:
             print(f"error: {e}", file=sys.stderr)
             return 1

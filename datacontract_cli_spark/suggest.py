@@ -66,6 +66,7 @@ def suggest_contract(spark: SparkSession, df: DataFrame, name: str,
                      fmt: str = "parquet", path: Optional[str] = None,
                      enum_max: int = 20,
                      detect_patterns: bool = True,
+                     drift_baselines: bool = False,
                      ) -> Tuple[DataContract, Dict[str, dict]]:
     """Draft a contract with data-derived constraint suggestions.
 
@@ -166,5 +167,34 @@ def suggest_contract(spark: SparkSession, df: DataFrame, name: str,
             rationale[c]["range"] = (
                 f"observed [{st['min']}, {st['max']}] — widen before "
                 "enforcing")
+    # ---- optional drift baselines from the observed distributions -------
+    if drift_baselines and n > 0:
+        from datacontract_cli_spark.model.contract import QualityRule
+        from datacontract_cli_spark.operators.baselines import (
+            categorical_baseline, cdf_baseline)
+
+        for prop in obj.properties:
+            c = prop.column
+            dtype = dtypes.get(c, "")
+            if "enum" in prop.options:
+                base = {k: round(v, 6)
+                        for k, v in categorical_baseline(df, c).items()}
+                prop.quality.append(QualityRule(
+                    type="library", metric="freqDriftPsi",
+                    arguments={"baseline": base}, must_be_lt=0.25,
+                    id=f"{c}-psi-baseline"))
+                rationale.setdefault(c, {})["freqDriftPsi"] = (
+                    f"observed frequency baseline over {len(base)} categories")
+            elif dtype in ("double", "float") \
+                    and stats[c]["null_count"] < n:
+                base = cdf_baseline(df, c)
+                base["cdf"] = [[round(x, 6), p] for x, p in base["cdf"]]
+                prop.quality.append(QualityRule(
+                    type="library", metric="quantileDriftKs",
+                    arguments={"baseline": base}, must_be_lt=0.15,
+                    id=f"{c}-ks-baseline"))
+                rationale.setdefault(c, {})["quantileDriftKs"] = (
+                    f"CDF probe points at {len(base['cdf'])} observed quantiles")
+
     rationale = {c: r for c, r in rationale.items() if r}
     return contract, rationale

@@ -101,3 +101,32 @@ def test_suggest_decimal_column_survives_yaml(spark, tmp_path):
     assert p["amount"].options["maximum"] == 9.5
     text = _export.to_odcs_yaml(contract)  # must not raise RepresenterError
     assert "amount" in text
+
+
+def test_suggest_baselines_roundtrip_green(spark):
+    """--baselines drift rules drafted FROM the data must pass against the
+    same data (PSI ~ 0, KS ~ 0), surviving the YAML round-trip."""
+    from datacontract_cli_spark import export as _export
+    from datacontract_cli_spark.engine.executor import SparkContractEngine
+    from datacontract_cli_spark.model.contract import load_contract_str
+    from datacontract_cli_spark.model.run import ResultEnum
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    contract, rationale = suggest_contract(spark, df, "events",
+                                           drift_baselines=True)
+    p = _props(contract)
+    psi_rules = [q for q in p["event_type"].quality
+                 if q.metric == "freqDriftPsi"]
+    assert psi_rules and psi_rules[0].arguments["baseline"]
+    ks_rules = [q for q in p["value"].quality if q.metric == "quantileDriftKs"]
+    assert ks_rules and ks_rules[0].arguments["baseline"]["cdf"]
+    assert "freqDriftPsi" in rationale["event_type"]
+
+    reloaded = load_contract_str(_export.to_odcs_yaml(contract))
+    run = SparkContractEngine(spark).test(reloaded, tables={"events": df})
+    drift_checks = [c for c in run.checks
+                    if c.type in ("freq_drift_psi", "quantile_drift_ks")]
+    assert drift_checks, [c.key for c in run.checks]
+    bad = [(c.key, c.result.value, c.reason) for c in drift_checks
+           if c.result is not ResultEnum.passed]
+    assert not bad, bad
