@@ -1018,6 +1018,55 @@ def _q_table_diff(spark, sf):
     return table_diff(o, b.unionByName(added), ["o_orderkey"])
 
 
+def _q_bm25_topk(spark, sf):
+    """Okapi BM25 keyword top-10 over documents — the retrieval
+    counterpart of cosine_topk. Query-term filter prunes the scan before
+    the only wide shuffle; idf table broadcasts."""
+    from datacontract_cli_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf, "documents")
+    return bm25_topk(docs, ["scan", "fast", "merge"], k=10)
+
+
+def _q_quality_classifier(spark, sf):
+    """fastText-style hashed linear classifier scores: top-10 documents by
+    sigmoid(mean seeded-weight of md5-hashed unigrams). Zero-shuffle
+    per-row Column math (the plan has no Exchange)."""
+    from datacontract_cli_spark.operators.classifier import quality_scores
+
+    docs = _t(spark, sf, "documents")
+    s = quality_scores(docs, n_buckets=4096, seed=0)
+    # n_tokens: size() is INT; DuckDB len() is BIGINT — align the type
+    # family for the driver's type-sensitive hash
+    return (s.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+            .orderBy(F.desc("quality_score"), F.asc("doc_id")).limit(10))
+
+
+def _q_sequence_packing(spark, sf):
+    """Greedy FFD sequence packing of documents into 512-token bins across
+    8 md5 buckets: one-row fill/waste accounting. The cumsum window is
+    PARTITIONED by bucket — never global."""
+    from datacontract_cli_spark.operators.packing import packing_stats
+
+    docs = _t(spark, sf, "documents")
+    return packing_stats(docs, budget=512, n_buckets=8)
+
+
+def _q_mixture_sample(spark, sf):
+    """Domain-mixture subsample: resample sources toward a 40/40/20
+    src0/src1/src2 target at 5% of token volume; per-row md5 threshold,
+    zero shuffles on the corpus. Unlisted sources drop."""
+    from datacontract_cli_spark.operators.packing import mixture_sample
+
+    docs = _t(spark, sf, "documents")
+    kept = mixture_sample(docs, {"src0": 0.4, "src1": 0.4, "src2": 0.2},
+                          sample_frac=0.05)
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("n_chars").alias("kept_chars"))
+            .orderBy("source"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate tests only the FIRST 50
     # entries.  Everything that has never been driver-green (or failed last
@@ -1044,6 +1093,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_contiguity": _q_turn_contiguity,
         "embedding_centroid_drift": _q_embedding_centroid_drift,
         "table_diff_orders": _q_table_diff,
+        "bm25_topk": _q_bm25_topk,
+        "quality_classifier": _q_quality_classifier,
+        "sequence_packing": _q_sequence_packing,
+        "mixture_sample": _q_mixture_sample,
         # --- green in r03 but pushed past the cap in r04
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
@@ -1066,20 +1119,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsd_event_type": _q_jsd_event_type,
         "chi2_event_type": _q_chi2_event_type,
         "ks_value": _q_ks_value,
-        "json_validation": _q_json_validation,
-        # --- analytics / joins
-        "tpch_q1": _q_tpch_q1,
-        "topk_parts": _q_topk_parts,
         # --- LLM-data-pipeline lanes
         "dedup_exact": _q_dedup_exact,
         "lm_quality_score": _q_lm_quality_score,
         "benchmark_contamination": _q_benchmark_contamination,
-        "cosine_topk": _q_cosine_topk,
         "minhash_near_dups": _q_minhash_near_dups,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "embedding_near_dups": _q_embedding_near_dups,
         # ---------------- position 51+: multi-round driver-green, rotated out
+        # (tpch_q1/topk_parts/json_validation/cosine_topk rotated r5: their
+        # code paths are untouched this round)
+        "tpch_q1": _q_tpch_q1,
+        "topk_parts": _q_topk_parts,
+        "json_validation": _q_json_validation,
+        "cosine_topk": _q_cosine_topk,
         "token_stats": _q_token_stats,
         "dedup_keep_first": _q_dedup_keep_first,
         "window_top3_per_customer": _q_window_top3,
@@ -1326,6 +1380,89 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(m * gm) / (sqrt(sum(m * m)) * sqrt(sum(gm * gm))), 5) "
             "AS centroid_cosine FROM pd JOIN gl USING (pos) GROUP BY 1) "
             "SELECT label, n_vectors, centroid_cosine FROM j ORDER BY label"
+        ),
+        "bm25_topk": (
+            # Okapi BM25, k1=1.2 b=0.75, query {scan,fast,merge}; float-op
+            # ORDER mirrors the Spark expression tree exactly — (1.0+1.2)
+            # and (0.25 + (0.75*dl)/avgdl) are computed, not folded, so
+            # both engines round identically before the 5dp cut
+            r"WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            r"lower(text), '\s+'), x -> x <> '') AS ws FROM documents), "
+            r"dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d), "
+            r"st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl "
+            r"FROM dd), "
+            r"tok AS (SELECT doc_id, dl, unnest(ws) AS w FROM dd), "
+            r"tf AS (SELECT doc_id, dl, w, count(*) AS tf FROM tok "
+            r"WHERE w IN ('scan','fast','merge') GROUP BY doc_id, dl, w), "
+            r"dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w), "
+            r"idf AS (SELECT w, ln(1.0 + ((st.n - df) + 0.5) / (df + 0.5)) "
+            r"AS idf FROM dfreq CROSS JOIN st), "
+            r"sc AS (SELECT tf.doc_id, "
+            r"round(sum(((idf.idf * tf.tf) * (1.0 + 1.2)) "
+            r"/ (tf.tf + 1.2 * (0.25 + (0.75 * tf.dl) / st.avgdl))), 5) "
+            r"AS bm25, count(*) AS n_terms_matched "
+            r"FROM tf JOIN idf USING (w) CROSS JOIN st GROUP BY tf.doc_id) "
+            r"SELECT doc_id, bm25, n_terms_matched FROM sc "
+            r"ORDER BY bm25 DESC, doc_id LIMIT 10"
+        ),
+        "quality_classifier": (
+            # hashed-linear score: md5 bucket (shared hash family) →
+            # seeded affine weight, exact integer math; weights are exact
+            # multiples of 2^-20 so the list sum is order-exact in both
+            # engines; only exp() is libm-dependent (round 6 absorbs ULP)
+            r"WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            r"lower(text), '\s+'), x -> x <> '') AS ws FROM documents), "
+            r"s AS (SELECT doc_id, len(ws) AS n_tokens, "
+            r"CASE WHEN len(ws) > 0 THEN list_aggregate(list_transform(ws, "
+            r"w -> ((('0x' || substring(md5(w), 1, 6))::BIGINT % 4096) "
+            r"* 2654435761 + 12345) % 1048576 / 1048576.0 - 0.5), 'sum') "
+            r"/ len(ws) ELSE 0.0 END AS m FROM d) "
+            r"SELECT doc_id, n_tokens, "
+            r"round(1.0 / (1.0 + exp(-(m + 0.0))), 6) AS quality_score "
+            r"FROM s ORDER BY quality_score DESC, doc_id LIMIT 10"
+        ),
+        "sequence_packing": (
+            # FFD greedy packing, budget 512, 8 md5 buckets; fills are
+            # integer sums (exact), fill/512.0 is a power-of-two division
+            # (exact), so only the final rounding touches float noise
+            r"WITH d AS (SELECT doc_id, CAST(len(list_filter("
+            r"regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) "
+            r"AS BIGINT) AS n_tokens, "
+            r"('0x' || substring(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 8 "
+            r"AS bucket FROM documents), "
+            r"packed AS (SELECT bucket, n_tokens, CAST(floor("
+            r"(sum(n_tokens) OVER (PARTITION BY bucket "
+            r"ORDER BY n_tokens DESC, doc_id ASC "
+            r"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)"
+            r" / 512) AS BIGINT) AS local_bin FROM d), "
+            r"bins AS (SELECT bucket * 1099511627776 + local_bin AS bin_id, "
+            r"CAST(sum(n_tokens) AS BIGINT) AS fill FROM packed "
+            r"GROUP BY bucket * 1099511627776 + local_bin) "
+            r"SELECT count(*) AS n_bins, "
+            r"CAST(sum(fill) AS BIGINT) AS total_tokens, "
+            r"round(avg(fill / 512.0), 6) AS avg_fill, "
+            r"round(1.0 - CAST(sum(fill) AS DOUBLE) / (count(*) * 512.0), 6) "
+            r"AS pad_waste FROM bins"
+        ),
+        "mixture_sample": (
+            # per-source keep probability p = min(1, frac·t_s / c_s); the
+            # target normalizer replicates Python's sum order
+            # ((0.4+0.4)+0.2); md5_frac thresholds are exact multiples of
+            # 2^-32 so the kept set is bit-identical
+            r"WITH sh AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) "
+            r"AS tok FROM documents GROUP BY source), "
+            r"tot AS (SELECT sum(tok) AS all_tok FROM sh), "
+            r"p AS (SELECT source, least(1.0, "
+            r"(0.05 * (CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.4 "
+            r"ELSE 0.2 END / ((0.4 + 0.4) + 0.2))) / (tok / all_tok)) AS p "
+            r"FROM sh CROSS JOIN tot "
+            r"WHERE source IN ('src0','src1','src2')) "
+            r"SELECT d.source, count(*) AS n_kept, "
+            r"CAST(sum(d.n_chars) AS BIGINT) AS kept_chars "
+            r"FROM documents d JOIN p ON d.source = p.source "
+            r"WHERE ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT "
+            r"/ 4294967296.0 < p.p "
+            r"GROUP BY d.source ORDER BY d.source"
         ),
         "key_skew_report": (
             # integer divisions cast to DOUBLE on both sides; counts cast

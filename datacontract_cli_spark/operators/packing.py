@@ -1,0 +1,134 @@
+"""Training-batch construction: sequence packing and corpus mixing.
+
+Two operators a pretraining data pipeline runs after filtering/dedup:
+
+- ``pack_sequences``: assign documents to fixed-token-budget bins (the
+  "sequence packing" step that turns variable-length documents into
+  near-full training sequences, minimizing pad waste).
+- ``mixture_sample``: subsample each source to hit target mixture
+  weights under a global token budget (the Pile/DoReMi-style domain
+  mixing step).
+
+Both are deterministic (md5 order / greedy contiguous rule) so any engine
+reproduces the same assignment — no RNG, no collect of data rows.
+
+Scale notes:
+- Packing bins are computed per hash-bucket: the cumulative-sum window is
+  PARTITIONED (never global), so 100 TB packs as B independent streams;
+  bin ids are globally unique via (bucket, local_bin). First-fit-decreasing
+  within a bucket ≈ the quality of global FFD while staying parallel.
+- Mixing needs one tiny per-source aggregate (collected — rows = number
+  of sources, single digits) and then a per-row md5-threshold filter:
+  partition-invariant, zero shuffles on the big table.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _words(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
+
+
+def _md5_frac(col: Column) -> Column:
+    """Deterministic uniform-ish fraction in [0, 1) from md5 — the shared
+    hash family, so DuckDB reproduces the sample exactly."""
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+            .cast("double") / F.lit(float(1 << 32)))
+
+
+def pack_sequences(docs: DataFrame, budget: int, id_col: str = "doc_id",
+                   text_col: str = "text", n_buckets: int = 8,
+                   length_col: Optional[str] = None) -> DataFrame:
+    """(id, n_tokens, bucket, bin_id) — greedy contiguous packing.
+
+    Within each md5 bucket, documents are ordered (n_tokens DESC, id ASC)
+    — first-fit-decreasing order — and split at budget boundaries of the
+    running token sum: ``bin = floor((cumsum − n) / budget)``. Every bin's
+    total is ≤ budget + the length of the document that crosses the
+    boundary (standard greedy guarantee; documents longer than the budget
+    own their bin). ``length_col`` short-circuits tokenization when a
+    token count is already materialized.
+    """
+    n_tok = (F.col(length_col) if length_col
+             else F.size(_words(F.col(text_col))))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        n_tok.cast("long").alias("n_tokens"),
+        (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
+         .cast("long") % n_buckets).alias("bucket"),
+    )
+    w = (Window.partitionBy("bucket")
+         .orderBy(F.desc("n_tokens"), F.asc("id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = base.select(
+        "id", "n_tokens", "bucket",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / F.lit(budget)).alias("local_bin"),
+    )
+    return packed.select(
+        F.col("id").alias(id_col), "n_tokens", "bucket",
+        (F.col("bucket") * F.lit(1 << 40) + F.col("local_bin")).alias("bin_id"),
+    )
+
+
+def packing_stats(docs: DataFrame, budget: int, id_col: str = "doc_id",
+                  text_col: str = "text", n_buckets: int = 8,
+                  length_col: Optional[str] = None,
+                  round_to: int = 6) -> DataFrame:
+    """One-row packing efficiency summary: bins used, mean fill fraction,
+    and pad waste = 1 − total_tokens / (n_bins · budget)."""
+    packed = pack_sequences(docs, budget, id_col, text_col, n_buckets,
+                            length_col)
+    bins = packed.groupBy("bin_id").agg(F.sum("n_tokens").alias("fill"))
+    return bins.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("fill").alias("total_tokens"),
+        F.round(F.avg(F.col("fill") / F.lit(float(budget))), round_to)
+        .alias("avg_fill"),
+        F.round(F.lit(1.0) - F.sum("fill")
+                / (F.count(F.lit(1)) * F.lit(float(budget))), round_to)
+        .alias("pad_waste"),
+    )
+
+
+def mixture_sample(docs: DataFrame, targets: Dict[str, float],
+                   sample_frac: float, source_col: str = "source",
+                   id_col: str = "doc_id",
+                   length_col: str = "n_chars") -> DataFrame:
+    """Subsample so the kept corpus approaches the ``targets`` mixture
+    (source → weight, weights summing to 1) at ``sample_frac`` of the
+    original TOKEN volume.
+
+    Per source s with current token share c_s, the keep probability is
+    p_s = min(1, sample_frac · t_s / c_s); rows keep when
+    md5_frac(id) < p_s — deterministic, partitioning-invariant, and
+    independent per row, so no shuffle touches the corpus. Sources absent
+    from ``targets`` are dropped. Upsampling is clamped at p=1 (this
+    operator never duplicates rows; callers wanting hard upsampling union
+    extra md5-band passes).
+    """
+    total = sum(targets.values())
+    if total <= 0:
+        raise ValueError("mixture targets must sum > 0")
+    shares = (docs.groupBy(source_col)
+              .agg(F.sum(F.col(length_col).cast("double")).alias("tok"))
+              .collect())
+    all_tok = sum(r["tok"] or 0.0 for r in shares)
+    p: Dict[str, float] = {}
+    for r in shares:
+        s = r[source_col]
+        if s in targets and r["tok"]:
+            c_s = r["tok"] / all_tok
+            p[s] = min(1.0, sample_frac * (targets[s] / total) / c_s)
+    if not p:
+        return docs.filter(F.lit(False))
+    # per-row threshold via a CASE chain over the (tiny) source set
+    thr = F.lit(-1.0)
+    for s, ps in sorted(p.items()):
+        thr = F.when(F.col(source_col) == s, F.lit(ps)).otherwise(thr)
+    return docs.filter(_md5_frac(F.col(id_col)) < thr)

@@ -1,0 +1,107 @@
+"""BM25 full-text retrieval over a document corpus.
+
+The retrieval counterpart of `similarity.cosine_topk`: keyword top-k with
+the Okapi BM25 ranking function (Robertson & Zaragoza 2009) instead of an
+embedding metric. Training-data pipelines use exactly this shape to mine
+corpus documents for a query set (e.g. dataset decontamination audits,
+targeted data curation, hard-negative mining for retrievers).
+
+Spark-first shape — the query terms prune the scan before anything wide:
+
+  explode(words) → filter(w ∈ query)            — narrow; non-query terms
+                                                  never leave the scan stage
+  groupBy(doc_id, w): tf                        — the only wide shuffle,
+                                                  rows ≤ matching docs × |q|
+    ├─ groupBy(w): document frequency           — tiny (≤ |q| rows),
+    │                                             reuses the same exchange
+    │                                             → idf table, broadcast
+    └─ ⋈ broadcast idf → groupBy(doc_id): Σ     — per-doc score fold
+  orderBy(score desc, id).limit(k)              — TakeOrderedAndProject
+
+Document length (dl) is computed per row as `size(words(text))` — a
+narrow projection, never a token-level shuffle; (N, avgdl) collect as two
+scalars in one tiny agg and inline as literals (same pattern as
+`lm_score.score_documents`).
+
+At 100 TB: the corpus is scanned, never shuffled — the wide stages carry
+only (doc_id, term) pairs for terms that appear in the query (|q| is tens
+of words). No inverted index needs materializing for one-shot queries;
+for repeated querying, persist `doc_term_stats` partitioned by term and
+partition pruning does the candidate cut.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _words(col: Column) -> Column:
+    """Whitespace tokens of the lowercased text (shared normalization with
+    the tf-idf / lm_score / dsir lanes)."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda w: w != "")
+
+
+def bm25_topk(docs: DataFrame, query: Sequence[str], k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text",
+              k1: float = 1.2, b: float = 0.75,
+              round_to: int = 5) -> DataFrame:
+    """Top-k documents for ``query`` by BM25 score.
+
+      score(d) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 − b + b·dl/avgdl))
+      idf(t)   = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+
+    Duplicate query terms are counted once (set semantics, the standard
+    BM25 treatment). Returns (id, score, n_query_terms_matched) ordered by
+    (score desc, id asc) — the tie-break makes the cut deterministic.
+    """
+    terms = sorted({t for t in (w.strip().lower() for w in query) if t})
+    if not terms:
+        raise ValueError("bm25_topk: empty query")
+
+    # bind the token array once, then derive dl from the bound column —
+    # avoids evaluating the split twice per row
+    base = (docs.select(F.col(id_col).alias("id"),
+                        _words(F.col(text_col)).alias("ws"))
+            .select("id", F.size("ws").alias("dl"), "ws"))
+    # N and avgdl: one narrow agg (no token shuffle), two inlined scalars
+    row = base.agg(F.count(F.lit(1)).alias("n"),
+                   F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 1.0)
+
+    tf = (base.select("id", "dl", F.explode("ws").alias("w"))
+          .filter(F.col("w").isin(terms))
+          .groupBy("id", "dl", "w")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    # df(t) from the tf frame: same grouped subtree feeds both sides, so
+    # the exchange is reused when the query executes as one plan
+    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.select(
+        "w",
+        F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
+              / (F.col("df") + 0.5)).alias("idf"),
+    )
+    part = (F.col("idf") * F.col("tf") * (1.0 + k1)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)))
+    scored = (tf.join(F.broadcast(idf), "w")
+              .groupBy("id")
+              .agg(F.round(F.sum(part), round_to).alias("bm25"),
+                   F.count(F.lit(1)).alias("n_terms_matched")))
+    return (scored.orderBy(F.desc("bm25"), F.asc("id"))
+            .limit(k)
+            .select(F.col("id").alias(id_col), "bm25", "n_terms_matched"))
+
+
+def doc_term_stats(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(term, doc_id, tf, dl) — the materializable inverted index for
+    repeated BM25 querying. Write it partitioned/bucketed by ``term`` so a
+    query's scan prunes to its own terms' files; the one wide shuffle here
+    is the same (doc, term) groupBy the one-shot path pays per query."""
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.size(_words(F.col(text_col))).alias("dl"),
+                        F.explode(_words(F.col(text_col))).alias("term"))
+            .groupBy("term", "doc_id", "dl")
+            .agg(F.count(F.lit(1)).alias("tf")))

@@ -27,6 +27,8 @@ ROTATED = {
     "asof_join", "cube_revenue", "pivot_status", "semi_anti_join",
     "rollup_orders", "unpivot_part", "embedding_pairs_exact",
     "histogram_totalprice",
+    # rotated r5 (green r03+r04; code paths untouched this round)
+    "tpch_q1", "topk_parts", "json_validation", "cosine_topk",
 }
 
 
