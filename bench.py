@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     "mad_outliers",
     "props_json_stats",
     "dsir_weights",
+    "bm25_topk",
+    "quality_classifier",
+    "sequence_packing",
+    "mixture_sample",
 ]
 
 TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "1000000"))
