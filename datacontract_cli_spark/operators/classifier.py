@@ -74,22 +74,24 @@ def classifier_score(text: Column, n_buckets: int = 4096, seed: int = 0,
 def quality_scores(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", n_buckets: int = 4096,
                    seed: int = 0, bias: float = 0.0,
+                   weights: Optional[Sequence[float]] = None,
                    round_to: int = 6) -> DataFrame:
     """(id, n_tokens, quality_score) for every document — one narrow pass."""
     ws = _words(F.col(text_col))
     return docs.select(
         F.col(id_col),
         F.size(ws).alias("n_tokens"),
-        F.round(classifier_score(F.col(text_col), n_buckets, seed, bias),
-                round_to).alias("quality_score"),
+        F.round(classifier_score(F.col(text_col), n_buckets, seed, bias,
+                                 weights), round_to).alias("quality_score"),
     )
 
 
 def quality_gate(docs: DataFrame, threshold: float, id_col: str = "doc_id",
                  text_col: str = "text", n_buckets: int = 4096,
-                 seed: int = 0, bias: float = 0.0) -> DataFrame:
+                 seed: int = 0, bias: float = 0.0,
+                 weights: Optional[Sequence[float]] = None) -> DataFrame:
     """Documents whose classifier score clears ``threshold`` — the filter
     form (all original columns kept, still zero-shuffle)."""
     return docs.filter(
-        classifier_score(F.col(text_col), n_buckets, seed, bias)
+        classifier_score(F.col(text_col), n_buckets, seed, bias, weights)
         >= F.lit(float(threshold)))

@@ -99,7 +99,7 @@ def packing_stats(docs: DataFrame, budget: int, id_col: str = "doc_id",
 def mixture_sample(docs: DataFrame, targets: Dict[str, float],
                    sample_frac: float, source_col: str = "source",
                    id_col: str = "doc_id",
-                   length_col: str = "n_chars") -> DataFrame:
+                   length_col: Optional[str] = "n_chars") -> DataFrame:
     """Subsample so the kept corpus approaches the ``targets`` mixture
     (source → weight, weights summing to 1) at ``sample_frac`` of the
     original TOKEN volume.
@@ -115,8 +115,12 @@ def mixture_sample(docs: DataFrame, targets: Dict[str, float],
     total = sum(targets.values())
     if total <= 0:
         raise ValueError("mixture targets must sum > 0")
+    # length_col=None: every document weighs 1 (row-share mixing instead
+    # of token-share) — for frames without a materialized length column
+    weight = (F.col(length_col).cast("double") if length_col
+              else F.lit(1.0))
     shares = (docs.groupBy(source_col)
-              .agg(F.sum(F.col(length_col).cast("double")).alias("tok"))
+              .agg(F.sum(weight).alias("tok"))
               .collect())
     all_tok = sum(r["tok"] or 0.0 for r in shares)
     p: Dict[str, float] = {}

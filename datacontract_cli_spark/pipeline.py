@@ -20,7 +20,11 @@ Stage order matters and mirrors production practice:
      against a reference corpus),
   5. PII scrubbing (transforms text, so AFTER the content-hash stages —
      scrubbing first would split near-dup groups),
-  6. leakage-safe split (or diversity sampling) LAST, on the final ids.
+  6. domain-mixture resampling toward target source weights (a sampling
+     decision, so after all content filters but before the split),
+  7. leakage-safe split (or diversity sampling) on the final ids,
+  8. sequence packing LAST — bin assignment depends on exactly which
+     documents survived everything above.
 """
 
 from __future__ import annotations
@@ -56,8 +60,14 @@ def curate_corpus(
     max_repetition: float = 0.5,
     near_dup_threshold: float = 0.85,
     contamination_ngram: int = 5,
+    classifier_threshold: Optional[float] = None,
+    classifier_weights: Optional[List[float]] = None,
     scrub_pii: bool = True,
+    mixture_targets: Optional[Dict[str, float]] = None,
+    mixture_frac: float = 1.0,
+    source_col: str = "source",
     split_weights: Optional[Dict[str, float]] = None,
+    pack_budget: Optional[int] = None,
     report: Optional[CurationReport] = None,
 ) -> DataFrame:
     """Run the full curation chain; returns the curated frame (with a
@@ -123,11 +133,38 @@ def curate_corpus(
                                       id_col, text_col)
         _tick("lm_quality", out)
 
+    # 4c. learned quality gate (fastText-style hashed linear classifier —
+    # zero-shuffle, so it rides the same scan as the heuristic filters)
+    if classifier_threshold is not None:
+        from datacontract_cli_spark.operators.classifier import quality_gate
+        n_buckets = len(classifier_weights) if classifier_weights else 4096
+        out = quality_gate(out, classifier_threshold, id_col, text_col,
+                           n_buckets=n_buckets, weights=classifier_weights)
+        _tick("classifier_quality", out)
+
     # 5. PII scrub (AFTER content-hash stages: scrubbing changes the text)
     if scrub_pii:
         out = out.withColumn(text_col, pii.scrub(F.col(text_col)))
 
-    # 6. leakage-safe split on the surviving ids
+    # 6. domain-mixture resampling (after content filters — mixing earlier
+    # would re-skew whenever a filter removes more of one source)
+    if mixture_targets:
+        from datacontract_cli_spark.operators.packing import mixture_sample
+        out = mixture_sample(out, mixture_targets, mixture_frac,
+                             source_col=source_col, id_col=id_col,
+                             length_col=None)
+        _tick("mixture", out)
+
+    # 7. leakage-safe split on the surviving ids
     if split_weights:
         out = hash_split(out, id_col, split_weights)
+
+    # 8. sequence packing LAST: bin ids join back by id (the one id-keyed
+    # shuffle this stage adds; at scale write the packed output bucketed
+    # by bin_id so training readers stream whole bins)
+    if pack_budget:
+        from datacontract_cli_spark.operators.packing import pack_sequences
+        bins = pack_sequences(out, pack_budget, id_col, text_col) \
+            .select(id_col, "bin_id")
+        out = out.join(bins, id_col)
     return out

@@ -90,3 +90,47 @@ def test_curate_corpus_report_optional_and_deterministic(spark):
                curate_corpus(docs.repartition(5), min_tokens=5,
                              near_dup_threshold=0.7).collect())
     assert a == b == [1, 4, 7, 8]  # no benchmark passed -> doc 4 stays
+
+
+def test_curate_corpus_new_stages(spark):
+    # classifier gate + mixture resampling + packing compose after the
+    # content filters; sources drive the mixture, bin_id lands last
+    rows = [(i, "web",
+             f"document number {i} about distributed query engines and "
+             "shuffle optimization across many diverse domains")
+            for i in range(40)]
+    rows += [(100 + i, "books",
+              f"chapter {i} of a long book about carefully curated text "
+              "corpora with diverse high quality content")
+             for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    report = CurationReport()
+    out = curate_corpus(
+        docs,
+        min_tokens=3,
+        # all-positive trained weights -> every doc scores sigmoid(0.7):
+        # the gate keeps everything at 0.6 and drops everything at 0.7
+        classifier_threshold=0.6,
+        classifier_weights=[0.7] * 64,
+        scrub_pii=False,
+        mixture_targets={"web": 0.5, "books": 0.5},
+        mixture_frac=0.4,
+        pack_budget=64,
+        report=report,
+    )
+    got = out.collect()
+    stages = {s["stage"]: s["rows"] for s in report.to_rows()}
+    assert stages["classifier_quality"] == stages["heuristic_quality"]
+    assert stages["mixture"] < stages["classifier_quality"]  # subsampled
+    # books (minority source, upweighted to 0.5 target) keeps all 10
+    kept_sources = {r["source"] for r in got}
+    assert "books" in kept_sources
+    # every surviving row got a bin id, and bins respect the budget + one
+    # boundary doc guarantee
+    assert all(r["bin_id"] is not None for r in got)
+
+    all_dropped = curate_corpus(
+        docs, min_tokens=3, classifier_threshold=0.75,
+        classifier_weights=[0.7] * 64, scrub_pii=False)
+    assert all_dropped.count() == 0
