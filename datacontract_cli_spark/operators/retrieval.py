@@ -6,32 +6,38 @@ embedding metric. Training-data pipelines use exactly this shape to mine
 corpus documents for a query set (e.g. dataset decontamination audits,
 targeted data curation, hard-negative mining for retrievers).
 
-Spark-first shape — the query terms prune the scan before anything wide:
+Spark-first shape — the query terms prune the scan before anything wide,
+and the per-term statistics collapse to LITERALS so the returned plan
+scans the corpus exactly once:
 
-  explode(words) → filter(w ∈ query)            — narrow; non-query terms
+  job A: (N, avgdl) — one narrow agg, two scalars
+  job B: df(t) per query term — ≤ |q| rows collected; idf literals
+  returned plan:
+    explode(words) → filter(w ∈ query)          — narrow; non-query terms
                                                   never leave the scan stage
-  groupBy(doc_id, w): tf                        — the only wide shuffle,
+    groupBy(doc_id, w): tf                      — the only wide shuffle,
                                                   rows ≤ matching docs × |q|
-    ├─ groupBy(w): document frequency           — tiny (≤ |q| rows),
-    │                                             reuses the same exchange
-    │                                             → idf table, broadcast
-    └─ ⋈ broadcast idf → groupBy(doc_id): Σ     — per-doc score fold
-  orderBy(score desc, id).limit(k)              — TakeOrderedAndProject
+    idf via literal CASE over terms             — no join, no second branch
+    groupBy(doc_id): Σ → orderBy().limit(k)     — TakeOrderedAndProject
+
+A naive two-branch plan (tf ⋈ groupBy(w)-derived idf) re-scans the
+corpus for the df aggregate — Catalyst prunes the branches differently,
+so the exchange is NOT reused (measured: 2 corpus scans). Collecting the
+≤|q|-row df table instead makes the main plan single-scan.
 
 Document length (dl) is computed per row as `size(words(text))` — a
-narrow projection, never a token-level shuffle; (N, avgdl) collect as two
-scalars in one tiny agg and inline as literals (same pattern as
-`lm_score.score_documents`).
+narrow projection, never a token-level shuffle.
 
-At 100 TB: the corpus is scanned, never shuffled — the wide stages carry
-only (doc_id, term) pairs for terms that appear in the query (|q| is tens
-of words). No inverted index needs materializing for one-shot queries;
-for repeated querying, persist `doc_term_stats` partitioned by term and
+At 100 TB: the corpus is scanned once per statistics job and once for
+scoring, never shuffled — the wide stages carry only (doc_id, term)
+pairs for terms that appear in the query (|q| is tens of words). For
+repeated querying, materialize `doc_term_stats` partitioned by term and
 partition pruning does the candidate cut.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -66,27 +72,39 @@ def bm25_topk(docs: DataFrame, query: Sequence[str], k: int = 10,
     base = (docs.select(F.col(id_col).alias("id"),
                         _words(F.col(text_col)).alias("ws"))
             .select("id", F.size("ws").alias("dl"), "ws"))
-    # N and avgdl: one narrow agg (no token shuffle), two inlined scalars
+    # job A — N and avgdl: one narrow agg, two inlined scalars
     row = base.agg(F.count(F.lit(1)).alias("n"),
                    F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 1.0)
 
+    # job B — df(t): ≤ |q| rows; collected so idf becomes literals and the
+    # scoring plan needs no second corpus branch (see module docstring)
+    df_rows = (base.select("id", F.explode("ws").alias("w"))
+               .filter(F.col("w").isin(terms))
+               .groupBy("w")
+               .agg(F.count_distinct("id").alias("df"))
+               .collect())
+    idf = {
+        r["w"]: math.log(1.0 + (float(n_docs) - r["df"] + 0.5)
+                         / (r["df"] + 0.5))
+        for r in df_rows
+    }
+    if not idf:
+        # no query term occurs anywhere: empty result, stable schema
+        return (docs.select(F.col(id_col), F.lit(0.0).alias("bm25"),
+                            F.lit(0).cast("long").alias("n_terms_matched"))
+                .limit(0))
+
     tf = (base.select("id", "dl", F.explode("ws").alias("w"))
-          .filter(F.col("w").isin(terms))
+          .filter(F.col("w").isin(sorted(idf)))
           .groupBy("id", "dl", "w")
           .agg(F.count(F.lit(1)).alias("tf")))
-    # df(t) from the tf frame: same grouped subtree feeds both sides, so
-    # the exchange is reused when the query executes as one plan
-    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_t.select(
-        "w",
-        F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5)
-              / (F.col("df") + 0.5)).alias("idf"),
-    )
-    part = (F.col("idf") * F.col("tf") * (1.0 + k1)
+    idf_col = F.lit(0.0)
+    for w, v in sorted(idf.items()):
+        idf_col = F.when(F.col("w") == w, F.lit(v)).otherwise(idf_col)
+    part = (idf_col * F.col("tf") * (1.0 + k1)
             / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)))
-    scored = (tf.join(F.broadcast(idf), "w")
-              .groupBy("id")
+    scored = (tf.groupBy("id")
               .agg(F.round(F.sum(part), round_to).alias("bm25"),
                    F.count(F.lit(1)).alias("n_terms_matched")))
     return (scored.orderBy(F.desc("bm25"), F.asc("id"))

@@ -80,6 +80,22 @@ def test_bm25_unmatched_query_returns_empty(spark):
     assert bm25_topk(_docs(spark), ["zzzmissing"], k=5).count() == 0
 
 
+def test_bm25_returned_plan_scans_once(spark, tmp_path):
+    # the df/idf statistics collect in separate jobs; the RETURNED plan
+    # must touch the corpus exactly once (a naive two-branch tf/df plan
+    # re-scans it — Catalyst prunes the branches differently, no reuse)
+    p = str(tmp_path / "docs.parquet")
+    _docs(spark).write.parquet(p)
+    df = bm25_topk(spark.read.parquet(p), ["query", "engine"], k=5)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString appends an "== Initial Plan ==" copy — count only
+    # the final plan's scans
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "TakeOrderedAndProject" in final
+
+
 def test_doc_term_stats_is_an_inverted_index(spark):
     idx = {(r["term"], r["doc_id"]): (r["tf"], r["dl"]) for r in
            doc_term_stats(_docs(spark)).collect()}
