@@ -1052,6 +1052,22 @@ def _q_sequence_packing(spark, sf):
     return packing_stats(docs, budget=512, n_buckets=8)
 
 
+def _q_doc_chunks(spark, sf):
+    """Sliding-window chunking (64-token chunks every 48): corpus-level
+    chunk accounting. Entirely narrow until the one-row agg."""
+    from datacontract_cli_spark.operators.packing import chunk_documents
+
+    docs = _t(spark, sf, "documents")
+    c = chunk_documents(docs, chunk_size=64, stride=48)
+    return c.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_tokens").alias("total_chunk_tokens"),
+        F.round(F.avg(F.col("n_tokens") / F.lit(64.0)), 6).alias("avg_fill"),
+        F.sum((F.col("n_tokens") == 64).cast("long")).alias("n_full_chunks"),
+    )
+
+
 def _q_mixture_sample(spark, sf):
     """Domain-mixture subsample: resample sources toward a 40/40/20
     src0/src1/src2 target at 5% of token volume; per-row md5 threshold,
@@ -1097,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "sequence_packing": _q_sequence_packing,
         "mixture_sample": _q_mixture_sample,
+        "doc_chunks": _q_doc_chunks,
         # --- green in r03 but pushed past the cap in r04
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
@@ -1126,10 +1143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "simhash_near_dups": _q_simhash_near_dups,
-        "embedding_near_dups": _q_embedding_near_dups,
         # ---------------- position 51+: multi-round driver-green, rotated out
-        # (tpch_q1/topk_parts/json_validation/cosine_topk rotated r5: their
-        # code paths are untouched this round)
+        # (tpch_q1/topk_parts/json_validation/cosine_topk/embedding_near_dups
+        # rotated r5: their code paths are untouched this round)
+        "embedding_near_dups": _q_embedding_near_dups,
         "tpch_q1": _q_tpch_q1,
         "topk_parts": _q_topk_parts,
         "json_validation": _q_json_validation,
@@ -1443,6 +1460,24 @@ def oracle_sql() -> dict[str, str]:
             r"round(avg(fill / 512.0), 6) AS avg_fill, "
             r"round(1.0 - CAST(sum(fill) AS DOUBLE) / (count(*) * 512.0), 6) "
             r"AS pad_waste FROM bins"
+        ),
+        "doc_chunks": (
+            # sliding-window chunk accounting; chunk token counts derive
+            # arithmetically (least(64, n - start)) — equivalent to the
+            # slice length since every start < n
+            r"WITH d AS (SELECT doc_id, len(list_filter("
+            r"regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) "
+            r"AS n FROM documents), "
+            r"c AS (SELECT doc_id, "
+            r"unnest(generate_series(0, CAST(floor((n - 1) / 48.0) AS BIGINT)))"
+            r" AS i, n FROM d WHERE n > 0) "
+            r"SELECT count(*) AS n_chunks, "
+            r"count(DISTINCT doc_id) AS n_docs, "
+            r"CAST(sum(least(64, n - i * 48)) AS BIGINT) "
+            r"AS total_chunk_tokens, "
+            r"round(avg(least(64, n - i * 48) / 64.0), 6) AS avg_fill, "
+            r"CAST(sum(CASE WHEN least(64, n - i * 48) >= 64 THEN 1 ELSE 0 "
+            r"END) AS BIGINT) AS n_full_chunks FROM c"
         ),
         "mixture_sample": (
             # per-source keep probability p = min(1, frac·t_s / c_s); the

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "quality_classifier",
     "sequence_packing",
     "mixture_sample",
+    "doc_chunks",
 ]
 
 TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "1000000"))

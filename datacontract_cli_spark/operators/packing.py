@@ -96,6 +96,40 @@ def packing_stats(docs: DataFrame, budget: int, id_col: str = "doc_id",
     )
 
 
+def chunk_documents(docs: DataFrame, chunk_size: int,
+                    stride: Optional[int] = None, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, chunk_idx, n_tokens, chunk_text) — sliding-window chunking of
+    each document into ``chunk_size``-token windows every ``stride``
+    tokens (default: non-overlapping, stride = chunk_size). The RAG /
+    context-window preprocessing step.
+
+    Chunk starts are 0, stride, 2·stride, … while start < n_tokens, so
+    every token lands in ≥1 chunk and the final chunk may be short.
+    Entirely narrow — transform over a bound token array + posexplode;
+    nothing shuffles until whatever the caller aggregates."""
+    if chunk_size < 1:
+        raise ValueError("chunk_size must be >= 1")
+    stride = chunk_size if stride is None else stride
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    base = docs.select(F.col(id_col).alias("id"),
+                       _words(F.col(text_col)).alias("ws"))
+    n = F.size("ws")
+    # number of starts strictly below n; F.sequence DESCENDS when stop <
+    # start, so empty docs must short-circuit to an empty array
+    n_chunks = F.floor((n - 1) / F.lit(stride)) + 1
+    starts = F.when(n > 0, F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+                    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda i: F.slice(F.col("ws"), i * stride + 1, chunk_size))
+    return (base.select("id", F.posexplode(chunks).alias("chunk_idx", "c"))
+            .select(F.col("id").alias(id_col), "chunk_idx",
+                    F.size("c").cast("long").alias("n_tokens"),
+                    F.array_join("c", " ").alias("chunk_text")))
+
+
 def mixture_sample(docs: DataFrame, targets: Dict[str, float],
                    sample_frac: float, source_col: str = "source",
                    id_col: str = "doc_id",

@@ -239,3 +239,68 @@ def test_mixture_sample_bad_targets_raise(spark):
     df = spark.createDataFrame([Row(doc_id=1, source="a", n_chars=1)])
     with pytest.raises(ValueError):
         mixture_sample(df, {"a": 0.0}, 0.5)
+
+
+def test_chunk_documents_sliding_windows(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e f g"),   # 7 tokens
+         Row(doc_id=2, text="x y"),             # 2 tokens -> one short chunk
+         Row(doc_id=3, text="   ")])            # empty -> no chunks
+    from datacontract_cli_spark.operators.packing import chunk_documents
+
+    out = {(r["doc_id"], r["chunk_idx"]): r
+           for r in chunk_documents(df, chunk_size=3).collect()}
+    # non-overlapping: 7 tokens -> 3,3,1
+    assert out[(1, 0)]["chunk_text"] == "a b c"
+    assert out[(1, 1)]["chunk_text"] == "d e f"
+    assert out[(1, 2)]["chunk_text"] == "g"
+    assert out[(1, 2)]["n_tokens"] == 1
+    assert out[(2, 0)]["chunk_text"] == "x y"
+    assert not any(k[0] == 3 for k in out)
+
+    # overlapping: chunk 3, stride 2 over 5 tokens -> starts 0,2,4
+    df5 = spark.createDataFrame([Row(doc_id=1, text="a b c d e")])
+    got = [r["chunk_text"] for r in
+           chunk_documents(df5, chunk_size=3, stride=2)
+           .orderBy("chunk_idx").collect()]
+    assert got == ["a b c", "c d e", "e"]
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=3, stride=0)
+
+
+def test_chunk_documents_every_token_covered(spark):
+    df = spark.createDataFrame([Row(doc_id=i, text=" ".join(
+        f"w{j}" for j in range(i))) for i in range(1, 30)])
+    from datacontract_cli_spark.operators.packing import chunk_documents
+    chunks = chunk_documents(df, chunk_size=8, stride=5)
+    per_doc = {r["doc_id"]: r["n"] for r in
+               chunks.groupBy("doc_id").agg(
+                   F.countDistinct("chunk_idx").alias("n")).collect()}
+    for i in range(1, 30):
+        assert per_doc[i] == (i - 1) // 5 + 1  # starts while start < n
+
+
+def test_quality_gate_composes_with_structured_streaming(spark, tmp_path):
+    # the classifier is stateless per-row Column math, so it runs
+    # unchanged on a stream (append mode, no state store)
+    src = tmp_path / "docs"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"streaming document {i} about query engines")
+         for i in range(20)])
+    df.write.parquet(str(src / "p"))
+    from datacontract_cli_spark.operators.classifier import (
+        quality_gate, quality_scores)
+    thr = sorted(r["quality_score"]
+                 for r in quality_scores(df).collect())[10]
+    stream = spark.readStream.schema(df.schema).parquet(str(src / "p"))
+    gated = quality_gate(stream, thr - 1e-9)
+    q = (gated.writeStream.outputMode("append").format("memory")
+         .queryName("gated_docs").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM gated_docs").collect()}
+    want = {r["doc_id"] for r in quality_gate(df, thr - 1e-9).collect()}
+    assert got == want and len(got) == 10
