@@ -1014,7 +1014,10 @@ def _q_table_diff(spark, sf):
                             F.col("o_totalprice") + 1)
                      .otherwise(F.col("o_totalprice"))))
     added = (o.filter(F.col("o_orderkey") % 101 == 0)
-             .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000))
+             # negate for the relocated ids: TPC-H keys are positive at
+             # every sf, so -k-1 can never collide with a real key (a
+             # fixed +10M offset collides above sf~1.7)
+             .withColumn("o_orderkey", -F.col("o_orderkey") - 1))
     return table_diff(o, b.unionByName(added), ["o_orderkey"])
 
 

@@ -78,11 +78,23 @@ class Threshold:
             except (TypeError, ValueError):
                 return False
 
+    @staticmethod
+    def _numeric_string_mix(a: Any, b: Any) -> bool:
+        return (isinstance(a, (int, float)) and isinstance(b, str)) or \
+            (isinstance(a, str) and isinstance(b, (int, float)))
+
     def _compare(self, actual: Any, value: Any, value2: Any) -> bool:
-        if self.op is Op.EQ:
-            return actual == value
-        if self.op is Op.NE:
-            return actual != value
+        if self.op in (Op.EQ, Op.NE):
+            eq = actual == value
+            # `1e12 == "1e12"` is False WITHOUT raising TypeError, so the
+            # ordering ops' coercion fallback never fires for EQ/NE —
+            # retry numerically when exactly one side is a string
+            if not eq and self._numeric_string_mix(actual, value):
+                try:
+                    eq = float(actual) == float(value)
+                except ValueError:
+                    pass
+            return eq if self.op is Op.EQ else not eq
         if self.op is Op.GT:
             return actual > value
         if self.op is Op.GE:

@@ -30,11 +30,33 @@ def categorical_baseline(df: DataFrame, column: str) -> Dict[str, float]:
 
 
 def cdf_baseline(df: DataFrame, column: str,
-                 probs: Sequence[float] = DEFAULT_QUANTILES) -> Dict[str, Any]:
+                 probs: Sequence[float] = DEFAULT_QUANTILES,
+                 round_to: Optional[int] = None) -> Dict[str, Any]:
     """CDF probe points from the reference data's own quantiles (so the
-    live-data KS evaluates exactly at meaningful locations)."""
-    xs = df.agg(F.percentile_approx(column, list(probs), 10_000).alias("q")).first()["q"]
-    return {"cdf": [[float(x), float(p)] for x, p in zip(xs, probs)]}
+    live-data KS evaluates exactly at meaningful locations).
+
+    The recorded probability is the EMPIRICAL CDF at each probe point,
+    not the nominal quantile prob: percentile_approx returns actual data
+    elements, so on tie-heavy columns F̂(q(p)) can exceed p by the whole
+    point mass (a 30%-zeros column has q(0.01)=0 but F̂(0)=0.30), and any
+    caller-side rounding of the probe shifts it below the value whose
+    rank defined p. Recording F̂ makes KS(reference, reference) exactly 0
+    — drafted drift rules can never fail on the data they were drafted
+    from. ``round_to`` rounds probes BEFORE the empirical pass (probes
+    dedupe after rounding)."""
+    xs = df.agg(F.percentile_approx(column, list(probs), 10_000)
+                .alias("q")).first()["q"]
+    if xs is None:
+        return {"cdf": []}
+    pts = sorted({round(float(x), round_to) if round_to is not None
+                  else float(x) for x in xs})
+    col = F.col(column)
+    row = df.agg(
+        F.count(col).alias("n"),
+        *[F.sum((col <= F.lit(x)).cast("long")).alias(f"c{i}")
+          for i, x in enumerate(pts)]).first()
+    n = row["n"] or 1
+    return {"cdf": [[x, float(row[f"c{i}"]) / n] for i, x in enumerate(pts)]}
 
 
 def tdigest_baseline(df: DataFrame, column: str,

@@ -24,7 +24,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -43,37 +43,59 @@ def _md5_frac(col: Column) -> Column:
 
 def pack_sequences(docs: DataFrame, budget: int, id_col: str = "doc_id",
                    text_col: str = "text", n_buckets: int = 8,
-                   length_col: Optional[str] = None) -> DataFrame:
+                   length_col: Optional[str] = None,
+                   group_cols: Sequence[str] = (),
+                   keep_cols: bool = False) -> DataFrame:
     """(id, n_tokens, bucket, bin_id) — greedy contiguous packing.
 
-    Within each md5 bucket, documents are ordered (n_tokens DESC, id ASC)
-    — first-fit-decreasing order — and split at budget boundaries of the
-    running token sum: ``bin = floor((cumsum − n) / budget)``. Every bin's
-    total is ≤ budget + the length of the document that crosses the
-    boundary (standard greedy guarantee; documents longer than the budget
-    own their bin). ``length_col`` short-circuits tokenization when a
-    token count is already materialized.
+    Within each (group, md5-bucket) stream, documents are ordered
+    (n_tokens DESC, id ASC) — first-fit-decreasing order — and split at
+    budget boundaries of the running token sum:
+    ``bin = floor((cumsum − n) / budget)``. Every bin's total is ≤ budget
+    + the length of the document that crosses the boundary (standard
+    greedy guarantee; documents longer than the budget own their bin).
+
+    ``group_cols`` keeps bins group-pure — packing after a train/valid
+    split MUST pass the split column here, or one bin mixes documents
+    across splits and a bin-streaming training reader leaks eval text.
+    With groups, ``bin_id`` is a string ``grp/…/bucket/local`` (globally
+    unique across groups); without, it stays the numeric
+    ``bucket·2⁴⁰ + local``.
+
+    ``length_col`` short-circuits tokenization when a token count is
+    already materialized. ``keep_cols=True`` returns the FULL input frame
+    plus (n_tokens, bucket, bin_id) — the window rides the same scan, so
+    composed pipelines don't need a bin join-back that would re-plan the
+    upstream lineage twice.
     """
     n_tok = (F.col(length_col) if length_col
              else F.size(_words(F.col(text_col))))
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        n_tok.cast("long").alias("n_tokens"),
-        (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
-         .cast("long") % n_buckets).alias("bucket"),
-    )
-    w = (Window.partitionBy("bucket")
-         .orderBy(F.desc("n_tokens"), F.asc("id"))
+    bucket = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6),
+                     16, 10).cast("long") % n_buckets)
+    if keep_cols:
+        narrow = docs
+    else:
+        needed = [id_col] + [g for g in group_cols if g != id_col] \
+            + ([length_col] if length_col else [text_col])
+        narrow = docs.select(*dict.fromkeys(needed))
+    base = (narrow
+            .withColumn("n_tokens", n_tok.cast("long"))
+            .withColumn("bucket", bucket))
+    w = (Window.partitionBy(*group_cols, "bucket")
+         .orderBy(F.desc("n_tokens"), F.asc(id_col))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    packed = base.select(
-        "id", "n_tokens", "bucket",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
-                / F.lit(budget)).alias("local_bin"),
-    )
-    return packed.select(
-        F.col("id").alias(id_col), "n_tokens", "bucket",
-        (F.col("bucket") * F.lit(1 << 40) + F.col("local_bin")).alias("bin_id"),
-    )
+    local = F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                    / F.lit(budget))
+    if group_cols:
+        bin_id = F.concat_ws(
+            "/", *[F.col(g).cast("string") for g in group_cols],
+            F.col("bucket").cast("string"), local.cast("string"))
+    else:
+        bin_id = F.col("bucket") * F.lit(1 << 40) + local
+    out = base.withColumn("bin_id", bin_id)
+    if keep_cols:
+        return out
+    return out.select(id_col, *group_cols, "n_tokens", "bucket", "bin_id")
 
 
 def packing_stats(docs: DataFrame, budget: int, id_col: str = "doc_id",

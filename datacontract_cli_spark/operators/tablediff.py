@@ -38,13 +38,24 @@ from pyspark.sql import functions as F
 def _fingerprint(df: DataFrame, keys: List[str],
                  compare_cols: Optional[List[str]], exact: bool) -> DataFrame:
     cols = compare_cols or [c for c in df.columns if c not in keys]
-    # null-safe, order-fixed rendering: each value cast to string with a
-    # sentinel for NULL, joined with a separator that can't collide with
-    # the cast output of primitive types
+    if not cols:
+        # key-only membership diff: no columns can differ, so every
+        # both-present key is "unchanged" (xxhash64() with zero args is an
+        # AnalysisException — the constant fingerprint expresses the same)
+        fp = F.lit("").alias("x") if exact else F.lit(0).cast("bigint")
+        return df.select(*[F.col(k) for k in keys], fp.alias("__dc_fp__"))
+    # null-safe, order-fixed rendering with a NULL sentinel. In exact mode
+    # each value is length-prefixed before joining: a bare separator would
+    # alias ('a\x01b','c') with ('a','b\x01c') when string values contain
+    # the separator — the length prefix makes the rendering injective.
     rendered = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
                 for c in sorted(cols)]
-    fp = (F.concat_ws("\x01", *rendered) if exact
-          else F.xxhash64(*rendered))
+    if exact:
+        fp = F.concat_ws("\x01", *[
+            F.concat(F.length(r).cast("string"), F.lit(":"), r)
+            for r in rendered])
+    else:
+        fp = F.xxhash64(*rendered)
     return df.select(*[F.col(k) for k in keys], fp.alias("__dc_fp__"))
 
 

@@ -147,7 +147,11 @@ def curate_corpus(
         out = out.withColumn(text_col, pii.scrub(F.col(text_col)))
 
     # 6. domain-mixture resampling (after content filters — mixing earlier
-    # would re-skew whenever a filter removes more of one source)
+    # would re-skew whenever a filter removes more of one source).
+    # mixture_sample's per-source share aggregate executes the upstream
+    # chain once at call time and the final action executes it again —
+    # persist/checkpoint `out` first when the chain above is expensive
+    # enough that two executions matter (the caller owns the unpersist).
     if mixture_targets:
         from datacontract_cli_spark.operators.packing import mixture_sample
         out = mixture_sample(out, mixture_targets, mixture_frac,
@@ -159,12 +163,16 @@ def curate_corpus(
     if split_weights:
         out = hash_split(out, id_col, split_weights)
 
-    # 8. sequence packing LAST: bin ids join back by id (the one id-keyed
-    # shuffle this stage adds; at scale write the packed output bucketed
-    # by bin_id so training readers stream whole bins)
+    # 8. sequence packing LAST: the window rides the output frame itself
+    # (keep_cols — a bin join-back would re-plan the whole upstream
+    # lineage in a second branch), and bins are SPLIT-PURE when a split
+    # exists (a bin mixing train and valid text would leak eval data into
+    # any reader that streams whole bins). At scale, write the result
+    # bucketed by bin_id so training readers stream whole bins.
     if pack_budget:
         from datacontract_cli_spark.operators.packing import pack_sequences
-        bins = pack_sequences(out, pack_budget, id_col, text_col) \
-            .select(id_col, "bin_id")
-        out = out.join(bins, id_col)
+        out = pack_sequences(
+            out, pack_budget, id_col, text_col,
+            group_cols=("split",) if split_weights else (),
+            keep_cols=True).drop("n_tokens", "bucket")
     return out

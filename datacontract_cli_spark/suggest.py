@@ -187,8 +187,11 @@ def suggest_contract(spark: SparkSession, df: DataFrame, name: str,
                     f"observed frequency baseline over {len(base)} categories")
             elif dtype in ("double", "float") \
                     and stats[c]["null_count"] < n:
-                base = cdf_baseline(df, c)
-                base["cdf"] = [[round(x, 6), p] for x, p in base["cdf"]]
+                # round_to inside cdf_baseline: the probes round BEFORE
+                # the empirical-CDF pass, so the recorded p is F̂ at the
+                # exact stored probe (rounding afterwards shifts the
+                # probe below the point mass that defined its rank)
+                base = cdf_baseline(df, c, round_to=6)
                 prop.quality.append(QualityRule(
                     type="library", metric="quantileDriftKs",
                     arguments={"baseline": base}, must_be_lt=0.15,

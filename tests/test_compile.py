@@ -71,3 +71,17 @@ def test_percent_unit_check():
 
     assert is_percent_unit(q)
     assert not is_percent_unit(QualityRule(metric="nullValues", must_be_le=5))
+
+
+def test_threshold_eq_ne_numeric_string_coercion():
+    # YAML `mustBe: 1e12` parses as the STRING '1e12'; == on a float is
+    # False without a TypeError, so EQ/NE need their own coercion
+    from datacontract_cli_spark.checks.spec import Op, Threshold
+    assert Threshold(Op.EQ, "1e12").passes(1e12)
+    assert not Threshold(Op.NE, "1e12").passes(1e12)
+    assert Threshold(Op.NE, "1e12").passes(5.0)
+    # genuine string comparison still works
+    assert Threshold(Op.EQ, "abc").passes("abc")
+    assert not Threshold(Op.EQ, "abc").passes("xyz")
+    # non-numeric string vs number stays unequal
+    assert not Threshold(Op.EQ, "abc").passes(3.0)

@@ -304,3 +304,26 @@ def test_quality_gate_composes_with_structured_streaming(spark, tmp_path):
     got = {r["doc_id"] for r in spark.sql("SELECT * FROM gated_docs").collect()}
     want = {r["doc_id"] for r in quality_gate(df, thr - 1e-9).collect()}
     assert got == want and len(got) == 10
+
+
+def test_pack_sequences_group_cols_keep_bins_pure(spark):
+    rows = [Row(doc_id=i, split="train" if i % 2 == 0 else "valid",
+                text="w " * 5) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    from datacontract_cli_spark.operators.packing import pack_sequences
+    out = pack_sequences(df, budget=12, group_cols=("split",)).collect()
+    per_bin = {}
+    for r in out:
+        per_bin.setdefault(r["bin_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in per_bin.values())
+    # string bin ids carry the group so they can't collide across groups
+    assert all(r["bin_id"].startswith(r["split"] + "/") for r in out)
+
+
+def test_pack_sequences_keep_cols_returns_full_frame(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, other="x", text="a b c")])
+    from datacontract_cli_spark.operators.packing import pack_sequences
+    row = pack_sequences(df, budget=10, keep_cols=True).collect()[0]
+    assert row["other"] == "x" and row["text"] == "a b c"
+    assert row["n_tokens"] == 3 and row["bin_id"] is not None

@@ -174,3 +174,25 @@ def test_table_diff_null_values_and_keys(spark):
     # each other (eqNullSafe), so nothing is added/removed
     assert (row["n_added"], row["n_removed"], row["n_changed"],
             row["n_unchanged"]) == (0, 0, 1, 1)
+
+
+def test_table_diff_key_only_membership(spark):
+    # tables whose only column is the key: a pure membership diff — the
+    # hash path must not call zero-arg xxhash64
+    from datacontract_cli_spark.operators.tablediff import table_diff
+    a = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "k long")
+    for exact in (False, True):
+        row = table_diff(a, b, ["k"], exact=exact).collect()[0]
+        assert (row["n_added"], row["n_removed"], row["n_changed"],
+                row["n_unchanged"]) == (1, 1, 0, 2)
+
+
+def test_table_diff_exact_separator_injection(spark):
+    # ('a\x01b','c') vs ('a','b\x01c') concatenate identically under a
+    # bare separator; the length prefix must keep them distinct
+    from datacontract_cli_spark.operators.tablediff import table_diff
+    a = spark.createDataFrame([(1, "a\x01b", "c")], "k long, v string, w string")
+    b = spark.createDataFrame([(1, "a", "b\x01c")], "k long, v string, w string")
+    row = table_diff(a, b, ["k"], exact=True).collect()[0]
+    assert row["n_changed"] == 1 and row["n_unchanged"] == 0

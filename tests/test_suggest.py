@@ -4,6 +4,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 from pyspark.sql import Row
 
 from datacontract_cli_spark.suggest import suggest_contract
@@ -130,3 +132,31 @@ def test_suggest_baselines_roundtrip_green(spark):
     bad = [(c.key, c.result.value, c.reason) for c in drift_checks
            if c.result is not ResultEnum.passed]
     assert not bad, bad
+
+
+def test_cdf_baseline_records_empirical_cdf_on_point_masses(spark):
+    # zero-inflated column: q(0.05) = 0.0 but F(0.0) = 0.4 — the recorded
+    # probability must be the empirical CDF so self-KS is exactly 0
+    from pyspark.sql import functions as F
+    from datacontract_cli_spark.operators.baselines import cdf_baseline
+    from datacontract_cli_spark.operators.drift import _ks_exact_at_points
+    df = spark.createDataFrame(
+        [(0.0,)] * 40 + [(float(i),) for i in range(1, 61)], "value double")
+    base = cdf_baseline(df, "value", round_to=6)
+    by_x = dict((x, p) for x, p in base["cdf"])
+    assert by_x[0.0] == pytest.approx(0.4, abs=1e-9)
+    assert _ks_exact_at_points(df, "value", base["cdf"]) == pytest.approx(
+        0.0, abs=1e-9)
+
+
+def test_cdf_baseline_rounding_cannot_shift_below_point_mass(spark):
+    # a repeated fine-precision value: rounding the probe must happen
+    # BEFORE the empirical pass, so the stored p matches the stored probe
+    from datacontract_cli_spark.operators.baselines import cdf_baseline
+    from datacontract_cli_spark.operators.drift import _ks_exact_at_points
+    v = 0.3333333333
+    df = spark.createDataFrame(
+        [(v,)] * 30 + [(1.0 + i / 100.0,) for i in range(70)], "value double")
+    base = cdf_baseline(df, "value", round_to=6)
+    assert _ks_exact_at_points(df, "value", base["cdf"]) == pytest.approx(
+        0.0, abs=1e-9)
