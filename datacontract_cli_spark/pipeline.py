@@ -29,8 +29,10 @@ Stage order matters and mirrors production practice:
 
 from __future__ import annotations
 
+import hashlib
+import json
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -68,13 +70,28 @@ def curate_corpus(
     source_col: str = "source",
     split_weights: Optional[Dict[str, float]] = None,
     pack_budget: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_stages: Sequence[str] = ("near_dedup", "decontaminated",
+                                        "lm_quality"),
     report: Optional[CurationReport] = None,
 ) -> DataFrame:
     """Run the full curation chain; returns the curated frame (with a
     ``split`` column when ``split_weights`` is given). Pass a
     ``CurationReport`` to receive per-stage row counts (each count is an
     extra aggregate job — skip the report in production if the counts
-    aren't needed)."""
+    aren't needed).
+
+    ``checkpoint_dir`` makes the run RESUMABLE: each stage named in
+    ``checkpoint_stages`` writes its output as parquet under
+    ``{dir}/{params-hash}/{stage}`` and a rerun reads the newest complete
+    checkpoint instead of recomputing everything upstream (lazy
+    evaluation means skipped stages never launch a job). The default
+    stage set covers the expensive content passes — the iterative LSH +
+    connected-components dedup, the gram decontamination join, the LM
+    scoring. The params hash covers every scalar argument, so editing a
+    threshold invalidates the affected checkpoints automatically;
+    CHANGING THE INPUT DATA DOES NOT — clear the directory (or use a new
+    one) when docs/benchmark/lm_corpus change."""
     if (lm_corpus is None) != (max_perplexity is None):
         raise ValueError("lm_corpus and max_perplexity must be given "
                          "together (half-specifying them would silently "
@@ -82,6 +99,51 @@ def curate_corpus(
     from datacontract_cli_spark.operators import dedup, pii, textstats
     from datacontract_cli_spark.operators.contamination import contaminated_docs
     from datacontract_cli_spark.operators.sampling import hash_split
+
+    ckpt_base = None
+    if checkpoint_dir:
+        params = dict(
+            id_col=id_col, text_col=text_col, min_tokens=min_tokens,
+            max_repetition=max_repetition,
+            near_dup_threshold=near_dup_threshold,
+            contamination_ngram=contamination_ngram,
+            classifier_threshold=classifier_threshold,
+            classifier_weights=list(classifier_weights or []),
+            scrub_pii=scrub_pii, mixture_targets=mixture_targets,
+            mixture_frac=mixture_frac, source_col=source_col,
+            split_weights=split_weights, pack_budget=pack_budget,
+            max_perplexity=max_perplexity,
+            has_benchmark=benchmark is not None,
+            has_lm=lm_corpus is not None,
+        )
+        fp = hashlib.sha256(
+            json.dumps(params, sort_keys=True).encode()).hexdigest()[:12]
+        ckpt_base = f"{checkpoint_dir.rstrip('/')}/{fp}"
+
+    def _has_ckpt(stage: str) -> bool:
+        if ckpt_base is None or stage not in checkpoint_stages:
+            return False
+        spark = docs.sparkSession
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{ckpt_base}/{stage}/_SUCCESS")
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
+
+    def _read_ckpt(stage: str) -> DataFrame:
+        return docs.sparkSession.read.parquet(f"{ckpt_base}/{stage}")
+
+    def _ckpt(stage: str, frame: DataFrame) -> DataFrame:
+        """Write-once / read-back checkpoint. The read replaces the whole
+        upstream lineage, so downstream stages resume from the parquet
+        instead of replaying the chain. Stages with EAGER build-time jobs
+        (the LSH dedup, the LM fit) are additionally guarded by
+        ``_has_ckpt`` at their call sites — lazy skipping alone would
+        still run their build-time work."""
+        if ckpt_base is None or stage not in checkpoint_stages:
+            return frame
+        if not _has_ckpt(stage):
+            frame.write.mode("overwrite").parquet(f"{ckpt_base}/{stage}")
+        return _read_ckpt(stage)
 
     def _tick(stage: str, frame: DataFrame) -> None:
         if report is not None:
@@ -92,45 +154,64 @@ def curate_corpus(
 
     # 1. exact dedup (normalized-text fingerprint, keep lowest id)
     out = dedup.dedup_exact(out, id_col, text_col)
+    out = _ckpt("exact_dedup", out)
     _tick("exact_dedup", out)
 
     # 2. near-dedup: banded-LSH candidates -> connected components ->
-    #    keep each cluster's minimum id (the cluster representative)
-    pairs = dedup.minhash_near_duplicates(out, id_col, text_col,
-                                          threshold=near_dup_threshold,
-                                          kernel="arrow")
-    clusters = dedup.connected_components(pairs)
-    # localCheckpoint truncates lineage so the (persisted) pairs and
-    # cluster tables can be RELEASED here — without this, every
-    # curate_corpus call would leak two cached frames into executor
-    # storage (the exact leak class behind the round-2 bench regression)
-    losers = clusters.filter(F.col("node") != F.col("cluster_id")) \
-        .select(F.col("node").alias(id_col)).localCheckpoint(eager=True)
-    pairs.unpersist()
-    clusters.unpersist()
-    out = out.join(losers, id_col, "left_anti")
+    #    keep each cluster's minimum id (the cluster representative).
+    #    EAGER stage (signature persists + fixpoint iteration run at
+    #    build time) — on resume, skip the build entirely.
+    if _has_ckpt("near_dedup"):
+        out = _read_ckpt("near_dedup")
+    else:
+        pairs = dedup.minhash_near_duplicates(out, id_col, text_col,
+                                              threshold=near_dup_threshold,
+                                              kernel="arrow")
+        clusters = dedup.connected_components(pairs)
+        # localCheckpoint truncates lineage so the (persisted) pairs and
+        # cluster tables can be RELEASED here — without this, every
+        # curate_corpus call would leak two cached frames into executor
+        # storage (the exact leak class behind the round-2 bench regression)
+        losers = clusters.filter(F.col("node") != F.col("cluster_id")) \
+            .select(F.col("node").alias(id_col)).localCheckpoint(eager=True)
+        pairs.unpersist()
+        clusters.unpersist()
+        out = out.join(losers, id_col, "left_anti")
+        out = _ckpt("near_dedup", out)
     _tick("near_dedup", out)
 
     # 3. benchmark decontamination (broadcast semi-join on shared n-grams)
     if benchmark is not None:
-        contaminated = contaminated_docs(out, benchmark, id_col, text_col,
-                                         n=contamination_ngram,
-                                         hash_grams=True)
-        out = out.join(contaminated, id_col, "left_anti")
+        if _has_ckpt("decontaminated"):
+            out = _read_ckpt("decontaminated")
+        else:
+            contaminated = contaminated_docs(out, benchmark, id_col,
+                                             text_col,
+                                             n=contamination_ngram,
+                                             hash_grams=True)
+            out = out.join(contaminated, id_col, "left_anti")
+            out = _ckpt("decontaminated", out)
         _tick("decontaminated", out)
 
     # 4a. heuristic quality: token floor + repetition ceiling (narrow maps)
     out = out.filter(
         (textstats.whitespace_token_count(F.col(text_col)) >= min_tokens)
         & (textstats.repetition_ratio(F.col(text_col)) <= max_repetition))
+    out = _ckpt("heuristic_quality", out)
     _tick("heuristic_quality", out)
 
-    # 4b. LM perplexity filter against the reference corpus
+    # 4b. LM perplexity filter against the reference corpus. EAGER stage
+    # (the fit collects its normalizer and persists the vocabulary) —
+    # on resume, skip the fit entirely.
     if lm_corpus is not None and max_perplexity is not None:
-        from datacontract_cli_spark.operators import lm_score
-        lm = lm_score.fit_unigram_lm(lm_corpus, text_col)
-        out = lm_score.quality_filter(out, lm, max_perplexity,
-                                      id_col, text_col)
+        if _has_ckpt("lm_quality"):
+            out = _read_ckpt("lm_quality")
+        else:
+            from datacontract_cli_spark.operators import lm_score
+            lm = lm_score.fit_unigram_lm(lm_corpus, text_col)
+            out = lm_score.quality_filter(out, lm, max_perplexity,
+                                          id_col, text_col)
+            out = _ckpt("lm_quality", out)
         _tick("lm_quality", out)
 
     # 4c. learned quality gate (fastText-style hashed linear classifier —
@@ -140,6 +221,7 @@ def curate_corpus(
         n_buckets = len(classifier_weights) if classifier_weights else 4096
         out = quality_gate(out, classifier_threshold, id_col, text_col,
                            n_buckets=n_buckets, weights=classifier_weights)
+        out = _ckpt("classifier_quality", out)
         _tick("classifier_quality", out)
 
     # 5. PII scrub (AFTER content-hash stages: scrubbing changes the text)
@@ -153,10 +235,15 @@ def curate_corpus(
     # persist/checkpoint `out` first when the chain above is expensive
     # enough that two executions matter (the caller owns the unpersist).
     if mixture_targets:
-        from datacontract_cli_spark.operators.packing import mixture_sample
-        out = mixture_sample(out, mixture_targets, mixture_frac,
-                             source_col=source_col, id_col=id_col,
-                             length_col=None)
+        if _has_ckpt("mixture"):
+            out = _read_ckpt("mixture")
+        else:
+            from datacontract_cli_spark.operators.packing import (
+                mixture_sample)
+            out = mixture_sample(out, mixture_targets, mixture_frac,
+                                 source_col=source_col, id_col=id_col,
+                                 length_col=None)
+            out = _ckpt("mixture", out)
         _tick("mixture", out)
 
     # 7. leakage-safe split on the surviving ids

@@ -134,3 +134,46 @@ def test_curate_corpus_new_stages(spark):
         docs, min_tokens=3, classifier_threshold=0.75,
         classifier_weights=[0.7] * 64, scrub_pii=False)
     assert all_dropped.count() == 0
+
+
+def test_curate_corpus_checkpoint_resume(spark, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    docs = _corpus(spark)
+    first = sorted(r["doc_id"] for r in curate_corpus(
+        docs, min_tokens=5, near_dup_threshold=0.7,
+        checkpoint_dir=ckpt).collect())
+
+    # resume: feed POISONED input — if the near_dedup checkpoint is
+    # really used, the poisoned rows never appear (upstream is skipped)
+    poisoned = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" poison poison")))
+    resumed = sorted(r["doc_id"] for r in curate_corpus(
+        poisoned, min_tokens=5, near_dup_threshold=0.7,
+        checkpoint_dir=ckpt).collect())
+    assert resumed == first
+
+    # a changed parameter hashes to a different checkpoint namespace, so
+    # the poisoned input IS recomputed (doc 5's repetition now passes 0.96)
+    recomputed = sorted(r["doc_id"] for r in curate_corpus(
+        poisoned, min_tokens=5, near_dup_threshold=0.7,
+        max_repetition=0.96, checkpoint_dir=ckpt).collect())
+    assert recomputed != first
+
+
+def test_curate_corpus_checkpoint_partial_stage_set(spark, tmp_path):
+    import os
+    import shutil
+    ckpt = str(tmp_path / "ckpt2")
+    docs = _corpus(spark)
+    kw = dict(min_tokens=5, near_dup_threshold=0.7, checkpoint_dir=ckpt,
+              checkpoint_stages=("near_dedup", "heuristic_quality"))
+    first = sorted(r["doc_id"] for r in
+                   curate_corpus(docs, **kw).collect())
+    run_dir = os.path.join(ckpt, os.listdir(ckpt)[0])
+    assert sorted(os.listdir(run_dir)) == ["heuristic_quality", "near_dedup"]
+    # drop the later checkpoint: the run resumes from near_dedup and
+    # rebuilds only the downstream stage
+    shutil.rmtree(os.path.join(run_dir, "heuristic_quality"))
+    again = sorted(r["doc_id"] for r in curate_corpus(docs, **kw).collect())
+    assert again == first
+    assert "heuristic_quality" in os.listdir(run_dir)
