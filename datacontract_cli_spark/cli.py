@@ -197,6 +197,41 @@ def build_parser() -> argparse.ArgumentParser:
     sug.add_argument("--output", default=None,
                      help="write contract YAML here (default stdout)")
     sug.add_argument("--master", default=None)
+
+    cur = sub.add_parser(
+        "curate",
+        help="run the training-data curation chain over a corpus "
+             "(dedup → near-dedup → decontaminate → quality → PII scrub "
+             "→ mixture → split → packing), resumable via checkpoints")
+    cur.add_argument("--source", required=True, help="corpus file/directory")
+    cur.add_argument("--format", default="parquet",
+                     choices=["parquet", "orc", "csv", "json"])
+    cur.add_argument("--output", required=True,
+                     help="directory for the curated parquet")
+    cur.add_argument("--id-col", default="doc_id")
+    cur.add_argument("--text-col", default="text")
+    cur.add_argument("--source-col", default="source")
+    cur.add_argument("--benchmark", default=None,
+                     help="eval-set parquet to decontaminate against")
+    cur.add_argument("--lm-corpus", default=None,
+                     help="reference-corpus parquet for the perplexity gate")
+    cur.add_argument("--max-perplexity", type=float, default=None)
+    cur.add_argument("--min-tokens", type=int, default=5)
+    cur.add_argument("--max-repetition", type=float, default=0.5)
+    cur.add_argument("--near-dup-threshold", type=float, default=0.85)
+    cur.add_argument("--classifier-threshold", type=float, default=None)
+    cur.add_argument("--no-pii-scrub", action="store_true")
+    cur.add_argument("--mixture", default=None,
+                     help='JSON source→weight map, e.g. \'{"web":0.6,"books":0.4}\'')
+    cur.add_argument("--mixture-frac", type=float, default=1.0)
+    cur.add_argument("--split", default=None,
+                     help='JSON name→weight map, e.g. \'{"train":0.9,"valid":0.1}\'')
+    cur.add_argument("--pack-budget", type=int, default=None)
+    cur.add_argument("--checkpoint-dir", default=None,
+                     help="stage checkpoints here; reruns resume")
+    cur.add_argument("--report", action="store_true",
+                     help="print per-stage row counts as JSON on stderr")
+    cur.add_argument("--master", default=None)
     return p
 
 
@@ -314,6 +349,60 @@ def main(argv: list[str] | None = None) -> int:
             print(text)
         if args.rationale:
             print(_json.dumps(rationale, indent=2, default=str), file=sys.stderr)
+        return 0
+
+    if args.command == "curate":
+        import json as _json
+        import os as _os
+
+        from datacontract_cli_spark.pipeline import (
+            CurationReport, curate_corpus)
+        from datacontract_cli_spark.session import get_spark
+
+        master = args.master or f"local[{_os.environ.get('SPARK_GRAFT_CPUS', '4')}]"
+        spark = get_spark("dcspark-curate", master=master)
+        try:
+            reader = {"parquet": spark.read.parquet,
+                      "orc": spark.read.orc,
+                      "json": spark.read.json,
+                      "csv": lambda p: spark.read.option("header", "true")
+                      .option("inferSchema", "true").csv(p)}[args.format]
+            docs = reader(args.source)
+            report = CurationReport() if args.report else None
+            out = curate_corpus(
+                docs,
+                id_col=args.id_col, text_col=args.text_col,
+                benchmark=(spark.read.parquet(args.benchmark)
+                           if args.benchmark else None),
+                lm_corpus=(spark.read.parquet(args.lm_corpus)
+                           if args.lm_corpus else None),
+                max_perplexity=args.max_perplexity,
+                min_tokens=args.min_tokens,
+                max_repetition=args.max_repetition,
+                near_dup_threshold=args.near_dup_threshold,
+                classifier_threshold=args.classifier_threshold,
+                scrub_pii=not args.no_pii_scrub,
+                mixture_targets=(_json.loads(args.mixture)
+                                 if args.mixture else None),
+                mixture_frac=args.mixture_frac,
+                source_col=args.source_col,
+                split_weights=(_json.loads(args.split)
+                               if args.split else None),
+                pack_budget=args.pack_budget,
+                checkpoint_dir=args.checkpoint_dir,
+                report=report,
+            )
+            # partitioned layout: split (and bins stream whole) when present
+            writer = out.write.mode("overwrite")
+            if args.split:
+                writer = writer.partitionBy("split")
+            writer.parquet(args.output)
+        except Exception as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        if report is not None:
+            print(_json.dumps(report.to_rows()), file=sys.stderr)
+        print(f"curated corpus written to {args.output}")
         return 0
 
     if args.command == "export":

@@ -123,3 +123,31 @@ def test_cli_import_odcs_normalizes_legacy_dcs(tmp_path, capsys):
     assert "physicalType: bigint" in out      # raw type preserved
     assert main(["import", "--format", "odcs", "--source",
                  str(tmp_path / "none.yaml")]) == 1
+
+
+def test_cli_curate_end_to_end(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "curated")
+    duckdb.sql(
+        "COPY (SELECT * FROM '/root/testdata/sf0.001/documents.parquet') "
+        f"TO '{src}.parquet' (FORMAT PARQUET)")
+    r = subprocess.run(
+        [sys.executable, "-m", "datacontract_cli_spark", "curate",
+         "--source", src + ".parquet", "--output", out,
+         "--min-tokens", "5", "--split", '{"train":0.8,"valid":0.2}',
+         "--pack-budget", "256", "--report"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "curated corpus written" in r.stdout
+    stages = json.loads(r.stderr.strip().splitlines()[-1])
+    assert stages[0]["stage"] == "input"
+    got = duckdb.sql(
+        f"SELECT count(*) n, count(DISTINCT split) s, "
+        f"count(DISTINCT bin_id) b FROM '{out}/*/*.parquet'").fetchone()
+    assert got[0] > 0 and got[1] == 2 and got[2] > 1
