@@ -211,6 +211,11 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--id-col", default="doc_id")
     cur.add_argument("--text-col", default="text")
     cur.add_argument("--source-col", default="source")
+    cur.add_argument("--contract", default=None,
+                     help="drop rows violating this contract's row-level "
+                          "checks before any content stage")
+    cur.add_argument("--contract-model", default=None,
+                     help="model name in --contract (default: first)")
     cur.add_argument("--benchmark", default=None,
                      help="eval-set parquet to decontaminate against")
     cur.add_argument("--lm-corpus", default=None,
@@ -371,6 +376,9 @@ def main(argv: list[str] | None = None) -> int:
             report = CurationReport() if args.report else None
             out = curate_corpus(
                 docs,
+                contract=(load_contract(args.contract)
+                          if args.contract else None),
+                contract_model=args.contract_model,
                 id_col=args.id_col, text_col=args.text_col,
                 benchmark=(spark.read.parquet(args.benchmark)
                            if args.benchmark else None),

@@ -59,6 +59,22 @@ def violations(df: DataFrame, contract: DataContract, model: str) -> DataFrame:
     return tagged.filter(F.size("__violations__") > 0)
 
 
+def conforming(df: DataFrame, contract: DataContract, model: str) -> DataFrame:
+    """The complement of ``violations``: rows violating NO row-level check
+    — contract-driven corpus cleaning (curate_corpus's `contract` stage
+    filters with this). Same single narrow scan; aggregate-level checks
+    (row counts, uniqueness, freshness) have no per-row meaning and are
+    not applied here — run the engine for those."""
+    specs = [s for s in compile_checks(contract, None) if s.model == model]
+    conds = violation_conditions(df, specs)
+    if not conds:
+        return df
+    bad = conds.popitem()[1]
+    for c in conds.values():
+        bad = bad | c
+    return df.filter(~bad)
+
+
 def quarantine(df: DataFrame, contract: DataContract, model: str,
                path: str, mode: str = "overwrite") -> int:
     """Write the violating rows to parquet; returns how many were written."""

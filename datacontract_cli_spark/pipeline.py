@@ -55,6 +55,8 @@ def curate_corpus(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    contract=None,
+    contract_model: Optional[str] = None,
     benchmark: Optional[DataFrame] = None,
     lm_corpus: Optional[DataFrame] = None,
     max_perplexity: Optional[float] = None,
@@ -116,6 +118,13 @@ def curate_corpus(
             has_benchmark=benchmark is not None,
             has_lm=lm_corpus is not None,
         )
+        if contract is not None:
+            # the full rendered contract, so editing any rule re-keys the
+            # checkpoint namespace like any other parameter change
+            from datacontract_cli_spark import export as _export
+            params["contract_sha"] = hashlib.sha256(
+                _export.to_odcs_yaml(contract).encode()).hexdigest()[:12]
+            params["contract_model"] = contract_model
         fp = hashlib.sha256(
             json.dumps(params, sort_keys=True).encode()).hexdigest()[:12]
         ckpt_base = f"{checkpoint_dir.rstrip('/')}/{fp}"
@@ -151,6 +160,17 @@ def curate_corpus(
 
     out = docs
     _tick("input", out)
+
+    # 0. contract conformance FIRST — drop rows violating the contract's
+    # row-level checks (required/enum/range/regex/length) before any
+    # content hashing; a narrow filter compiled from the same specs the
+    # validation engine runs, so "clean" means the same thing in both
+    if contract is not None:
+        from datacontract_cli_spark.engine.violations import conforming
+        model = contract_model or contract.schema_objects[0].name
+        out = conforming(out, contract, model)
+        out = _ckpt("contract_conformance", out)
+        _tick("contract_conformance", out)
 
     # 1. exact dedup (normalized-text fingerprint, keep lowest id)
     out = dedup.dedup_exact(out, id_col, text_col)

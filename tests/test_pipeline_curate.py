@@ -177,3 +177,64 @@ def test_curate_corpus_checkpoint_partial_stage_set(spark, tmp_path):
     again = sorted(r["doc_id"] for r in curate_corpus(docs, **kw).collect())
     assert again == first
     assert "heuristic_quality" in os.listdir(run_dir)
+
+
+def test_curate_corpus_contract_conformance_stage(spark):
+    from datacontract_cli_spark.model.contract import load_contract_str
+    contract = load_contract_str("""
+id: docs
+version: 1.0.0
+schema:
+  - name: documents
+    properties:
+      - name: doc_id
+        logicalType: integer
+        required: true
+      - name: lang
+        logicalType: string
+        logicalTypeOptions:
+          enum: [en, de]
+      - name: text
+        logicalType: string
+        required: true
+""")
+    docs = spark.createDataFrame([
+        (1, "en", "high quality curated text content with many tokens"),
+        (2, "xx", "wrong language code so the enum check drops this row"),
+        (None, "en", "missing id so the required check drops this row"),
+        (4, "de", "noch ein gutes dokument mit ausreichend vielen tokens"),
+    ], "doc_id long, lang string, text string")
+    report = CurationReport()
+    out = curate_corpus(docs, contract=contract, min_tokens=3,
+                        scrub_pii=False, report=report)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 4]
+    stages = {s["stage"]: s["rows"] for s in report.to_rows()}
+    assert stages["contract_conformance"] == 2
+
+
+def test_conforming_is_the_complement_of_violations(spark):
+    from datacontract_cli_spark.engine.violations import conforming, violations
+    from datacontract_cli_spark.model.contract import load_contract_str
+    contract = load_contract_str("""
+id: docs
+version: 1.0.0
+schema:
+  - name: documents
+    properties:
+      - name: doc_id
+        logicalType: integer
+        required: true
+      - name: n_chars
+        logicalType: integer
+        logicalTypeOptions:
+          minimum: 0
+""")
+    docs = spark.createDataFrame(
+        [(1, 10), (2, -5), (None, 3)], "doc_id long, n_chars long")
+    good = {tuple(r) for r in conforming(docs, contract, "documents")
+            .collect()}
+    bad = {tuple(r)[:2] for r in violations(docs, contract, "documents")
+           .collect()}
+    assert good == {(1, 10)}
+    assert bad == {(2, -5), (None, 3)}
+    assert len(good) + len(bad) == 3
