@@ -1071,6 +1071,43 @@ def _q_doc_chunks(spark, sf):
     )
 
 
+def _q_sliced_validation(spark, sf):
+    """Per-slice contract validation: every agg-able check evaluated per
+    o_orderstatus segment in ONE groupBy — the semantic-segment analogue
+    of the per-partition pass/fail verdicts. Exact quantile so the DuckDB
+    oracle (quantile_cont) reproduces the p50 bit-for-bit."""
+    from datacontract_cli_spark.engine.sliced import sliced_validation
+    from datacontract_cli_spark.model.contract import load_contract_str
+
+    contract = load_contract_str("""
+id: orders
+version: 1.0.0
+schema:
+  - name: orders
+    properties:
+      - name: o_custkey
+        logicalType: integer
+        required: true
+      - name: o_totalprice
+        logicalType: number
+        logicalTypeOptions:
+          minimum: 0
+        quality:
+          - type: library
+            metric: quantile
+            arguments: {quantile: 0.5, exact: true}
+            mustBeLessThan: 251500
+    quality:
+      - type: library
+        metric: rowCount
+        mustBeGreaterThan: 1000
+""")
+    out = sliced_validation(_t(spark, sf, "orders"), contract, "orders",
+                            ["o_orderstatus"])
+    return (out.withColumn("metric_value", F.round("metric_value", 6))
+            .orderBy("o_orderstatus", "check_key"))
+
+
 def _q_mixture_sample(spark, sf):
     """Domain-mixture subsample: resample sources toward a 40/40/20
     src0/src1/src2 target at 5% of token volume; per-row md5 threshold,
@@ -1117,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": _q_sequence_packing,
         "mixture_sample": _q_mixture_sample,
         "doc_chunks": _q_doc_chunks,
+        "sliced_validation": _q_sliced_validation,
         # --- green in r03 but pushed past the cap in r04
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
@@ -1145,10 +1183,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": _q_benchmark_contamination,
         "minhash_near_dups": _q_minhash_near_dups,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
-        "simhash_near_dups": _q_simhash_near_dups,
         # ---------------- position 51+: multi-round driver-green, rotated out
-        # (tpch_q1/topk_parts/json_validation/cosine_topk/embedding_near_dups
-        # rotated r5: their code paths are untouched this round)
+        # (tpch_q1/topk_parts/json_validation/cosine_topk/embedding_near_dups/
+        # simhash_near_dups rotated r5: their code paths are untouched this
+        # round — the one dedup.py change was the winnow arrow kernel)
+        "simhash_near_dups": _q_simhash_near_dups,
         "embedding_near_dups": _q_embedding_near_dups,
         "tpch_q1": _q_tpch_q1,
         "topk_parts": _q_topk_parts,
@@ -1481,6 +1520,30 @@ def oracle_sql() -> dict[str, str]:
             r"round(avg(least(64, n - i * 48) / 64.0), 6) AS avg_fill, "
             r"CAST(sum(CASE WHEN least(64, n - i * 48) >= 64 THEN 1 ELSE 0 "
             r"END) AS BIGINT) AS n_full_chunks FROM c"
+        ),
+        "sliced_validation": (
+            # per-status grouped checks; quantile_cont = Spark's exact
+            # interpolated percentile (same parity as mad_outliers);
+            # missing/invalid conditions mirror the engine's predicates
+            "WITH g AS (SELECT o_orderstatus, count(*) AS n, "
+            "sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS miss, "
+            "sum(CASE WHEN o_totalprice IS NOT NULL AND NOT "
+            "(o_totalprice >= 0) THEN 1 ELSE 0 END) AS inv, "
+            "quantile_cont(o_totalprice, 0.5) AS p50 "
+            "FROM orders GROUP BY o_orderstatus) "
+            "SELECT * FROM ("
+            "SELECT o_orderstatus, "
+            "'orders__o_custkey__field_required' AS check_key, "
+            "CAST(miss AS DOUBLE) AS metric_value, miss = 0 AS passed FROM g "
+            "UNION ALL SELECT o_orderstatus, "
+            "'orders__o_totalprice__field_minimum', "
+            "CAST(inv AS DOUBLE), inv = 0 FROM g "
+            "UNION ALL SELECT o_orderstatus, "
+            "'orders__o_totalprice__quantile_0_5', "
+            "round(p50, 6), p50 < 251500.0 FROM g "
+            "UNION ALL SELECT o_orderstatus, 'orders__row_count', "
+            "CAST(n AS DOUBLE), n > 1000 FROM g) "
+            "ORDER BY o_orderstatus, check_key"
         ),
         "mixture_sample": (
             # per-source keep probability p = min(1, frac·t_s / c_s); the

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "sequence_packing",
     "mixture_sample",
     "doc_chunks",
+    "sliced_validation",
 ]
 
 TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "1000000"))

@@ -29,7 +29,7 @@ ROTATED = {
     "histogram_totalprice",
     # rotated r5 (green r03+r04; code paths untouched this round)
     "tpch_q1", "topk_parts", "json_validation", "cosine_topk",
-    "embedding_near_dups",
+    "embedding_near_dups", "simhash_near_dups",
 }
 
 
