@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--inline-references", action="store_true",
                    help="resolve authoritativeDefinitions references and "
                         "inline the fetched definitions")
+    t.add_argument("--by", default=None,
+                   help="also print per-slice verdicts grouped by this "
+                        "column (agg-able checks, one extra aggregate)")
     t.add_argument("--output", default=None, help="write results to this path")
     t.add_argument("--output-format", default="json", choices=["json", "junit"])
     t.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
@@ -654,6 +657,39 @@ def main(argv: list[str] | None = None) -> int:
         tag=args.tag,
     )
     print(writers.console_table(run))
+    if args.by:
+        from datacontract_cli_spark.engine.sliced import sliced_validation
+        from datacontract_cli_spark.sources.readers import bind_server_with_raw
+        try:
+            tables, _ = bind_server_with_raw(
+                spark, contract, contract.server(args.server))
+        except Exception as e:
+            print(f"--by: cannot bind server tables: {e}", file=sys.stderr)
+            tables = {}
+        lowered = {k.lower(): v for k, v in tables.items()}
+        for obj in contract.schema_objects:
+            if args.schema_name not in ("all", obj.name):
+                continue
+            df = lowered.get(obj.name.lower())
+            if df is None:
+                continue
+            if args.by not in df.columns:
+                print(f"--by: column '{args.by}' not in model "
+                      f"{obj.name}; skipped", file=sys.stderr)
+                continue
+            rows = (sliced_validation(df, contract, obj.name, [args.by])
+                    .orderBy(args.by, "check_key").collect())
+            if not rows:
+                continue
+            print(f"\nper-slice verdicts — {obj.name} by {args.by}:")
+            for r in rows:
+                mark = "pass" if r["passed"] else "FAIL"
+                val = ("null" if r["metric_value"] is None
+                       else f"{r['metric_value']:g}")
+                print(f"  {mark}  {args.by}={r[args.by]}  "
+                      f"{r['check_key']}  value={val}")
+            n_bad = sum(1 for r in rows if not r["passed"])
+            print(f"  {n_bad}/{len(rows)} slice-checks failing")
     if args.output:
         if args.output_format == "junit":
             writers.write_junit(run, args.output)

@@ -151,3 +151,26 @@ def test_cli_curate_end_to_end(tmp_path):
         f"SELECT count(*) n, count(DISTINCT split) s, "
         f"count(DISTINCT bin_id) b FROM '{out}/*/*.parquet'").fetchone()
     assert got[0] > 0 and got[1] == 2 and got[2] > 1
+
+
+def test_cli_test_by_slice(tmp_path):
+    contract = _prepare(tmp_path)
+    proc = subprocess.run(
+        [sys.executable, "-m", "datacontract_cli_spark", "test", contract,
+         "--master", "local[2]", "--by", "order_id"],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert proc.returncode == 1, proc.stdout + proc.stderr
+    assert "per-slice verdicts — orders by order_id:" in proc.stdout
+    # order_id=2 has the bad-email row; its invalid-count slice must FAIL
+    lines = [l for l in proc.stdout.splitlines() if "order_id=2" in l]
+    assert any(l.strip().startswith("FAIL") for l in lines), proc.stdout
+    assert "slice-checks failing" in proc.stdout
+    # an unknown slice column degrades gracefully, not a crash
+    proc2 = subprocess.run(
+        [sys.executable, "-m", "datacontract_cli_spark", "test", contract,
+         "--master", "local[2]", "--by", "nope"],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert proc2.returncode == 1
+    assert "not in model" in proc2.stderr
