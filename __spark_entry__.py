@@ -1123,6 +1123,68 @@ def _q_mixture_sample(spark, sf):
             .orderBy("source"))
 
 
+def _q_line_dedup(spark, sf):
+    """C4/CCNet corpus line-dedup on a derived multi-line corpus: derived
+    doc d holds source texts d, d+1, d+2 as lines (overlapping windows →
+    every line occurs in up to 3 docs), so keep-first must retain derived
+    doc 0's three lines, every other doc's LAST line only, and strip the
+    tail docs empty. The oracle derives the same corpus and applies
+    row_number-over-(line) independently of the operator's groupBy+join
+    first-occurrence plan."""
+    from datacontract_cli_spark.operators.lines import line_dedup
+
+    docs = _t(spark, sf, "documents").select(F.col("doc_id").alias("src"),
+                                             "text")
+    offs = spark.range(3).select(F.col("id").alias("off"))
+    lines = (docs.crossJoin(F.broadcast(offs))
+             .withColumn("derived", F.col("src") - F.col("off"))
+             .filter(F.col("derived") >= 0))
+    derived_docs = (lines.groupBy("derived")
+                    .agg(F.concat_ws("\n", F.transform(
+                        F.array_sort(F.collect_list(F.struct("off", "text"))),
+                        lambda s: s["text"])).alias("text"))
+                    .select(F.col("derived").alias("doc_id"), "text"))
+    return line_dedup(derived_docs, min_len=10).orderBy("doc_id")
+
+
+def _q_contamination_fraction(spark, sf):
+    """Per-doc eval-overlap FRACTION (the PaLM-style decontamination
+    report): corpus docs >= 10 against the doc<10 benchmark, fraction of
+    each doc's distinct 5-grams found in the eval set. Production lane
+    compresses join keys to xxhash64 (DCSPARK_CONTAM_HASH_GRAMS=1); the
+    gate keeps raw grams so DuckDB reproduces the join keys."""
+    import os
+
+    from datacontract_cli_spark.operators.contamination import (
+        contamination_fraction,
+    )
+    docs = _t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    hash_grams = os.environ.get("DCSPARK_CONTAM_HASH_GRAMS", "") == "1"
+    return (contamination_fraction(corpus, bench, n=5,
+                                   hash_grams=hash_grams)
+            .orderBy("doc_id"))
+
+
+def _q_transition_drift(spark, sf):
+    """Conversation-FLOW drift (north rule's role-frequency drift lifted
+    to first-order sequence structure): PSI of adjacent-event transition
+    bigrams per user (order = ts, event_id) against a uniform baseline
+    over the 25 event-type pairs. One conv-partitioned lag window + the
+    declarative one-row drift plan — no collect."""
+    from itertools import product
+
+    from datacontract_cli_spark.operators.convchecks import transition_drift
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    baseline = {f"{a}->{b}": 0.04 for a, b in product(types, types)}
+    ev = _t(spark, sf, "events")
+    return transition_drift(ev, baseline, conv_col="user_id",
+                            order_cols=("ts", "event_id"),
+                            col="event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate tests only the FIRST 50
     # entries.  Everything that has never been driver-green (or failed last
@@ -1155,6 +1217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "doc_chunks": _q_doc_chunks,
         "sliced_validation": _q_sliced_validation,
+        "line_dedup": _q_line_dedup,
+        "contamination_fraction": _q_contamination_fraction,
+        "transition_drift": _q_transition_drift,
         # --- green in r03 but pushed past the cap in r04
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
@@ -1171,12 +1236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "row_filter": _q_row_filter,
         "violation_samples": _q_violation_samples,
         "percent_failed": _q_percent_failed,
-        "profile_orders": _q_profile_orders,
-        "referential_integrity": _q_referential_integrity,
         "psi_event_type": _q_psi_event_type,
         "jsd_event_type": _q_jsd_event_type,
         "chi2_event_type": _q_chi2_event_type,
-        "ks_value": _q_ks_value,
         # --- LLM-data-pipeline lanes
         "dedup_exact": _q_dedup_exact,
         "lm_quality_score": _q_lm_quality_score,
@@ -1186,7 +1248,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- position 51+: multi-round driver-green, rotated out
         # (tpch_q1/topk_parts/json_validation/cosine_topk/embedding_near_dups/
         # simhash_near_dups rotated r5: their code paths are untouched this
-        # round — the one dedup.py change was the winnow arrow kernel)
+        # round — the one dedup.py change was the winnow arrow kernel.
+        # profile_orders/referential_integrity/ks_value rotated late-r5 for
+        # line_dedup/contamination_fraction/transition_drift: green r03+r04,
+        # profile.py / refintegrity.py / the ks lane untouched this round)
+        "profile_orders": _q_profile_orders,
+        "referential_integrity": _q_referential_integrity,
+        "ks_value": _q_ks_value,
         "simhash_near_dups": _q_simhash_near_dups,
         "embedding_near_dups": _q_embedding_near_dups,
         "tpch_q1": _q_tpch_q1,
@@ -1221,6 +1289,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "line_dedup": (
+            # derive the same overlapping-window corpus, then keep-first
+            # via row_number over (line) — independent of the operator's
+            # groupBy-min + join plan
+            "WITH offs AS (SELECT unnest(generate_series(0, 2)) AS off), "
+            "l AS (SELECT d.doc_id - o.off AS doc_id, o.off AS pos, "
+            "d.text AS line FROM documents d, offs o "
+            "WHERE d.doc_id - o.off >= 0), "
+            "nl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines "
+            "FROM l GROUP BY 1), "
+            "k AS (SELECT doc_id, pos, line, "
+            "CASE WHEN length(line) >= 10 THEN row_number() OVER "
+            "(PARTITION BY line ORDER BY doc_id, pos) ELSE 1 END AS rn "
+            "FROM l), "
+            "kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
+            "string_agg(line, chr(10) ORDER BY pos) AS text_clean "
+            "FROM k WHERE rn = 1 GROUP BY doc_id) "
+            "SELECT nl.doc_id, nl.n_lines, "
+            "coalesce(kept.n_kept, 0) AS n_kept, "
+            "nl.n_lines - coalesce(kept.n_kept, 0) AS n_dropped, "
+            "coalesce(kept.text_clean, '') AS text_clean "
+            "FROM nl LEFT JOIN kept USING (doc_id) ORDER BY doc_id"
+        ),
+        "contamination_fraction": (
+            r"WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), "
+            r"'\s+') AS words FROM documents), "
+            r"g AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            r"generate_series(1, greatest(len(words) - 4, 0)), "
+            r"i -> array_to_string(words[i:i+4], ' ')))) AS gram FROM w), "
+            r"bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 10), "
+            r"c AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+            r"CAST(count(*) FILTER (gram IN (SELECT gram FROM bench)) "
+            r"AS BIGINT) AS n_contaminated "
+            r"FROM g WHERE doc_id >= 10 GROUP BY g.doc_id) "
+            r"SELECT doc_id, n_grams, n_contaminated, "
+            r"round(CAST(n_contaminated AS DOUBLE) / n_grams, 6) "
+            r"AS overlap_fraction FROM c ORDER BY doc_id"
+        ),
+        "transition_drift": (
+            # exact psi_df replica incl. the 1e-6 epsilon floor over the
+            # full-outer of observed transitions vs the 25 baseline pairs
+            "WITH t AS (SELECT user_id, event_type, lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events), "
+            "tr AS (SELECT prev || '->' || event_type AS k FROM t "
+            "WHERE prev IS NOT NULL), "
+            "freq AS (SELECT k, CAST(count(*) AS DOUBLE) / "
+            "(SELECT count(*) FROM tr) AS p FROM tr GROUP BY k), "
+            "base AS (SELECT a.x || '->' || b.x AS k, 0.04 AS q FROM "
+            "(SELECT unnest(['click','error','purchase','signup','view']) "
+            "AS x) a, (SELECT unnest(['click','error','purchase','signup',"
+            "'view']) AS x) b), "
+            "j AS (SELECT greatest(coalesce(p, 0), 1e-6) AS a, "
+            "greatest(coalesce(q, 0), 1e-6) AS b "
+            "FROM freq FULL OUTER JOIN base USING (k)) "
+            "SELECT round(sum((a - b) * ln(a / b)), 6) AS psi FROM j"
+        ),
         "row_count": "SELECT count(*) AS row_count FROM lineitem",
         "missing_count": (
             "SELECT count(*) FILTER (WHERE event_type IS NULL OR event_type = 'error') "

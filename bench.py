@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "mixture_sample",
     "doc_chunks",
     "sliced_validation",
+    "line_dedup",
+    "contamination_fraction",
+    "transition_drift",
 ]
 
 TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "1000000"))

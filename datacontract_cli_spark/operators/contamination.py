@@ -100,3 +100,40 @@ def top_ngrams(corpus: DataFrame, id_col: str = "doc_id",
         F.count(F.lit(1)).alias("n_occurrences"),
         F.count_distinct(F.col("id")).alias("n_docs"))
     return counts.orderBy(F.desc("n_occurrences"), F.asc("gram")).limit(k)
+
+
+def contamination_fraction(corpus: DataFrame, benchmark: DataFrame,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           n: int = 5, hash_grams: bool = False) -> DataFrame:
+    """Per-document overlap FRACTION with the benchmark: (id_col, n_grams,
+    n_contaminated, overlap_fraction) — one row per corpus doc that has at
+    least one n-gram, fraction over the doc's DISTINCT grams.
+
+    The binary flag (``contaminated_docs``) over-rejects at web scale: a
+    book that shares one idiom with an eval set is not the same as a doc
+    that embeds the eval set verbatim. The PaLM/GPT-4 decontamination
+    reports threshold on the overlap fraction instead; this is that lane.
+
+    Plan: corpus-side distinct-gram explode (narrow, (id, gram) pairs
+    only) → broadcast LEFT join against the benchmark gram set with a hit
+    flag → one groupBy(id) count/count-if. No corpus shuffle except the
+    final per-doc aggregate, which map-side combines."""
+    def _grams(df: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if keep_id else []
+        out = df.select(*cols, F.explode(
+            F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"))
+        if hash_grams:
+            out = out.withColumn("gram", F.xxhash64("gram"))
+        return out
+
+    bench = (_grams(benchmark, keep_id=False).distinct()
+             .withColumn("__hit__", F.lit(1)))
+    return (_grams(corpus, keep_id=True)
+            .join(F.broadcast(bench), "gram", "left")
+            .groupBy(id_col).agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).cast("bigint")
+                .alias("n_contaminated"))
+            .withColumn("overlap_fraction",
+                        F.round(F.col("n_contaminated")
+                                / F.col("n_grams"), 6)))

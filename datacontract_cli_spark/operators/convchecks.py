@@ -152,3 +152,44 @@ def chat_format_violations(df: DataFrame, conv_col: str = "conv_id",
     (:data:`CHAT_FORMAT_RULES`), ordered by turn index."""
     return predecessor_violations(df, conv_col, [turn_col], role_col,
                                   CHAT_FORMAT_RULES)
+
+
+def transitions(df: DataFrame, conv_col: str = "conv_id",
+                order_cols: list | tuple = ("turn_idx",),
+                col: str = "role", sep: str = "->") -> DataFrame:
+    """Adjacent-turn transition labels: one row per consecutive turn pair
+    per conversation, column ``transition`` = "prev{sep}next" under stable
+    (conv, order) turn ordering. NULL values render as '' (concat_ws).
+
+    One lag window PARTITIONED by conversation — never global, so the
+    sort is per-conversation and a trillion-turn table spreads across
+    reducers; a single conversation's turns do land on one partition,
+    which is the window's correctness requirement (turn counts are
+    bounded by context length, unlike corpus-wide line/gram keys)."""
+    w = Window.partitionBy(conv_col).orderBy(*[F.col(c) for c in order_cols])
+    return (df.withColumn("__prev__", F.lag(F.col(col)).over(w))
+            .filter(F.col("__prev__").isNotNull())
+            .select(F.concat_ws(sep, "__prev__", F.col(col))
+                    .alias("transition")))
+
+
+def transition_drift(df: DataFrame, baseline: dict,
+                     conv_col: str = "conv_id",
+                     order_cols: list | tuple = ("turn_idx",),
+                     col: str = "role", metric: str = "psi",
+                     digits: int = 6) -> DataFrame:
+    """Distribution drift of CONVERSATION FLOW: PSI (or JSD) of the
+    adjacent-turn transition bigram frequencies (e.g. user->assistant,
+    assistant->tool) against a baseline dict {"a->b": fraction}.
+
+    Per-category role frequencies miss ordering regressions — a corpus
+    where assistants answer before users asks has the same unigram role
+    mix as a healthy one; the transition distribution catches it. This is
+    the north rule's role-frequency drift check lifted to first-order
+    sequence structure. One window + the declarative one-row drift plan
+    (grouped count → tiny baseline join → single-row sum), no collect."""
+    from datacontract_cli_spark.operators.drift import jsd_df, psi_df
+
+    t = transitions(df, conv_col, order_cols, col)
+    fn = {"psi": psi_df, "jsd": jsd_df}[metric]
+    return fn(t, "transition", baseline, digits=digits)
