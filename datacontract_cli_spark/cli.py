@@ -225,6 +225,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="reference-corpus parquet for the perplexity gate")
     cur.add_argument("--max-perplexity", type=float, default=None)
     cur.add_argument("--min-tokens", type=int, default=5)
+    cur.add_argument("--line-dedup-min-len", type=int, default=None,
+                     help="C4-style corpus line dedup: drop repeated "
+                          "lines of at least this many chars (keep-first)")
     cur.add_argument("--max-repetition", type=float, default=0.5)
     cur.add_argument("--near-dup-threshold", type=float, default=0.85)
     cur.add_argument("--classifier-threshold", type=float, default=None)
@@ -389,6 +392,7 @@ def main(argv: list[str] | None = None) -> int:
                            if args.lm_corpus else None),
                 max_perplexity=args.max_perplexity,
                 min_tokens=args.min_tokens,
+                line_dedup_min_len=args.line_dedup_min_len,
                 max_repetition=args.max_repetition,
                 near_dup_threshold=args.near_dup_threshold,
                 classifier_threshold=args.classifier_threshold,

@@ -62,6 +62,7 @@ def curate_corpus(
     max_perplexity: Optional[float] = None,
     min_tokens: int = 5,
     max_repetition: float = 0.5,
+    line_dedup_min_len: Optional[int] = None,
     near_dup_threshold: float = 0.85,
     contamination_ngram: int = 5,
     classifier_threshold: Optional[float] = None,
@@ -73,8 +74,8 @@ def curate_corpus(
     split_weights: Optional[Dict[str, float]] = None,
     pack_budget: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
-    checkpoint_stages: Sequence[str] = ("near_dedup", "decontaminated",
-                                        "lm_quality"),
+    checkpoint_stages: Sequence[str] = ("line_dedup", "near_dedup",
+                                        "decontaminated", "lm_quality"),
     report: Optional[CurationReport] = None,
 ) -> DataFrame:
     """Run the full curation chain; returns the curated frame (with a
@@ -106,6 +107,7 @@ def curate_corpus(
     if checkpoint_dir:
         params = dict(
             id_col=id_col, text_col=text_col, min_tokens=min_tokens,
+            line_dedup_min_len=line_dedup_min_len,
             max_repetition=max_repetition,
             near_dup_threshold=near_dup_threshold,
             contamination_ngram=contamination_ngram,
@@ -176,6 +178,26 @@ def curate_corpus(
     out = dedup.dedup_exact(out, id_col, text_col)
     out = _ckpt("exact_dedup", out)
     _tick("exact_dedup", out)
+
+    # 1b. corpus line-dedup (C4/CCNet boilerplate removal) — REWRITES the
+    # text, so it runs BEFORE the near-dup signatures (shared boilerplate
+    # would otherwise glue unrelated docs into LSH clusters) and after
+    # exact dedup (which is cheaper on the raw text). Docs stripped to
+    # zero kept lines drop out. Production hash_lines keys the corpus
+    # shuffle on 8-byte xxhash64 instead of line text.
+    if line_dedup_min_len is not None:
+        if _has_ckpt("line_dedup"):
+            out = _read_ckpt("line_dedup")
+        else:
+            from datacontract_cli_spark.operators.lines import line_dedup
+            cleaned = (line_dedup(out, id_col, text_col,
+                                  min_len=line_dedup_min_len,
+                                  hash_lines=True)
+                       .filter(F.col("n_kept") > 0)
+                       .select(id_col, F.col("text_clean").alias(text_col)))
+            out = out.drop(text_col).join(cleaned, id_col)
+            out = _ckpt("line_dedup", out)
+        _tick("line_dedup", out)
 
     # 2. near-dedup: banded-LSH candidates -> connected components ->
     #    keep each cluster's minimum id (the cluster representative).

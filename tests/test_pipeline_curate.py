@@ -238,3 +238,45 @@ schema:
     assert good == {(1, 10)}
     assert bad == {(2, -5), (None, 3)}
     assert len(good) + len(bad) == 3
+
+
+def test_curate_corpus_line_dedup_stage(spark):
+    boiler = "subscribe to our newsletter for updates and offers today"
+    rows = [
+        (1, f"{boiler}\nunique technical content about query planning "
+            f"and shuffle optimization strategies"),
+        (2, f"{boiler}\ncompletely different article on distributed "
+            f"storage systems and replication protocols"),
+        (3, boiler),  # nothing but boilerplate -> stripped empty -> dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    report = CurationReport()
+    out = curate_corpus(docs, line_dedup_min_len=10, min_tokens=3,
+                        scrub_pii=False, report=report).collect()
+    by_id = {r["doc_id"]: r["text"] for r in out}
+    assert sorted(by_id) == [1, 2]
+    # doc 1 owns the boilerplate's first occurrence and keeps it
+    assert by_id[1].startswith(boiler)
+    # doc 2 loses the boilerplate line, keeps its own content
+    assert boiler not in by_id[2]
+    assert by_id[2].startswith("completely different")
+    stages = {s["stage"]: s["rows"] for s in report.to_rows()}
+    assert stages["line_dedup"] == 2
+
+
+def test_curate_corpus_line_dedup_checkpoint_resume(spark, tmp_path):
+    boiler = "copyright two thousand twenty six all rights reserved inc"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler}\ndocument number {i} body content with enough "
+             f"tokens to pass the floor") for i in range(6)],
+        "doc_id long, text string")
+    ck = str(tmp_path / "ck")
+    a = curate_corpus(docs, line_dedup_min_len=10, scrub_pii=False,
+                      checkpoint_dir=ck).collect()
+    b = curate_corpus(docs, line_dedup_min_len=10, scrub_pii=False,
+                      checkpoint_dir=ck).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # only doc 0 keeps the boilerplate line
+    texts = {r["doc_id"]: r["text"] for r in a}
+    assert texts[0].startswith(boiler)
+    assert all(boiler not in texts[i] for i in range(1, 6))
