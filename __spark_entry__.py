@@ -1185,6 +1185,29 @@ def _q_transition_drift(spark, sf):
                             col="event_type")
 
 
+def _q_tool_args_validation(spark, sf):
+    """Per-tool JSON-Schema argument validation (transcript tool-call
+    lane) exercised on events: event_type plays the tool column, props
+    the argument JSON; two tools carry schemas with disjoint constraints
+    on k, the rest validate vacuously (unknown='ignore'). One narrow
+    CASE projection — no shuffle until the per-tool count."""
+    from datacontract_cli_spark.operators.jsonschema import (
+        tool_args_violation_counts,
+    )
+
+    schemas = {
+        "purchase": {"type": "object", "required": ["k"],
+                     "properties": {"k": {"type": "integer",
+                                          "minimum": 50}}},
+        "error": {"type": "object",
+                  "properties": {"k": {"type": "integer", "maximum": 10}}},
+    }
+    ev = _t(spark, sf, "events")
+    return (tool_args_violation_counts(ev, schemas, tool_col="event_type",
+                                       args_col="props")
+            .orderBy("tool"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate tests only the FIRST 50
     # entries.  Everything that has never been driver-green (or failed last
@@ -1220,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "contamination_fraction": _q_contamination_fraction,
         "transition_drift": _q_transition_drift,
+        "tool_args_validation": _q_tool_args_validation,
         # --- green in r03 but pushed past the cap in r04
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
@@ -1228,7 +1252,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "hash_split": _q_hash_split,
         # --- core contract-check lanes
-        "row_count": _q_row_count,
         "missing_count": _q_missing_count,
         "duplicate_count": _q_duplicate_count,
         "duplicate_count_composite": _q_duplicate_composite,
@@ -1255,6 +1278,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": _q_profile_orders,
         "referential_integrity": _q_referential_integrity,
         "ks_value": _q_ks_value,
+        # (row_count rotated late-r5 for tool_args_validation: green
+        # r01-r04, a one-line direct aggregate untouched since r1)
+        "row_count": _q_row_count,
         "simhash_near_dups": _q_simhash_near_dups,
         "embedding_near_dups": _q_embedding_near_dups,
         "tpch_q1": _q_tpch_q1,
@@ -1326,6 +1352,19 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT doc_id, n_grams, n_contaminated, "
             r"round(CAST(n_contaminated AS DOUBLE) / n_grams, 6) "
             r"AS overlap_fraction FROM c ORDER BY doc_id"
+        ),
+        "tool_args_validation": (
+            # the events props are uniformly {"k": <int 0..99>}; the two
+            # schemas reduce to the k comparisons on this data (the Spark
+            # side still evaluates the full keyword set)
+            "SELECT event_type AS tool, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(*) FILTER ("
+            "(event_type = 'purchase' AND "
+            "CAST(json_extract(props, '$.k') AS BIGINT) < 50) OR "
+            "(event_type = 'error' AND "
+            "CAST(json_extract(props, '$.k') AS BIGINT) > 10)"
+            ") AS BIGINT) AS n_invalid "
+            "FROM events GROUP BY event_type ORDER BY tool"
         ),
         "transition_drift": (
             # exact psi_df replica incl. the 1e-6 epsilon floor over the

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "line_dedup",
     "contamination_fraction",
     "transition_drift",
+    "tool_args_validation",
 ]
 
 TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "1000000"))

@@ -510,3 +510,72 @@ def json_schema_violations(
                 break
             messages.append(prefix + m)
     return int(counts["n"]), int(counts["bad"] or 0), messages
+
+
+# --------------------------------------------------------------------------
+# Per-tool argument validation (transcript tool-call lane)
+# --------------------------------------------------------------------------
+
+def validate_tool_args(
+    df: DataFrame,
+    schemas: Dict[str, Dict[str, Any]],
+    tool_col: str = "tool",
+    args_col: str = "args",
+    unknown: str = "ignore",
+) -> DataFrame:
+    """Rows + ``errors array<string>``, the JSON Schema chosen PER ROW by
+    the tool column — the transcript tool-call check: every tool in an
+    agent trace carries its own argument schema, and a single pass must
+    validate them all.
+
+    One chained CASE over the compiled variant Column expressions: each
+    tool's keywords become vectorized predicates on the same
+    ``try_parse_json`` (Spark's codegen subexpression elimination shares
+    the parse across branches), so the whole validation is one narrow
+    projection — no shuffle, no Python, scales linearly with rows and not
+    with the number of tools. ``unknown``: "ignore" gives rows whose tool
+    has no schema an empty error array; "flag" reports them.
+
+    Schemas needing the Arrow fallback (patternProperties) are rejected —
+    run those tools through :func:`validate_json_rows` separately."""
+    for t, s in schemas.items():
+        if _needs_arrow(s):
+            raise ValueError(
+                f"tool '{t}': patternProperties schemas are not "
+                f"expressible as a CASE branch; validate that tool via "
+                f"validate_json_rows(engine='arrow')")
+    if unknown not in ("ignore", "flag"):
+        raise ValueError("unknown must be 'ignore' or 'flag'")
+    empty = F.array().cast("array<string>")
+    expr = None
+    for t, s in schemas.items():
+        errs = compile_errors_column(args_col, s)
+        cond = F.col(tool_col) == F.lit(t)
+        expr = F.when(cond, errs) if expr is None else expr.when(cond, errs)
+    if expr is None:
+        fallback = empty
+    elif unknown == "flag":
+        fallback = F.array(F.concat(
+            F.lit("unknown tool '"),
+            F.coalesce(F.col(tool_col).cast("string"), F.lit("null")),
+            F.lit("'")))
+    else:
+        fallback = empty
+    expr = fallback if expr is None else expr.otherwise(fallback)
+    return df.withColumn("errors", expr)
+
+
+def tool_args_violation_counts(
+    df: DataFrame,
+    schemas: Dict[str, Dict[str, Any]],
+    tool_col: str = "tool",
+    args_col: str = "args",
+    unknown: str = "ignore",
+) -> DataFrame:
+    """(tool, n_rows, n_invalid) per tool value — the summary lane over
+    :func:`validate_tool_args`; one scan, one small groupBy(tool)."""
+    validated = validate_tool_args(df, schemas, tool_col, args_col, unknown)
+    return (validated.groupBy(F.col(tool_col).alias("tool"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum((F.size("errors") > 0).cast("long"))
+                 .cast("bigint").alias("n_invalid")))

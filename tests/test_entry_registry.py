@@ -34,6 +34,9 @@ ROTATED = {
     # transition_drift (green r03+r04; profile.py, refintegrity.py and the
     # drift ks lane are untouched this round)
     "profile_orders", "referential_integrity", "ks_value",
+    # rotated late-r5 for tool_args_validation (green r01-r04; a one-line
+    # direct aggregate untouched since round 1)
+    "row_count",
 }
 
 
