@@ -376,6 +376,48 @@ def _library_metric(model: str, field: Optional[str], q: QualityRule,
             )
         ]
 
+    if metric == "toolArgsValid":
+        # per-tool JSON-Schema argument validation (transcript tool-call
+        # lane): the JSON column is invalid when the row's tool has a
+        # schema and the arguments violate it; tools without schemas
+        # validate vacuously. Rides the INVALID_COUNT batched aggregate.
+        if field is None:
+            logger.warning("Quality metric toolArgsValid is only supported at field level")
+            return []
+        args = q.arguments or {}
+        schemas = args.get("schemas")
+        tool_col = args.get("toolColumn")
+        if not isinstance(schemas, dict) or not schemas or not tool_col:
+            logger.warning("toolArgsValid on field %s needs arguments.toolColumn "
+                           "and a non-empty arguments.schemas map; skipping", field)
+            return []
+        from datacontract_cli_spark.operators.jsonschema import _needs_arrow
+        arrow_tools = [t for t, s in schemas.items()
+                       if isinstance(s, dict) and _needs_arrow(s)]
+        if arrow_tools:
+            logger.warning("toolArgsValid on field %s: schemas for %s use "
+                           "patternProperties (not Column-expressible); skipping",
+                           field, arrow_tools)
+            return []
+        return [
+            CheckSpec(
+                key=f"{model}__{field}__tool_args_valid",
+                category="quality",
+                type="field_tool_args_valid",
+                name=(f"Check that {field} has invalid_count "
+                      f"{threshold.describe()} under per-tool JSON Schemas "
+                      f"(tool column {tool_col})"),
+                model=model,
+                field=field,
+                metric=MetricType.INVALID_COUNT,
+                threshold=threshold,
+                tool_col=tool_col,
+                tool_schemas=schemas,
+                severity=severity,
+                dimension=dimension,
+            )
+        ]
+
     if metric == "referentialIntegrity":
         args = q.arguments or {}
         ref = args.get("ref") or ""

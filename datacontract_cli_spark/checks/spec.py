@@ -163,6 +163,8 @@ class CheckSpec:
     baseline: Optional[Dict[str, Any]] = None  # drift: expected distribution
     quantile: Optional[float] = None  # quantile metric: the q in [0, 1]
     quantile_exact: bool = False  # exact percentile vs approx sketch
+    tool_col: Optional[str] = None  # toolArgsValid: column naming the tool
+    tool_schemas: Optional[Dict[str, Any]] = None  # tool -> JSON Schema
 
     preset_result: Optional[str] = None
     preset_reason: Optional[str] = None

@@ -57,6 +57,21 @@ def valid_condition(df: DataFrame, column: str, spec: CheckSpec) -> Optional[Col
         conds.append(_length_operand(df, column) >= F.lit(spec.valid_min_length))
     if spec.valid_max_length is not None:
         conds.append(_length_operand(df, column) <= F.lit(spec.valid_max_length))
+    if spec.tool_schemas is not None and spec.tool_col is not None:
+        # per-tool JSON-Schema validity: invalid when the row's tool has a
+        # schema and the compiled keyword predicates report errors; tools
+        # without schemas validate vacuously. Pure Column math (the same
+        # variant expressions validate_tool_args chains), so it folds into
+        # the batched aggregate like any other validity constraint.
+        from datacontract_cli_spark.operators.jsonschema import (
+            compile_errors_column,
+        )
+        tool = F.col(_q(resolve_column(df, spec.tool_col) or spec.tool_col))
+        bad = F.lit(False)
+        for t, schema in spec.tool_schemas.items():
+            errs = compile_errors_column(_q(column), schema)
+            bad = bad | ((tool == F.lit(t)) & (F.size(errs) > 0))
+        conds.append(~bad)
     if not conds:
         return None
     out = conds[0]

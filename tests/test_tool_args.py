@@ -71,3 +71,70 @@ def test_validate_tool_args_no_shuffle(spark):
                               args_col="args") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+_CONTRACT = """
+apiVersion: v3.0.2
+kind: DataContract
+id: tool-args
+version: 1.0.0
+schema:
+  - name: calls
+    properties:
+      - name: turn_id
+        logicalType: integer
+      - name: tool
+        logicalType: string
+      - name: args
+        logicalType: string
+        quality:
+          - type: library
+            metric: toolArgsValid
+            description: tool arguments match their schemas
+            arguments:
+              toolColumn: tool
+              schemas:
+                search:
+                  type: object
+                  required: [query]
+                  properties:
+                    query: {type: string}
+            mustBe: 0
+"""
+
+
+def test_tool_args_valid_contract_check(spark):
+    from datacontract_cli_spark import SparkContractEngine, load_contract_str
+
+    contract = load_contract_str(_CONTRACT)
+    engine = SparkContractEngine(spark, include_failed_samples=True)
+    good = spark.createDataFrame(
+        [(1, "search", '{"query": "x"}'), (2, "think", "{}"), (3, None, None)],
+        "turn_id long, tool string, args string")
+    run = engine.test(contract, tables={"calls": good})
+    chk = {c.key: c for c in run.checks}["calls__args__tool_args_valid"]
+    assert chk.result.value == "passed", chk.reason
+
+    bad = spark.createDataFrame(
+        [(1, "search", '{"query": "x"}'), (2, "search", '{"limit": 3}'),
+         (3, "search", "not json")],
+        "turn_id long, tool string, args string")
+    run2 = engine.test(contract, tables={"calls": bad})
+    chk2 = {c.key: c for c in run2.checks}["calls__args__tool_args_valid"]
+    assert chk2.result.value == "failed"
+    assert chk2.diagnostics["value"] == 2
+    # failed samples surface the offending rows deterministically
+    assert chk2.failedSamples is not None and len(chk2.failedSamples) == 2
+
+
+def test_tool_args_valid_lint_skips_pattern_properties(spark):
+    from datacontract_cli_spark import load_contract_str
+    from datacontract_cli_spark.checks.compile import compile_checks
+
+    y = _CONTRACT.replace(
+        "                search:",
+        "                search:\n"
+        "                  patternProperties: {'^x': {}}\n"
+        "                search_unused:")
+    specs = compile_checks(load_contract_str(y), None)
+    assert not any(s.type == "field_tool_args_valid" for s in specs)
