@@ -1208,6 +1208,33 @@ def _q_tool_args_validation(spark, sf):
             .orderBy("tool"))
 
 
+def _q_agent_loops(spark, sf):
+    """Degenerate-agent-loop detection (gaps-and-islands run lengths):
+    maximal runs of >=3 consecutive identical event_types per user under
+    (ts, event_id) order — the retry-storm / stuck-tool-loop signature in
+    agent transcripts. One conv-partitioned window (lag + running sum in
+    a single sort) then a map-side-combining groupBy: rows over the wire
+    is O(runs), never O(turns)."""
+    from datacontract_cli_spark.operators.convchecks import loop_report
+
+    ev = _t(spark, sf, "events")
+    return loop_report(ev, key_col="user_id", order_cols=("ts", "event_id"),
+                       action_cols=("event_type",), min_run=3)
+
+
+def _q_error_followup(spark, sf):
+    """Per-action follow-up-rate diagnostics: for each event_type, how
+    often is the NEXT event in the same user stream an 'error' — the
+    per-tool error-rate table for agent transcripts. One lead window
+    partitioned by user + one groupBy on 5 action values."""
+    from datacontract_cli_spark.operators.convchecks import followup_rates
+
+    ev = _t(spark, sf, "events")
+    return followup_rates(ev, target="error", key_col="user_id",
+                          order_cols=("ts", "event_id"),
+                          col="event_type").orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate tests only the FIRST 50
     # entries.  Everything that has never been driver-green (or failed last
@@ -1244,6 +1271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_fraction": _q_contamination_fraction,
         "transition_drift": _q_transition_drift,
         "tool_args_validation": _q_tool_args_validation,
+        "agent_loops": _q_agent_loops,
+        "error_followup": _q_error_followup,
         # --- green in r03 but pushed past the cap in r04
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
@@ -1266,9 +1295,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "lm_quality_score": _q_lm_quality_score,
         "benchmark_contamination": _q_benchmark_contamination,
+        # ---------------- position 51+: multi-round driver-green, rotated out
+        # (minhash_near_dups/ngram_jaccard_dups rotated late-r5 for
+        # agent_loops/error_followup: green r03+r04, their dedup.py lanes
+        # untouched this round — edits were winnowing/simhash only)
         "minhash_near_dups": _q_minhash_near_dups,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
-        # ---------------- position 51+: multi-round driver-green, rotated out
         # (tpch_q1/topk_parts/json_validation/cosine_topk/embedding_near_dups/
         # simhash_near_dups rotated r5: their code paths are untouched this
         # round — the one dedup.py change was the winnow arrow kernel.
@@ -1365,6 +1397,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(json_extract(props, '$.k') AS BIGINT) > 10)"
             ") AS BIGINT) AS n_invalid "
             "FROM events GROUP BY event_type ORDER BY tool"
+        ),
+        "agent_loops": (
+            # independent gaps-and-islands: lag-change flag -> running-sum
+            # island id -> per-island count; IS DISTINCT FROM mirrors the
+            # operator's null-safe equality
+            "WITH s AS (SELECT user_id, ts, event_id, event_type, "
+            "CASE WHEN lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) IS DISTINCT FROM event_type "
+            "THEN 1 ELSE 0 END AS chg FROM events), "
+            "r AS (SELECT user_id, sum(chg) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run_id "
+            "FROM s), "
+            "runs AS (SELECT user_id, run_id, "
+            "CAST(count(*) AS BIGINT) AS run_len FROM r GROUP BY 1, 2), "
+            "loops AS (SELECT * FROM runs WHERE run_len >= 3) "
+            "SELECT CAST(count(*) AS BIGINT) AS loop_runs, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS loop_convs, "
+            "CAST(coalesce(max(run_len), 0) AS BIGINT) AS max_run_len "
+            "FROM loops"
+        ),
+        "error_followup": (
+            "WITH s AS (SELECT event_type AS act, "
+            "lead(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS nxt FROM events) "
+            "SELECT act AS event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CASE WHEN nxt = 'error' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_followed, "
+            "round(CAST(sum(CASE WHEN nxt = 'error' THEN 1 ELSE 0 END) "
+            "AS BIGINT) / CAST(count(*) AS BIGINT), 6) AS followup_rate "
+            "FROM s WHERE act IS NOT NULL GROUP BY 1 ORDER BY 1"
         ),
         "transition_drift": (
             # exact psi_df replica incl. the 1e-6 epsilon floor over the

@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "contamination_fraction",
     "transition_drift",
     "tool_args_validation",
+    "agent_loops",
+    "error_followup",
 ]
 
 TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "1000000"))

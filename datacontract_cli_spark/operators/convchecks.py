@@ -193,3 +193,79 @@ def transition_drift(df: DataFrame, baseline: dict,
     t = transitions(df, conv_col, order_cols, col)
     fn = {"psi": psi_df, "jsd": jsd_df}[metric]
     return fn(t, "transition", baseline, digits=digits)
+
+
+def run_lengths(df: DataFrame, key_col: str = "conv_id",
+                order_cols: list | tuple = ("turn_idx",),
+                action_cols: list | tuple = ("role", "tool")) -> DataFrame:
+    """Gaps-and-islands: one row per MAXIMAL run of consecutive turns with
+    identical ``action_cols`` values within each key group under the
+    stable order. Output: (key, action_cols..., run_len).
+
+    Equality is null-safe (NULL continues a NULL run — ``IS NOT DISTINCT
+    FROM`` semantics, matching ANSI/DuckDB ``IS DISTINCT FROM`` oracles).
+
+    Plan shape: ONE window pass PARTITIONED by the key (lag + running sum
+    share the same window frame, so one sort), then a groupBy whose
+    map-side partial aggregation collapses each run to a single row before
+    the exchange — rows-over-the-wire is O(runs), not O(turns). At
+    10^12 turns the window sort is per-conversation (bounded by context
+    length); no global ordering anywhere."""
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    same = None
+    for c in action_cols:
+        eq = F.lag(F.col(c)).over(w).eqNullSafe(F.col(c))
+        same = eq if same is None else (same & eq)
+    chg = (~same).cast("long")
+    run = F.sum(chg).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    staged = df.select(key_col, *action_cols, run.alias("__run__"))
+    return (staged.groupBy(key_col, "__run__", *action_cols)
+            .agg(F.count(F.lit(1)).alias("run_len"))
+            .drop("__run__"))
+
+
+def loop_report(df: DataFrame, key_col: str = "conv_id",
+                order_cols: list | tuple = ("turn_idx",),
+                action_cols: list | tuple = ("role", "tool"),
+                min_run: int = 3) -> DataFrame:
+    """Degenerate-agent-loop detector: a single summary row
+    (loop_runs, loop_convs, max_run_len) counting maximal runs of
+    ``min_run``+ consecutive identical actions — the retry-storm /
+    stuck-tool-loop signature in agent transcripts. Built on
+    :func:`run_lengths`; the final aggregate folds O(runs) rows."""
+    runs = run_lengths(df, key_col, order_cols, action_cols)
+    loops = runs.filter(F.col("run_len") >= min_run)
+    return loops.agg(
+        F.count(F.lit(1)).alias("loop_runs"),
+        F.countDistinct(key_col).alias("loop_convs"),
+        F.coalesce(F.max("run_len"), F.lit(0)).alias("max_run_len"),
+    )
+
+
+def followup_rates(df: DataFrame, target: str,
+                   key_col: str = "conv_id",
+                   order_cols: list | tuple = ("turn_idx",),
+                   col: str = "tool", digits: int = 6) -> DataFrame:
+    """Per-action follow-up diagnostics: for each value of ``col``, how
+    often is the NEXT turn in the same conversation ``target``? The
+    tool-call -> error-rate table for agent transcripts ("which tool's
+    invocations are followed by an error turn, how often").
+
+    Output: one row per action value (col, n, n_followed, followup_rate),
+    rate rounded to ``digits``. Rows whose action is NULL are excluded
+    (no action to attribute). One key-partitioned lead window + one
+    map-side-combining groupBy — shuffle is O(distinct actions)."""
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    nxt = F.lead(F.col(col)).over(w)
+    staged = (df.select(F.col(col).alias("__a__"), nxt.alias("__n__"))
+              .filter(F.col("__a__").isNotNull()))
+    return (staged.groupBy(F.col("__a__").alias(col))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 # CASE-style 1/0 (not a nullable cast): a group whose
+                 # successors are all NULL counts 0, not NULL
+                 F.sum(F.when(F.col("__n__") == target, F.lit(1))
+                        .otherwise(F.lit(0)).cast("long"))
+                  .alias("n_followed"))
+            .withColumn("followup_rate",
+                        F.round(F.col("n_followed") / F.col("n"), digits)))

@@ -37,6 +37,9 @@ ROTATED = {
     # rotated late-r5 for tool_args_validation (green r01-r04; a one-line
     # direct aggregate untouched since round 1)
     "row_count",
+    # rotated late-r5 for agent_loops/error_followup (green r03+r04; the
+    # only dedup.py edits this round were in the winnowing/simhash lanes)
+    "minhash_near_dups", "ngram_jaccard_dups",
 }
 
 

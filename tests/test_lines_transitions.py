@@ -94,3 +94,48 @@ def test_transitions_and_drift(spark):
     assert psi_rev == pytest.approx((2 / 3) * 0.6931472, abs=1e-6)
     jsd = transition_drift(rev, base, metric="jsd").collect()[0]["jsd"]
     assert 0 < jsd <= 1
+
+
+def test_run_lengths_and_loop_report(spark):
+    from datacontract_cli_spark.operators.convchecks import (
+        loop_report, run_lengths)
+
+    # c1: tool runs a,a,a then b; c2: a,b,a (no runs); c3: null,null (a
+    # NULL run of 2 — null-safe equality continues it)
+    df = spark.createDataFrame(
+        [("c1", 0, "assistant", "a"), ("c1", 1, "assistant", "a"),
+         ("c1", 2, "assistant", "a"), ("c1", 3, "assistant", "b"),
+         ("c2", 0, "assistant", "a"), ("c2", 1, "assistant", "b"),
+         ("c2", 2, "assistant", "a"),
+         ("c3", 0, "user", None), ("c3", 1, "user", None)],
+        ["conv_id", "turn_idx", "role", "tool"])
+    runs = {(r["conv_id"], r["tool"], r["run_len"])
+            for r in run_lengths(df).collect()}
+    assert ("c1", "a", 3) in runs and ("c1", "b", 1) in runs
+    assert ("c3", None, 2) in runs
+    assert all(r[2] == 1 for r in runs if r[0] == "c2")
+
+    rep = loop_report(df, min_run=3).collect()[0]
+    assert (rep["loop_runs"], rep["loop_convs"], rep["max_run_len"]) == (1, 1, 3)
+    # empty-loop edge: min_run high -> zero counts, max coalesces to 0
+    rep0 = loop_report(df, min_run=10).collect()[0]
+    assert (rep0["loop_runs"], rep0["loop_convs"], rep0["max_run_len"]) == (0, 0, 0)
+
+
+def test_followup_rates(spark):
+    from datacontract_cli_spark.operators.convchecks import followup_rates
+
+    # c1: search -> error -> search -> done; c2: search -> done
+    df = spark.createDataFrame(
+        [("c1", 0, "search"), ("c1", 1, "error"), ("c1", 2, "search"),
+         ("c1", 3, "done"), ("c2", 0, "search"), ("c2", 1, "done"),
+         ("c2", 2, None)],
+        ["conv_id", "turn_idx", "tool"])
+    out = {r["tool"]: r for r in
+           followup_rates(df, target="error").collect()}
+    assert None not in out                      # null actions excluded
+    assert out["search"]["n"] == 3 and out["search"]["n_followed"] == 1
+    assert out["search"]["followup_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["error"]["n_followed"] == 0
+    # last turn of a conv never counts as followed (lead is NULL)
+    assert out["done"]["n_followed"] == 0

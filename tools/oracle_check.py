@@ -79,7 +79,8 @@ def normalize(rows, colnames):
     return sorted(out)
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", *only: str) -> int:
+    """Optional extra args: query names — check only those."""
     import duckdb
 
     import __spark_entry__ as entry_mod
@@ -93,6 +94,8 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         )
 
     qs = entry_mod.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entry_mod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
