@@ -251,6 +251,15 @@ def _q_ks_value(spark, sf):
     return drift.ks_df(_t(spark, sf, "events"), "value", points)
 
 
+def _q_ks_by_event_type(spark, sf):
+    """Per-slice KS drift (the north rule's text-length-quantile drift
+    check per role/tool): one groupBy, map-side count-if partials,
+    |groups| rows over the exchange."""
+    points = [[10.0, 0.1], [35.0, 0.5], [100.0, 0.9], [300.0, 0.99]]
+    return drift.ks_by_group(_t(spark, sf, "events"), "event_type",
+                             "value", points).orderBy("event_type")
+
+
 def _q_window_top3(spark, sf):
     from pyspark.sql import Window
     orders = _t(spark, sf, "orders")
@@ -1273,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_args_validation": _q_tool_args_validation,
         "agent_loops": _q_agent_loops,
         "error_followup": _q_error_followup,
+        "ks_by_event_type": _q_ks_by_event_type,
         # --- green in r03 but pushed past the cap in r04
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
@@ -1292,15 +1302,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsd_event_type": _q_jsd_event_type,
         "chi2_event_type": _q_chi2_event_type,
         # --- LLM-data-pipeline lanes
-        "dedup_exact": _q_dedup_exact,
         "lm_quality_score": _q_lm_quality_score,
         "benchmark_contamination": _q_benchmark_contamination,
         # ---------------- position 51+: multi-round driver-green, rotated out
         # (minhash_near_dups/ngram_jaccard_dups rotated late-r5 for
-        # agent_loops/error_followup: green r03+r04, their dedup.py lanes
-        # untouched this round — edits were winnowing/simhash only)
+        # agent_loops/error_followup, dedup_exact for ks_by_event_type:
+        # green r03+r04 — r01-r04 for dedup_exact — and their dedup.py
+        # lanes untouched this round; edits were winnowing/simhash only)
         "minhash_near_dups": _q_minhash_near_dups,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
+        "dedup_exact": _q_dedup_exact,
         # (tpch_q1/topk_parts/json_validation/cosine_topk/embedding_near_dups/
         # simhash_near_dups rotated r5: their code paths are untouched this
         # round — the one dedup.py change was the winnow arrow kernel.
@@ -1903,6 +1914,15 @@ def oracle_sql() -> dict[str, str]:
             "abs(CAST(count(*) FILTER (WHERE value <= 100.0) AS DOUBLE)/count(value) - 0.9), "
             "abs(CAST(count(*) FILTER (WHERE value <= 300.0) AS DOUBLE)/count(value) - 0.99)"
             "), 6) AS ks FROM events"
+        ),
+        "ks_by_event_type": (
+            "SELECT event_type, CAST(count(value) AS BIGINT) AS n, "
+            "round(greatest("
+            "abs(CAST(count(*) FILTER (WHERE value <= 10.0) AS DOUBLE)/count(value) - 0.1), "
+            "abs(CAST(count(*) FILTER (WHERE value <= 35.0) AS DOUBLE)/count(value) - 0.5), "
+            "abs(CAST(count(*) FILTER (WHERE value <= 100.0) AS DOUBLE)/count(value) - 0.9), "
+            "abs(CAST(count(*) FILTER (WHERE value <= 300.0) AS DOUBLE)/count(value) - 0.99)"
+            "), 6) AS ks FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "window_top3_per_customer": (
             "SELECT o_custkey, o_orderkey, rn FROM ("

@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "tool_args_validation",
     "agent_loops",
     "error_followup",
+    "ks_by_event_type",
 ]
 
 TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "1000000"))

@@ -207,6 +207,35 @@ def ks_df(df: DataFrame, column: str, points: List[List[float]],
     return row.select(F.round(ks, digits).alias("ks"))
 
 
+def ks_by_group(df: DataFrame, group_col: str, column: str,
+                points: List[List[float]], digits: int = 6) -> DataFrame:
+    """Per-slice exact KS-at-points: one row per ``group_col`` value with
+    (group, n, ks) — the north rule's text-length-quantile drift check
+    evaluated PER ROLE (or per tool/source/language) instead of globally.
+    A global KS hides a single role's length regression inside the
+    aggregate; this surfaces which slice drifted.
+
+    Same declarative shape as :func:`ks_df` lifted onto a groupBy: the
+    count-ifs become partial aggregates that combine map-side, the
+    exchange carries |groups| rows, and the max-deviation fold is a
+    projection on the tiny grouped frame. NULL group keys form their own
+    row (they usually ARE the defect); groups with zero non-null values
+    yield ks NULL rather than a spurious 0."""
+    col = F.col(column)
+    aggs = [F.count(col).alias("n")]
+    for i, (x, _p) in enumerate(points):
+        aggs.append(F.sum(F.when(col <= F.lit(x), 1).otherwise(0))
+                    .alias(f"__le_{i}__"))
+    g = df.groupBy(group_col).agg(*aggs)
+    # try_divide: an empty group (n=0) must yield ks NULL, not an ANSI
+    # divide-by-zero error
+    terms = [F.abs(F.try_divide(F.col(f"__le_{i}__"), F.col("n"))
+                   - F.lit(float(p)))
+             for i, (_x, p) in enumerate(points)]
+    ks = terms[0] if len(terms) == 1 else F.greatest(*terms)
+    return g.select(group_col, "n", F.round(ks, digits).alias("ks"))
+
+
 def ks_statistic(df: DataFrame, column: str, baseline: Dict[str, Any]) -> float:
     if "cdf" in baseline:
         points: List[List[float]] = baseline["cdf"]

@@ -37,9 +37,10 @@ ROTATED = {
     # rotated late-r5 for tool_args_validation (green r01-r04; a one-line
     # direct aggregate untouched since round 1)
     "row_count",
-    # rotated late-r5 for agent_loops/error_followup (green r03+r04; the
-    # only dedup.py edits this round were in the winnowing/simhash lanes)
-    "minhash_near_dups", "ngram_jaccard_dups",
+    # rotated late-r5 for agent_loops/error_followup/ks_by_event_type
+    # (green r03+r04, dedup_exact r01-r04; the only dedup.py edits this
+    # round were in the winnowing/simhash lanes)
+    "minhash_near_dups", "ngram_jaccard_dups", "dedup_exact",
 }
 
 

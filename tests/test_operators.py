@@ -173,6 +173,28 @@ def test_ks_df_matches_scalar(spark):
         == pytest.approx(0.3, abs=0.01)
 
 
+def test_ks_by_group(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").cast("double").alias("v"),
+        F.when(F.col("id") < 500, "a").otherwise("b").alias("g"))
+    pts = [[249.0, 0.5], [899.0, 0.95]]
+    out = {r["g"]: r for r in drift.ks_by_group(df, "g", "v", pts,
+                                                digits=9).collect()}
+    # group a: v in [0,500) — CDF(249)=0.5 exact, CDF(899)=1.0 vs 0.95
+    assert out["a"]["n"] == 500
+    assert out["a"]["ks"] == pytest.approx(0.05, abs=1e-6)
+    # group b: v in [500,1000) — CDF(249)=0 vs 0.5 → ks 0.5
+    assert out["b"]["ks"] == pytest.approx(0.5, abs=1e-6)
+    # per-group result matches the global lane run on that slice alone
+    solo = drift.ks_df(df.filter("g = 'a'"), "v", pts, digits=9)
+    assert out["a"]["ks"] == pytest.approx(solo.collect()[0]["ks"], abs=1e-9)
+    # an all-null-value group reports n=0, ks NULL (not a spurious 0)
+    withnull = df.union(spark.createDataFrame([(None, "c")], "v double, g string"))
+    rc = {r["g"]: r for r in drift.ks_by_group(withnull, "g", "v",
+                                               pts).collect()}
+    assert rc["c"]["n"] == 0 and rc["c"]["ks"] is None
+
+
 def test_ks_exact_points(spark):
     df = spark.range(0, 1000).select(F.col("id").cast("double").alias("v"))
     # true CDF at 500 is 0.5 — baseline claims 0.8 → KS ≈ 0.3
