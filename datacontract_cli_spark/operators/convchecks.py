@@ -269,3 +269,42 @@ def followup_rates(df: DataFrame, target: str,
                   .alias("n_followed"))
             .withColumn("followup_rate",
                         F.round(F.col("n_followed") / F.col("n"), digits)))
+
+
+def conversation_text(df: DataFrame, conv_col: str = "conv_id",
+                      turn_col: str = "turn_idx", text_col: str = "text",
+                      sep: str = "\n") -> DataFrame:
+    """Flatten each conversation to ONE document: (conv, text) with turns
+    concatenated under stable turn order. ``sort_array`` on the per-conv
+    struct list gives the ordering WITHOUT a window — one groupBy(conv)
+    shuffle whose partial aggregation builds the lists map-side; a
+    conversation's size is bounded by context length, so the per-key list
+    never approaches executor memory the way an unbounded key would.
+    NULL turn texts are dropped by array_join (not rendered as 'null')."""
+    g = (df.groupBy(conv_col)
+           .agg(F.sort_array(F.collect_list(F.struct(
+               F.col(turn_col).alias("i"),
+               F.col(text_col).alias("t")))).alias("__ts__")))
+    return g.select(
+        conv_col,
+        F.array_join(F.transform("__ts__", lambda s: s["t"]), sep)
+         .alias(text_col))
+
+
+def conversation_near_duplicates(df: DataFrame, conv_col: str = "conv_id",
+                                 turn_col: str = "turn_idx",
+                                 text_col: str = "text",
+                                 threshold: float = 0.8,
+                                 **kwargs) -> DataFrame:
+    """Near-duplicate pairs at CONVERSATION granularity: templated /
+    replayed conversations share most of their turn text even when ids
+    and timestamps differ, so per-turn exact dedup misses them. Flattens
+    via :func:`conversation_text`, then the banded MinHash-LSH lane
+    (`operators/dedup.py minhash_candidates` — bucket equi-join, never
+    all-pairs) over the flattened documents. kwargs pass through
+    (num_hashes, bands, kernel...)."""
+    from datacontract_cli_spark.operators.dedup import minhash_near_duplicates
+
+    docs = conversation_text(df, conv_col, turn_col, text_col)
+    return minhash_near_duplicates(docs, conv_col, text_col,
+                                   threshold=threshold, **kwargs)

@@ -139,3 +139,36 @@ def test_followup_rates(spark):
     assert out["error"]["n_followed"] == 0
     # last turn of a conv never counts as followed (lead is NULL)
     assert out["done"]["n_followed"] == 0
+
+
+def test_conversation_text_and_near_dups(spark):
+    from datacontract_cli_spark.operators.convchecks import (
+        conversation_near_duplicates, conversation_text)
+
+    # c1 and c2 are near-identical conversations (one word differs); c3 is
+    # unrelated; turns arrive out of order and must flatten under turn order
+    rows = []
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight").split()
+    for conv, tweak in (("c1", "dog"), ("c2", "cat"), ("c3", None)):
+        for i in range(4):
+            if conv == "c3":
+                words = [f"zz{i}_{j}" for j in range(12)]
+            else:
+                words = list(base[i * 5:i * 5 + 12]) or base[:12]
+                words[0] = tweak if i == 1 else words[0]
+            rows.append((conv, 3 - i, " ".join(words)))
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+
+    flat = {r["conv_id"]: r["text"] for r in conversation_text(df).collect()}
+    # stable turn order: turn 0 (built last, i=3) flattens FIRST and the
+    # i=0 row (turn 3) flattens last
+    assert flat["c1"].split("\n")[0].startswith("the deep dark")
+    assert flat["c1"].split("\n")[-1].startswith("the quick brown")
+    assert len(flat["c1"].split("\n")) == 4
+
+    pairs = conversation_near_duplicates(df, threshold=0.5,
+                                         num_hashes=32).collect()
+    got = {tuple(sorted((r[0], r[1]))) for r in pairs}
+    assert ("c1", "c2") in got
+    assert all("c3" not in p for p in got)
