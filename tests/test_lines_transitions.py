@@ -172,3 +172,40 @@ def test_conversation_text_and_near_dups(spark):
     got = {tuple(sorted((r[0], r[1]))) for r in pairs}
     assert ("c1", "c2") in got
     assert all("c3" not in p for p in got)
+
+
+def test_sft_prep_recipe_composition(spark):
+    """The SFT-prep recipe end-to-end: transcripts -> per-conversation
+    flatten -> conversation near-dedup (drop one of each dup pair) ->
+    token-budget packing of whole conversations. Each stage is an
+    already-verified operator; this pins the COMPOSITION (schemas line
+    up, no operator breaks another's invariants)."""
+    from pyspark.sql import functions as F
+
+    from datacontract_cli_spark.operators.convchecks import (
+        conversation_near_duplicates, conversation_text)
+    from datacontract_cli_spark.operators.packing import pack_sequences
+    from datacontract_cli_spark.sources.transcripts import (
+        synthesize_transcripts)
+
+    df = synthesize_transcripts(spark, n_convs=60, turns_per_conv=5,
+                                defect_rate=0.0)
+    flat = conversation_text(df)
+    assert flat.count() == 60
+
+    pairs = conversation_near_duplicates(df, threshold=0.9, num_hashes=32)
+    drop = pairs.select(F.col(pairs.columns[1]).alias("conv_id")).distinct()
+    kept = flat.join(drop, "conv_id", "left_anti")
+    assert kept.count() + drop.count() == 60
+
+    packed = pack_sequences(kept, budget=512, id_col="conv_id")
+    rows = packed.collect()
+    assert {r["conv_id"] for r in rows} == \
+        {r["conv_id"] for r in kept.collect()}          # nothing lost
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault((r["bucket"], r["bin_id"]), []).append(r)
+    for members in by_bin.values():
+        # greedy guarantee: <= budget + the boundary-crossing document
+        total = sum(m["n_tokens"] for m in members)
+        assert total <= 512 + max(m["n_tokens"] for m in members)
