@@ -17,9 +17,13 @@ frame; the long (slice, check, value, passed) form explodes a literal
 array of structs — no second pass, no driver loop, works on a thousand
 slices as on three. Threshold evaluation matches
 ``checks.spec.Threshold.passes`` for numeric thresholds (``passes(None)``
-= False); checks whose thresholds aren't expressible as Column math
-(timestamp SLAs, custom SQL, drift) are skipped — run the engine for
-those.
+= False). Drift checks ride the same shuffle: freqDriftPsi baselines
+expand to per-category count-ifs (novel mass folded into one bucket —
+see ``_psi_value``) and quantileDriftKs ``cdf`` baselines to per-point
+count-ifs, so per-slice drift verdicts cost zero extra passes. Checks
+whose thresholds aren't expressible as Column math (timestamp SLAs,
+custom SQL, t-digest ``quantiles`` KS baselines) are skipped — run the
+engine for those.
 """
 
 from __future__ import annotations
@@ -40,7 +44,44 @@ from datacontract_cli_spark.engine.predicates import (
 from datacontract_cli_spark.model.contract import DataContract
 
 _SLICEABLE = (MetricType.ROW_COUNT, MetricType.MISSING_COUNT,
-              MetricType.INVALID_COUNT, MetricType.QUANTILE)
+              MetricType.INVALID_COUNT, MetricType.QUANTILE,
+              MetricType.FREQ_DRIFT_PSI, MetricType.QUANTILE_DRIFT_KS)
+
+_DRIFT_EPS = 1e-6  # matches operators.drift._EPS
+
+
+def _psi_value(prefix: str, baseline: dict, n: Column) -> Column:
+    """Per-slice PSI as Column math over the count-if aggregate columns
+    ``{prefix}k{j}``. Baseline categories contribute exactly the scalar
+    ``drift.psi`` terms; OBSERVED-but-not-in-baseline mass is folded into
+    ONE novel bucket (the scalar lane scores each novel category
+    separately — per slice that would need per-category aggregates of
+    unknown cardinality, so the sliced lane uses the same fold
+    ``frequency_fractions`` applies past its category cap). For
+    enum-constrained drift columns the novel mass is ~0 and the two lanes
+    agree to float precision."""
+    eps = F.lit(_DRIFT_EPS)
+    total_known = None
+    out = None
+    for j, (k, b) in enumerate(baseline.items()):
+        cnt = F.col(f"{prefix}k{j}")
+        a = F.greatest(F.try_divide(cnt, n), eps)
+        bf = F.greatest(F.lit(float(b)), eps)
+        term = (a - bf) * F.log(a / bf)
+        out = term if out is None else out + term
+        total_known = cnt if total_known is None else total_known + cnt
+    novel = F.greatest(F.try_divide(n - total_known, n), eps)
+    out = out + (novel - eps) * F.log(novel / eps)
+    return out
+
+
+def _ks_value(prefix: str, points: list, n: Column) -> Column:
+    """Per-slice KS-at-points over the ``{prefix}le{j}`` aggregates —
+    the ks_by_group formulation inlined into the shared slice groupBy."""
+    terms = [F.abs(F.try_divide(F.col(f"{prefix}le{j}"), n)
+                   - F.lit(float(p)))
+             for j, (_x, p) in enumerate(points)]
+    return terms[0] if len(terms) == 1 else F.greatest(*terms)
 
 
 def _threshold_condition(t: Threshold, value: Column) -> Optional[Column]:
@@ -104,6 +145,33 @@ def sliced_validation(df: DataFrame, contract: DataContract, model: str,
         if spec.metric is MetricType.ROW_COUNT:
             verdicts.append((spec, "__n__"))
             continue
+        if spec.metric is MetricType.FREQ_DRIFT_PSI:
+            baseline = spec.baseline or {}
+            if not baseline:
+                continue
+            for j, k in enumerate(baseline):
+                # native-typed comparison (no string rendering — the
+                # bool 'True' vs 'true' hazard); None is its own category
+                cond = (F.col(column).isNull() if k is None
+                        else F.col(column).eqNullSafe(F.lit(k)))
+                exprs.append(count_if(cond, f"{alias}k{j}"))
+            verdicts.append(
+                (spec, F.round(_psi_value(alias, baseline, F.col("__n__")),
+                               6)))
+            continue
+        if spec.metric is MetricType.QUANTILE_DRIFT_KS:
+            points = (spec.baseline or {}).get("cdf")
+            if not points:      # t-digest 'quantiles' baselines are not
+                continue        # agg-able — run the engine for those
+            exprs.append(F.count(F.col(column)).alias(f"{alias}n"))
+            for j, (x, _p) in enumerate(points):
+                exprs.append(F.sum(
+                    F.when(F.col(column) <= F.lit(float(x)), 1)
+                     .otherwise(0)).alias(f"{alias}le{j}"))
+            verdicts.append(
+                (spec, F.round(_ks_value(alias, points, F.col(f"{alias}n")),
+                               6)))
+            continue
         if spec.metric is MetricType.MISSING_COUNT:
             expr = count_if(missing_condition(df, column, spec), alias)
         elif spec.metric is MetricType.INVALID_COUNT:
@@ -125,7 +193,8 @@ def sliced_validation(df: DataFrame, contract: DataContract, model: str,
 
     rows = []
     for spec, alias in verdicts:
-        value = F.col(alias).cast("double")
+        value = (alias if isinstance(alias, Column)
+                 else F.col(alias)).cast("double")
         cond = _threshold_condition(spec.threshold, value)
         if cond is None:
             continue
