@@ -51,6 +51,7 @@ DEFAULT_DIMENSIONS: Dict[str, str] = {
     "referential_integrity": "consistency",
     "freq_drift_psi": "consistency",
     "quantile_drift_ks": "consistency",
+    "max_run_length": "consistency",
 }
 
 _PERCENT_UNITS = {"percent", "percentage", "%"}
@@ -415,6 +416,42 @@ def _library_metric(model: str, field: Optional[str], q: QualityRule,
                 tool_schemas=schemas,
                 severity=severity,
                 dimension=dimension,
+            )
+        ]
+
+    if metric == "maxRunLength":
+        # degenerate-agent-loop gate: the longest run of consecutive turns
+        # with identical action values within any key group (operators/
+        # convchecks.run_lengths gaps-and-islands). Declared on the
+        # conversation-key field; arguments name the order and action
+        # columns. A transcripts contract can gate retry storms with
+        # `maxRunLength mustBeLessThan: 5`.
+        if field is None:
+            logger.warning("Quality metric maxRunLength is only supported at field level")
+            return []
+        args = q.arguments or {}
+        order_cols = args.get("orderBy")
+        action_cols = args.get("actionColumns")
+        if not order_cols or not action_cols:
+            logger.warning("maxRunLength on field %s needs arguments.orderBy "
+                           "and arguments.actionColumns lists; skipping", field)
+            return []
+        return [
+            CheckSpec(
+                key=f"{model}__{field}__max_run_length",
+                category="quality",
+                type="max_run_length",
+                name=(f"Check that the longest run of identical "
+                      f"({', '.join(action_cols)}) per {field} is "
+                      f"{threshold.describe()}"),
+                model=model,
+                field=field,
+                metric=MetricType.MAX_RUN_LENGTH,
+                threshold=threshold,
+                extra={"order_cols": list(order_cols),
+                       "action_cols": list(action_cols)},
+                severity=severity,
+                dimension=dimension or default_dimension("max_run_length"),
             )
         ]
 

@@ -33,6 +33,7 @@ class MetricType(str, enum.Enum):
     FREQ_DRIFT_PSI = "freq_drift_psi"
     QUANTILE_DRIFT_KS = "quantile_drift_ks"
     QUANTILE = "quantile"
+    MAX_RUN_LENGTH = "max_run_length"
     COLUMN_PROFILE = "column_profile"
     UNSUPPORTED = "unsupported"
 

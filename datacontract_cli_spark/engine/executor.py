@@ -417,9 +417,12 @@ class SparkContractEngine:
         ri_specs = [s for s in scan_specs if s.metric is MetricType.REFERENTIAL_INTEGRITY]
         drift_specs = [s for s in scan_specs if s.metric in
                        (MetricType.FREQ_DRIFT_PSI, MetricType.QUANTILE_DRIFT_KS)]
+        run_specs = [s for s in scan_specs
+                     if s.metric is MetricType.MAX_RUN_LENGTH]
         other = [s for s in scan_specs
                  if s not in agg_specs and s not in dup_specs and s not in sql_specs
-                 and s not in ri_specs and s not in drift_specs]
+                 and s not in ri_specs and s not in drift_specs
+                 and s not in run_specs]
         for spec in other:
             run.set_result(spec.key, ResultEnum.warning, f"Unsupported metric {spec.metric}")
 
@@ -449,6 +452,8 @@ class SparkContractEngine:
             self._check_referential_integrity(run, spec, df, tables)
         for spec in drift_specs:
             self._check_drift(run, spec, df)
+        for spec in run_specs:
+            self._check_max_run(run, spec, df)
 
     # ------------------------------------------------------------------
     # the batched aggregation
@@ -877,6 +882,36 @@ class SparkContractEngine:
             run.set_result(spec.key, ResultEnum.error, f"Drift check failed: {e}")
             return
         self._evaluate(run, spec, round(float(value), 6), None, metric_label=label)
+
+    def _check_max_run(self, run: Run, spec: CheckSpec, df: DataFrame) -> None:
+        """maxRunLength: longest run of consecutive identical action values
+        within any key group — the degenerate-agent-loop gate
+        (operators/convchecks.run_lengths; one conv-partitioned window +
+        a map-side-combining groupBy, O(runs) over the wire)."""
+        key = resolve_column(df, spec.field)
+        if key is None:
+            run.set_result(spec.key, _fail_result(spec),
+                           f"Column '{spec.field}' not found in model {spec.model}")
+            return
+        missing = [c for c in (spec.extra["order_cols"]
+                               + spec.extra["action_cols"])
+                   if resolve_column(df, c) is None]
+        if missing:
+            run.set_result(spec.key, _fail_result(spec),
+                           f"Columns {missing} not found in model {spec.model}")
+            return
+        from datacontract_cli_spark.operators.convchecks import run_lengths
+        order = [resolve_column(df, c) for c in spec.extra["order_cols"]]
+        action = [resolve_column(df, c) for c in spec.extra["action_cols"]]
+        try:
+            row = (run_lengths(df, key, order, action)
+                   .agg(F.max("run_len").alias("m")).collect()[0])
+        except Exception as e:
+            run.set_result(spec.key, ResultEnum.error,
+                           f"maxRunLength check failed: {e}")
+            return
+        value = int(row["m"]) if row["m"] is not None else 0
+        self._evaluate(run, spec, value, None, metric_label="max_run_length")
 
     # ------------------------------------------------------------------
     # schema checks

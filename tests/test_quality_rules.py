@@ -243,3 +243,62 @@ def test_numeric_string_threshold_compares_numerically():
     assert Threshold(Op.BETWEEN, "1e1", "1e3").passes(100)
     # non-numeric strings still fail closed
     assert not Threshold(Op.LT, "not-a-number").passes(1.0)
+
+
+_RUN_CONTRACT = """
+id: loop-gate
+version: 0.1.0
+schema:
+  - name: transcripts
+    properties:
+      - name: conv_id
+        logicalType: string
+        quality:
+          - metric: maxRunLength
+            mustBeLessThan: 3
+            arguments:
+              orderBy: [turn_idx]
+              actionColumns: [role, tool]
+      - name: turn_idx
+        logicalType: integer
+      - name: role
+        logicalType: string
+      - name: tool
+        logicalType: string
+"""
+
+
+def test_max_run_length_metric(spark):
+    from pyspark.sql import functions as F
+
+    contract = load_contract_str(_RUN_CONTRACT)
+    healthy = synthesize_transcripts(spark, n_convs=20, turns_per_conv=6,
+                                     defect_rate=0.0)
+    # synthesized role/tool alternate per turn -> runs of 1-2 at most
+    run = SparkContractEngine(spark).test(contract,
+                                          tables={"transcripts": healthy})
+    chk = run.check("transcripts__conv_id__max_run_length")
+    assert chk is not None and chk.result is ResultEnum.passed
+    assert chk.diagnostics["value"] < 3
+
+    # inject a retry storm: one conversation repeats the same (role, tool)
+    # for 5 consecutive turns
+    storm = spark.createDataFrame(
+        [("conv-loop", i, "assistant", "search", f"retry {i}")
+         for i in range(5)],
+        ["conv_id", "turn_idx", "role", "tool", "text"])
+    bad = healthy.select("conv_id", "turn_idx", "role", "tool", "text") \
+                 .unionByName(storm)
+    run2 = SparkContractEngine(spark).test(contract,
+                                           tables={"transcripts": bad})
+    chk2 = run2.check("transcripts__conv_id__max_run_length")
+    assert chk2.result is ResultEnum.failed
+    assert chk2.diagnostics["value"] == 5
+
+    # misconfigured action column -> failed with a reason, not a crash
+    broken = _RUN_CONTRACT.replace("actionColumns: [role, tool]",
+                                   "actionColumns: [no_such_col]")
+    run3 = SparkContractEngine(spark).test(load_contract_str(broken),
+                                           tables={"transcripts": healthy})
+    chk3 = run3.check("transcripts__conv_id__max_run_length")
+    assert chk3.result is ResultEnum.failed and "no_such_col" in chk3.reason
