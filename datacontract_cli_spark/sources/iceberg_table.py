@@ -1,0 +1,477 @@
+"""Pure-Python Iceberg table support (no iceberg-spark runtime jar).
+
+The north-star input is "an Iceberg table of multi-turn transcripts"; this
+sandbox has neither the iceberg-spark runtime nor pyiceberg, but Iceberg's
+METADATA plane is just JSON + Avro — formats this repo already speaks
+(:mod:`datacontract_cli_spark.sources.avro_ocf`). This module plans scans
+exactly the way Iceberg itself does:
+
+``metadata/version-hint.text`` → ``v{N}.metadata.json`` → current (or
+time-travel) snapshot → manifest-list (Avro OCF) → manifest files (Avro
+OCF) → live data-file entries (status != DELETED) → pruned parquet paths
+→ ``spark.read.schema(...).parquet(*paths)``.
+
+Scale notes (10^12-turn table):
+- Planning is metadata-bound, not data-bound — manifests are KB–MB files
+  summarizing thousands of data files each; this is the same driver-side
+  planning the real Iceberg DataSource performs. Manifest reads fan out
+  over a thread pool (I/O bound).
+- Partition pruning happens at TWO levels, mirroring Iceberg: manifest
+  level via ``partitions`` field summaries (skip whole manifests), then
+  file level via identity/truncate partition values and per-file
+  column lower/upper bounds (Appendix D single-value serialization).
+  Bucket-transform partitions are never pruned (correct, just unpruned).
+- The data plane is untouched Spark: explicit file list + explicit schema,
+  so Catalyst still gets parquet predicate pushdown and column pruning
+  inside each file.
+
+Row-level deletes (v2 merge-on-read) are detected and rejected with an
+honest ``NotImplementedError`` — copy-on-write tables (what this module's
+writer produces, and what Spark's own Iceberg writer defaults to) never
+carry them.
+
+The writer half produces spec-shaped v2 table layouts (deterministic
+snapshot ids / sequence numbers) so contracts, fixtures and the oracle
+gate can exercise the reader without any Iceberg runtime; reference
+parity: datacontract/imports/iceberg_importer.py (schema JSON),
+engines/datacontract/check_that_datacontract_contains_valid_servers (the
+reference reads Iceberg through pyiceberg's identical planning walk).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import struct
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datacontract_cli_spark.sources.avro_ocf import read_ocf, write_ocf
+
+STATUS_DELETED = 2
+CONTENT_DATA = 0
+
+
+# ---------------------------------------------------------------------------
+# metadata discovery
+# ---------------------------------------------------------------------------
+
+def _strip_scheme(path: str) -> str:
+    if path.startswith("file://"):
+        return path[len("file:"):].replace("///", "/", 1) \
+            if path.startswith("file:///") else path[len("file://"):]
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path
+
+
+def load_table_metadata(table_path: str) -> Dict[str, Any]:
+    """Resolve the current metadata JSON of a Hadoop-layout Iceberg table:
+    ``version-hint.text`` when present, else the highest-versioned
+    ``*.metadata.json`` in ``metadata/``."""
+    meta_dir = os.path.join(_strip_scheme(table_path), "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            v = f.read().strip()
+        cand = os.path.join(meta_dir, f"v{v}.metadata.json")
+        if os.path.exists(cand):
+            with open(cand) as f:
+                return json.load(f)
+    files = sorted(glob.glob(os.path.join(meta_dir, "*.metadata.json")))
+    if not files:
+        raise FileNotFoundError(
+            f"no Iceberg metadata under {meta_dir!r} "
+            "(expected vN.metadata.json or NNNNN-uuid.metadata.json)")
+
+    def _version(p: str) -> Tuple[int, str]:
+        base = os.path.basename(p)
+        head = base.split(".", 1)[0].lstrip("v").split("-", 1)[0]
+        return (int(head) if head.isdigit() else -1, base)
+
+    with open(max(files, key=_version)) as f:
+        return json.load(f)
+
+
+def _select_snapshot(meta: Dict[str, Any],
+                     snapshot_id: Optional[int]) -> Optional[Dict[str, Any]]:
+    snaps = meta.get("snapshots") or []
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+        if snapshot_id in (None, -1):
+            return None  # empty table, no snapshot yet
+    for s in snaps:
+        if s.get("snapshot-id") == snapshot_id:
+            return s
+    raise ValueError(f"snapshot {snapshot_id} not found "
+                     f"(have {[s.get('snapshot-id') for s in snaps]})")
+
+
+def _rebase(path: str, recorded_location: str, actual_root: str) -> str:
+    """Metadata stores absolute URIs from write time; tables get moved
+    (fixtures, test dirs). Rebase any recorded-location prefix onto the
+    directory the table actually lives in now."""
+    p = _strip_scheme(path)
+    rec = _strip_scheme(recorded_location or "").rstrip("/")
+    root = _strip_scheme(actual_root).rstrip("/")
+    if rec and p.startswith(rec + "/"):
+        return root + p[len(rec):]
+    if not os.path.isabs(p):
+        return os.path.join(root, p)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Iceberg schema JSON -> Spark StructType
+# ---------------------------------------------------------------------------
+
+def _iceberg_to_spark_type(t: Any) -> T.DataType:
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            return T.StructType([
+                T.StructField(f["name"], _iceberg_to_spark_type(f["type"]),
+                              not f.get("required", False))
+                for f in t.get("fields", [])])
+        if kind == "list":
+            return T.ArrayType(_iceberg_to_spark_type(t["element"]),
+                               not t.get("element-required", False))
+        if kind == "map":
+            return T.MapType(_iceberg_to_spark_type(t["key"]),
+                             _iceberg_to_spark_type(t["value"]),
+                             not t.get("value-required", False))
+        raise ValueError(f"unsupported Iceberg complex type: {t!r}")
+    s = str(t)
+    if s.startswith("decimal("):
+        p, sc = s[len("decimal("):-1].split(",")
+        return T.DecimalType(int(p), int(sc))
+    if s.startswith("fixed["):
+        return T.BinaryType()
+    prim = {"boolean": T.BooleanType(), "int": T.IntegerType(),
+            "long": T.LongType(), "float": T.FloatType(),
+            "double": T.DoubleType(), "date": T.DateType(),
+            "timestamp": T.TimestampNTZType(),
+            "timestamptz": T.TimestampType(),
+            "string": T.StringType(), "uuid": T.StringType(),
+            "binary": T.BinaryType(),
+            "time": T.LongType()}  # time-of-day: micros since midnight
+    if s not in prim:
+        raise ValueError(f"unsupported Iceberg type: {s!r}")
+    return prim[s]
+
+
+def schema_struct(meta: Dict[str, Any]) -> T.StructType:
+    sid = meta.get("current-schema-id", 0)
+    schemas = meta.get("schemas")
+    if schemas:
+        sch = next((s for s in schemas if s.get("schema-id") == sid),
+                   schemas[-1])
+    else:  # v1 inline schema
+        sch = meta["schema"]
+    return _iceberg_to_spark_type(
+        {"type": "struct", "fields": sch["fields"]})
+
+
+# ---------------------------------------------------------------------------
+# Appendix-D single-value (de)serialization for bounds
+# ---------------------------------------------------------------------------
+
+def encode_bound(type_str: str, value: Any) -> Optional[bytes]:
+    if value is None:
+        return None
+    s = str(type_str)
+    if s == "boolean":
+        return b"\x01" if value else b"\x00"
+    if s in ("int", "date"):
+        return struct.pack("<i", int(value))
+    if s in ("long", "timestamp", "timestamptz", "time"):
+        return struct.pack("<q", int(value))
+    if s == "float":
+        return struct.pack("<f", float(value))
+    if s == "double":
+        return struct.pack("<d", float(value))
+    if s in ("string", "uuid"):
+        return str(value).encode("utf-8")
+    if s == "binary" or s.startswith("fixed["):
+        return bytes(value)
+    if s.startswith("decimal("):
+        unscaled = int(value)
+        n = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(n, "big", signed=True)
+    return None  # unknown: no bound (never wrong, just unpruned)
+
+
+def decode_bound(type_str: str, data: Optional[bytes]) -> Any:
+    if data is None:
+        return None
+    s = str(type_str)
+    if s == "boolean":
+        return data == b"\x01"
+    if s in ("int", "date"):
+        return struct.unpack("<i", data)[0]
+    if s in ("long", "timestamp", "timestamptz", "time"):
+        return struct.unpack("<q", data)[0]
+    if s == "float":
+        return struct.unpack("<f", data)[0]
+    if s == "double":
+        return struct.unpack("<d", data)[0]
+    if s in ("string", "uuid"):
+        return data.decode("utf-8", errors="replace")
+    if s == "binary" or s.startswith("fixed["):
+        return data
+    if s.startswith("decimal("):
+        return int.from_bytes(data, "big", signed=True)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# predicate pruning
+# ---------------------------------------------------------------------------
+
+_OPS = ("=", "<", "<=", ">", ">=", "in")
+
+
+def _range_may_match(lo: Any, hi: Any, op: str, value: Any) -> bool:
+    """Can any x in [lo, hi] satisfy (x op value)? None bound = unknown."""
+    try:
+        if op == "=":
+            return ((lo is None or lo <= value)
+                    and (hi is None or value <= hi))
+        if op == "in":
+            return any(_range_may_match(lo, hi, "=", v) for v in value)
+        if op == "<":
+            return lo is None or lo < value
+        if op == "<=":
+            return lo is None or lo <= value
+        if op == ">":
+            return hi is None or hi > value
+        if op == ">=":
+            return hi is None or hi >= value
+    except TypeError:
+        return True  # incomparable types: keep the file
+    return True
+
+
+def _identity_value_matches(part_value: Any, op: str, value: Any) -> bool:
+    if part_value is None:
+        return True  # null partition: only residual filter can decide
+    try:
+        if op == "=":
+            return part_value == value
+        if op == "in":
+            return part_value in value
+        if op == "<":
+            return part_value < value
+        if op == "<=":
+            return part_value <= value
+        if op == ">":
+            return part_value > value
+        if op == ">=":
+            return part_value >= value
+    except TypeError:
+        return True
+    return True
+
+
+def _truncate(w: int, value: Any) -> Any:
+    if isinstance(value, str):
+        return value[:w]
+    if isinstance(value, int):
+        return value - (value % w)
+    return value
+
+
+class _Planner:
+    def __init__(self, meta: Dict[str, Any], table_path: str):
+        self.meta = meta
+        self.root = _strip_scheme(table_path)
+        self.location = meta.get("location", "")
+        if meta.get("schemas"):
+            sid = meta.get("current-schema-id", 0)
+            sch = next((s for s in meta["schemas"]
+                        if s.get("schema-id") == sid), meta["schemas"][-1])
+        else:  # v1 inline schema
+            sch = meta.get("schema", {"fields": []})
+        self.fields_by_id = {f["id"]: f for f in sch.get("fields", [])}
+        self.id_by_name = {f["name"]: fid
+                           for fid, f in self.fields_by_id.items()}
+        specs = meta.get("partition-specs") or (
+            [{"spec-id": 0, "fields": meta.get("partition-spec", [])}])
+        self.specs = {s["spec-id"]: s.get("fields", []) for s in specs}
+
+    # -- manifest-level pruning ------------------------------------------
+    def _manifest_may_match(self, mf: Dict[str, Any],
+                            filters: Sequence[Tuple[str, str, Any]]) -> bool:
+        summaries = mf.get("partitions")
+        if not summaries or not filters:
+            return True
+        spec = self.specs.get(mf.get("partition_spec_id", 0), [])
+        for i, pf in enumerate(spec):
+            if i >= len(summaries) or pf.get("transform") != "identity":
+                continue
+            src = self.fields_by_id.get(pf.get("source-id"))
+            if src is None:
+                continue
+            col, typ = src["name"], src["type"]
+            lo = decode_bound(typ, summaries[i].get("lower_bound"))
+            hi = decode_bound(typ, summaries[i].get("upper_bound"))
+            for (fcol, op, val) in filters:
+                if fcol == col and not (
+                        summaries[i].get("contains_null") and op == "=") \
+                        and not _range_may_match(lo, hi, op, val):
+                    return False
+        return True
+
+    # -- file-level pruning ----------------------------------------------
+    def _file_may_match(self, entry: Dict[str, Any], spec_id: int,
+                        filters: Sequence[Tuple[str, str, Any]]) -> bool:
+        df_ = entry["data_file"]
+        part = df_.get("partition") or {}
+        spec = self.specs.get(spec_id, [])
+        part_cols: Dict[str, Tuple[str, Any]] = {}
+        for pf in spec:
+            src = self.fields_by_id.get(pf.get("source-id"))
+            if src is None:
+                continue
+            part_cols[src["name"]] = (pf.get("transform", "identity"),
+                                      part.get(pf.get("name", src["name"])))
+        lowers = {b["key"]: b["value"] for b in (df_.get("lower_bounds") or [])}
+        uppers = {b["key"]: b["value"] for b in (df_.get("upper_bounds") or [])}
+        for (col, op, val) in filters:
+            # partition transform pruning
+            if col in part_cols:
+                transform, pv = part_cols[col]
+                if transform == "identity":
+                    if not _identity_value_matches(pv, op, val):
+                        return False
+                elif transform.startswith("truncate[") and op == "=":
+                    w = int(transform[len("truncate["):-1])
+                    if pv is not None and _truncate(w, val) != pv:
+                        return False
+                # bucket[N]/day/hour/...: no pruning (correct, unpruned)
+            # column-stats pruning
+            fid = self.id_by_name.get(col)
+            if fid is not None and (fid in lowers or fid in uppers):
+                typ = self.fields_by_id[fid]["type"]
+                lo = decode_bound(typ, lowers.get(fid))
+                hi = decode_bound(typ, uppers.get(fid))
+                if not _range_may_match(lo, hi, op, val):
+                    return False
+        return True
+
+    def plan_files(self, snapshot: Dict[str, Any],
+                   filters: Sequence[Tuple[str, str, Any]] = ()
+                   ) -> List[Dict[str, Any]]:
+        """Live, pruned data-file entries for a snapshot. Mirrors Iceberg
+        scan planning: manifest list -> per-manifest summary pruning ->
+        parallel manifest reads -> entry status + stats pruning."""
+        ml = snapshot.get("manifest-list")
+        if ml:
+            _, manifests = read_ocf(_rebase(ml, self.location, self.root))
+        else:  # ancient v1: inline manifests
+            manifests = [{"manifest_path": p, "content": 0}
+                         for p in snapshot.get("manifests", [])]
+        if any(mf.get("content", 0) == 1 for mf in manifests):
+            raise NotImplementedError(
+                "Iceberg v2 row-level DELETE manifests present; this "
+                "pure-Python reader supports copy-on-write tables only")
+        manifests = [mf for mf in manifests
+                     if self._manifest_may_match(mf, filters)]
+
+        def _read_manifest(mf: Dict[str, Any]) -> List[Dict[str, Any]]:
+            path = _rebase(mf["manifest_path"], self.location, self.root)
+            _, entries = read_ocf(path)
+            spec_id = mf.get("partition_spec_id", 0)
+            out = []
+            for e in entries:
+                if e.get("status") == STATUS_DELETED:
+                    continue
+                if e["data_file"].get("content", CONTENT_DATA) != CONTENT_DATA:
+                    raise NotImplementedError(
+                        "Iceberg delete files present; copy-on-write only")
+                if self._file_may_match(e, spec_id, filters):
+                    e["_spec_id"] = spec_id
+                    out.append(e)
+            return out
+
+        if len(manifests) <= 1:
+            chunks = [_read_manifest(mf) for mf in manifests]
+        else:
+            with ThreadPoolExecutor(max_workers=min(8, len(manifests))) as ex:
+                chunks = list(ex.map(_read_manifest, manifests))
+        return [e for chunk in chunks for e in chunk]
+
+
+def plan_scan(table_path: str, snapshot_id: Optional[int] = None,
+              filters: Sequence[Tuple[str, str, Any]] = ()
+              ) -> Tuple[Dict[str, Any], List[str]]:
+    """(metadata, pruned parquet paths) for a snapshot — exposed for tests
+    asserting pruning counts and for the incremental-validation lane."""
+    meta = load_table_metadata(table_path)
+    snap = _select_snapshot(meta, snapshot_id)
+    if snap is None:
+        return meta, []
+    planner = _Planner(meta, table_path)
+    entries = planner.plan_files(snap, filters)
+    root = _strip_scheme(table_path)
+    loc = meta.get("location", "")
+    paths = []
+    for e in entries:
+        d = e["data_file"]
+        fmt = str(d.get("file_format", "PARQUET")).upper()
+        if fmt != "PARQUET":
+            raise NotImplementedError(f"Iceberg {fmt} data files unsupported")
+        paths.append(_rebase(d["file_path"], loc, root))
+    return meta, paths
+
+
+def read_iceberg(spark: SparkSession, table_path: str,
+                 snapshot_id: Optional[int] = None,
+                 filters: Sequence[Tuple[str, str, Any]] = ()
+                 ) -> DataFrame:
+    """Scan an Iceberg table (optionally time-travelled to ``snapshot_id``)
+    into a DataFrame. ``filters`` — (column, op, value) with op in
+    ``= < <= > >= in`` — prune manifests and files, then are RE-APPLIED to
+    the DataFrame so results are exact regardless of pruning coverage."""
+    meta, paths = plan_scan(table_path, snapshot_id, filters)
+    st = schema_struct(meta)
+    if not paths:
+        df = spark.createDataFrame([], st)
+    else:
+        df = spark.read.schema(st).parquet(*paths)
+    for (col, op, val) in filters:
+        c = F.col(col)
+        if op == "=":
+            df = df.filter(c == F.lit(val))
+        elif op == "in":
+            df = df.filter(c.isin(list(val)))
+        elif op == "<":
+            df = df.filter(c < F.lit(val))
+        elif op == "<=":
+            df = df.filter(c <= F.lit(val))
+        elif op == ">":
+            df = df.filter(c > F.lit(val))
+        elif op == ">=":
+            df = df.filter(c >= F.lit(val))
+        else:
+            raise ValueError(f"unsupported filter op {op!r} (use {_OPS})")
+    return df
+
+
+def snapshots(table_path: str) -> List[Dict[str, Any]]:
+    """Snapshot log (id, sequence number, timestamp, summary) — the
+    time-travel surface for table_diff across versions."""
+    meta = load_table_metadata(table_path)
+    return [{"snapshot_id": s.get("snapshot-id"),
+             "sequence_number": s.get("sequence-number", 0),
+             "timestamp_ms": s.get("timestamp-ms", 0),
+             "operation": (s.get("summary") or {}).get("operation"),
+             "is_current": s.get("snapshot-id")
+             == meta.get("current-snapshot-id")}
+            for s in meta.get("snapshots", [])]

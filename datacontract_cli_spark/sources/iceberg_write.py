@@ -1,0 +1,465 @@
+"""Iceberg v2 table WRITER (pure Python, fixture/test scale).
+
+Produces a spec-shaped Hadoop-layout Iceberg table — parquet data files
+plus the full metadata plane (manifest Avro, manifest-list Avro,
+``vN.metadata.json``, ``version-hint.text``) — so the pure-Python reader
+(:mod:`datacontract_cli_spark.sources.iceberg_table`), contract servers
+and the oracle gate can exercise real Iceberg planning without the
+iceberg-spark runtime jar.
+
+Deliberately test-scale in ONE place: partition groups are enumerated
+driver-side (``collect()`` of distinct partition tuples) because Spark's
+``partitionBy`` writer drops partition columns from the data files while
+Iceberg keeps full rows. At production scale writing goes through the real
+Iceberg committer; READING (the engine's job) has no such limit.
+
+Everything is deterministic — snapshot ids and sequence numbers count up
+from 1, Avro sync markers derive from content — so fixtures are
+byte-stable across runs. Per-file column bounds come from the parquet
+footers (pyarrow), giving the reader's stats pruning real data to chew on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datacontract_cli_spark.sources.avro_ocf import write_ocf
+from datacontract_cli_spark.sources.iceberg_table import (
+    _strip_scheme,
+    encode_bound,
+    load_table_metadata,
+)
+from datacontract_cli_spark.sources.avro_ocf import read_ocf
+
+_PARTITION_FIELD_ID_START = 1000
+
+
+# ---------------------------------------------------------------------------
+# Spark -> Iceberg schema JSON (with field ids)
+# ---------------------------------------------------------------------------
+
+def _spark_to_iceberg_type(dt: T.DataType, next_id: List[int]) -> Any:
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = next_id[0]
+            next_id[0] += 1
+            fields.append({"id": fid, "name": f.name,
+                           "required": not f.nullable,
+                           "type": _spark_to_iceberg_type(f.dataType,
+                                                          next_id)})
+        return {"type": "struct", "fields": fields}
+    if isinstance(dt, T.ArrayType):
+        eid = next_id[0]
+        next_id[0] += 1
+        return {"type": "list", "element-id": eid,
+                "element-required": not dt.containsNull,
+                "element": _spark_to_iceberg_type(dt.elementType, next_id)}
+    if isinstance(dt, T.MapType):
+        kid, vid = next_id[0], next_id[0] + 1
+        next_id[0] += 2
+        return {"type": "map", "key-id": kid, "value-id": vid,
+                "value-required": not dt.valueContainsNull,
+                "key": _spark_to_iceberg_type(dt.keyType, next_id),
+                "value": _spark_to_iceberg_type(dt.valueType, next_id)}
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    mapping = {T.BooleanType: "boolean", T.IntegerType: "int",
+               T.ShortType: "int", T.ByteType: "int",
+               T.LongType: "long", T.FloatType: "float",
+               T.DoubleType: "double", T.DateType: "date",
+               T.TimestampType: "timestamptz",
+               T.TimestampNTZType: "timestamp",
+               T.StringType: "string", T.BinaryType: "binary"}
+    for k, v in mapping.items():
+        if isinstance(dt, k):
+            return v
+    raise ValueError(f"cannot map Spark type {dt} to Iceberg")
+
+
+def _iceberg_schema_json(df: DataFrame) -> Tuple[Dict[str, Any], int]:
+    counter = [1]
+    struct = _spark_to_iceberg_type(df.schema, counter)
+    return ({"type": "struct", "schema-id": 0,
+             "fields": struct["fields"]}, counter[0] - 1)
+
+
+def _avro_prim_for(type_str: str) -> Any:
+    s = str(type_str)
+    prim = {"boolean": "boolean", "int": "int", "long": "long",
+            "float": "float", "double": "double", "string": "string",
+            "date": {"type": "int", "logicalType": "date"},
+            "timestamp": {"type": "long",
+                          "logicalType": "timestamp-micros"},
+            "timestamptz": {"type": "long",
+                            "logicalType": "timestamp-micros"}}
+    if s not in prim:
+        raise ValueError(
+            f"partition column type {s!r} unsupported by the fixture "
+            "writer (use int/long/float/double/string/date/timestamp)")
+    return prim[s]
+
+
+# ---------------------------------------------------------------------------
+# Avro record schemas for the metadata plane (spec field names)
+# ---------------------------------------------------------------------------
+
+_FIELD_SUMMARY = {
+    "type": "record", "name": "field_summary", "fields": [
+        {"name": "contains_null", "type": "boolean"},
+        {"name": "contains_nan", "type": ["null", "boolean"],
+         "default": None},
+        {"name": "lower_bound", "type": ["null", "bytes"], "default": None},
+        {"name": "upper_bound", "type": ["null", "bytes"], "default": None},
+    ]}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
+        {"name": "partitions",
+         "type": ["null", {"type": "array", "items": _FIELD_SUMMARY}],
+         "default": None},
+    ]}
+
+_BOUND_KV = {
+    "type": "record", "name": "k_v", "fields": [
+        {"name": "key", "type": "int"},
+        {"name": "value", "type": "bytes"},
+    ]}
+
+
+def _manifest_entry_schema(partition_fields: List[Dict[str, Any]]) -> Dict:
+    part_record = {"type": "record", "name": "r102",
+                   "fields": [{"name": f["name"],
+                               "type": ["null", _avro_prim_for(f["_type"])],
+                               "default": None}
+                              for f in partition_fields]}
+    data_file = {
+        "type": "record", "name": "r2", "fields": [
+            {"name": "content", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "file_format", "type": "string"},
+            {"name": "partition", "type": part_record},
+            {"name": "record_count", "type": "long"},
+            {"name": "file_size_in_bytes", "type": "long"},
+            {"name": "lower_bounds",
+             "type": ["null", {"type": "array", "items": _BOUND_KV}],
+             "default": None},
+            # full definition again (name k_v2): the pure-Python codec
+            # resolves schemas structurally, not by named-type reference
+            {"name": "upper_bounds",
+             "type": ["null", {"type": "array",
+                               "items": dict(_BOUND_KV, name="k_v2")}],
+             "default": None},
+        ]}
+    return {"type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "default": None},
+        {"name": "data_file", "type": data_file},
+    ]}
+
+
+# ---------------------------------------------------------------------------
+# parquet footer stats
+# ---------------------------------------------------------------------------
+
+_BOUNDABLE = ("boolean", "int", "long", "float", "double", "string",
+              "date", "timestamp", "timestamptz")
+
+
+def _file_stats(path: str, fields: List[Dict[str, Any]]
+                ) -> Tuple[int, int, List[Dict], List[Dict]]:
+    """(record_count, file_size, lower_bounds, upper_bounds) from the
+    parquet footer — real stats so the reader's pruning is tested against
+    what parquet actually recorded."""
+    import pyarrow.parquet as pq
+
+    by_name = {f["name"]: f for f in fields
+               if str(f["type"]) in _BOUNDABLE}
+    md = pq.ParquetFile(path).metadata
+    mins: Dict[str, Any] = {}
+    maxs: Dict[str, Any] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            st = col.statistics
+            if name not in by_name or st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+
+    def _enc(v: Any, typ: str) -> Optional[bytes]:
+        s = str(typ)
+        if s in ("timestamp", "timestamptz") and hasattr(v, "timestamp"):
+            import datetime
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=datetime.timezone.utc)
+            epoch = datetime.datetime(1970, 1, 1,
+                                      tzinfo=datetime.timezone.utc)
+            v = (v - epoch) // datetime.timedelta(microseconds=1)
+        elif s == "date" and hasattr(v, "toordinal"):
+            import datetime
+            v = (v - datetime.date(1970, 1, 1)).days
+        if isinstance(v, bytes) and s == "string":
+            v = v.decode("utf-8", errors="replace")
+        return encode_bound(s, v)
+
+    lowers, uppers = [], []
+    for name, v in mins.items():
+        b = _enc(v, by_name[name]["type"])
+        if b is not None:
+            lowers.append({"key": by_name[name]["id"], "value": b})
+    for name, v in maxs.items():
+        b = _enc(v, by_name[name]["type"])
+        if b is not None:
+            uppers.append({"key": by_name[name]["id"], "value": b})
+    return md.num_rows, os.path.getsize(path), lowers, uppers
+
+
+# ---------------------------------------------------------------------------
+# the writer
+# ---------------------------------------------------------------------------
+
+def _render_part_dir(name: str, value: Any) -> str:
+    if value is None:
+        return f"{name}=null"
+    return f"{name}={value}"
+
+
+def _write_data_files(df: DataFrame, data_dir: str,
+                      partition_by: Sequence[str],
+                      files_per_group: int) -> List[Tuple[Dict, List[str]]]:
+    """[(partition_values, parquet paths)] — full rows in every file
+    (Iceberg keeps partition source columns in the data, unlike Hive)."""
+    os.makedirs(data_dir, exist_ok=True)
+    groups: List[Tuple[Dict, DataFrame, str]] = []
+    if partition_by:
+        tuples = [r.asDict() for r in
+                  df.select(*partition_by).distinct().collect()]
+        tuples.sort(key=lambda d: tuple(str(d[c]) for c in partition_by))
+        for pv in tuples:
+            cond = None
+            for c in partition_by:
+                e = (F.col(c).isNull() if pv[c] is None
+                     else F.col(c) == F.lit(pv[c]))
+                cond = e if cond is None else (cond & e)
+            sub = df.filter(cond)
+            subdir = os.path.join(
+                data_dir, *[_render_part_dir(c, pv[c])
+                            for c in partition_by])
+            groups.append((pv, sub, subdir))
+    else:
+        groups.append(({}, df, data_dir))
+
+    out: List[Tuple[Dict, List[str]]] = []
+    for pv, sub, subdir in groups:
+        sub.repartition(files_per_group).write.mode("overwrite") \
+           .parquet(subdir)
+        files = sorted(
+            os.path.join(subdir, f) for f in os.listdir(subdir)
+            if f.endswith(".parquet"))
+        out.append((pv, files))
+    return out
+
+
+def write_iceberg_table(df: DataFrame, table_path: str,
+                        partition_by: Optional[Sequence[str]] = None,
+                        files_per_group: int = 1,
+                        properties: Optional[Dict[str, str]] = None) -> int:
+    """Create a new Iceberg v2 table at ``table_path`` from ``df``
+    (identity partitioning on ``partition_by``). Returns the snapshot id
+    (1)."""
+    return _commit(df, table_path, partition_by or [], files_per_group,
+                   properties or {}, base_meta=None)
+
+
+def append_iceberg(df: DataFrame, table_path: str,
+                   files_per_group: int = 1) -> int:
+    """Append ``df`` as a new snapshot (previous snapshots stay readable
+    via time travel). Partitioning follows the table's existing spec."""
+    meta = load_table_metadata(table_path)
+    spec = (meta.get("partition-specs") or [{"fields": []}])[0]
+    fields_by_id = {}
+    for s in meta.get("schemas", []):
+        if s.get("schema-id") == meta.get("current-schema-id", 0):
+            fields_by_id = {f["id"]: f for f in s["fields"]}
+    partition_by = [fields_by_id[pf["source-id"]]["name"]
+                    for pf in spec.get("fields", [])
+                    if pf.get("source-id") in fields_by_id]
+    return _commit(df, table_path, partition_by, files_per_group,
+                   dict(meta.get("properties") or {}), base_meta=meta)
+
+
+def _commit(df: DataFrame, table_path: str, partition_by: Sequence[str],
+            files_per_group: int, properties: Dict[str, str],
+            base_meta: Optional[Dict[str, Any]]) -> int:
+    root = _strip_scheme(table_path)
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    schema_json, last_col_id = _iceberg_schema_json(df)
+    fields = schema_json["fields"]
+    by_name = {f["name"]: f for f in fields}
+    part_fields_meta = []
+    for i, c in enumerate(partition_by):
+        if c not in by_name:
+            raise ValueError(f"partition column {c!r} not in DataFrame")
+        part_fields_meta.append(
+            {"name": c, "transform": "identity",
+             "source-id": by_name[c]["id"],
+             "field-id": _PARTITION_FIELD_ID_START + i})
+    part_fields_avro = [{"name": c, "_type": by_name[c]["type"]}
+                        for c in partition_by]
+
+    if base_meta is not None:
+        snapshot_id = max((s["snapshot-id"]
+                           for s in base_meta.get("snapshots", [])),
+                          default=0) + 1
+        seq = base_meta.get("last-sequence-number", 0) + 1
+        version = _current_version(meta_dir) + 1
+    else:
+        snapshot_id, seq, version = 1, 1, 1
+
+    # -- data files + manifest ------------------------------------------
+    data_dir = os.path.join(root, "data",
+                            f"snap-{snapshot_id}") if base_meta is not None \
+        else os.path.join(root, "data")
+    written = _write_data_files(df, data_dir, partition_by, files_per_group)
+    entry_schema = _manifest_entry_schema(part_fields_avro)
+    entries = []
+    added_rows = 0
+    for pv, files in written:
+        for path in files:
+            n, size, lowers, uppers = _file_stats(path, fields)
+            added_rows += n
+            entries.append({
+                "status": 1, "snapshot_id": snapshot_id,
+                "sequence_number": seq, "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0, "file_path": os.path.abspath(path),
+                    "file_format": "PARQUET",
+                    "partition": {c: pv.get(c) for c in partition_by},
+                    "record_count": n, "file_size_in_bytes": size,
+                    "lower_bounds": lowers or None,
+                    "upper_bounds": uppers or None,
+                }})
+    manifest_path = os.path.join(
+        meta_dir, f"manifest-{snapshot_id}-{uuid.uuid5(uuid.NAMESPACE_URL, str(snapshot_id)).hex[:8]}.avro")
+    manifest_bytes = write_ocf(manifest_path, entry_schema, entries)
+
+    # partition summaries for manifest-level pruning
+    summaries = None
+    if part_fields_avro:
+        summaries = []
+        for pf in part_fields_avro:
+            vals = [e["data_file"]["partition"].get(pf["name"])
+                    for e in entries]
+            non_null = [v for v in vals if v is not None]
+            summaries.append({
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": None,
+                "lower_bound": encode_bound(pf["_type"], min(non_null))
+                if non_null else None,
+                "upper_bound": encode_bound(pf["_type"], max(non_null))
+                if non_null else None})
+
+    new_manifest = {
+        "manifest_path": os.path.abspath(manifest_path),
+        "manifest_length": len(manifest_bytes),
+        "partition_spec_id": 0, "content": 0,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries), "existing_files_count": 0,
+        "deleted_files_count": 0, "added_rows_count": added_rows,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+        "partitions": summaries}
+
+    prior_manifests: List[Dict[str, Any]] = []
+    if base_meta is not None:
+        cur = next((s for s in base_meta.get("snapshots", [])
+                    if s["snapshot-id"]
+                    == base_meta.get("current-snapshot-id")), None)
+        if cur and cur.get("manifest-list"):
+            _, prior_manifests = read_ocf(cur["manifest-list"])
+
+    ml_path = os.path.join(meta_dir, f"snap-{snapshot_id}-manifest-list.avro")
+    write_ocf(ml_path, _MANIFEST_FILE_SCHEMA,
+              prior_manifests + [new_manifest])
+
+    # -- metadata json ---------------------------------------------------
+    now_ms = int(time.time() * 1000)
+    snapshot = {"snapshot-id": snapshot_id, "sequence-number": seq,
+                "timestamp-ms": now_ms,
+                "manifest-list": os.path.abspath(ml_path),
+                "summary": {"operation": "append",
+                            "added-records": str(added_rows)},
+                "schema-id": 0}
+    snapshots = (base_meta.get("snapshots", []) if base_meta else []) \
+        + [snapshot]
+    meta = {
+        "format-version": 2,
+        "table-uuid": (base_meta or {}).get(
+            "table-uuid",
+            str(uuid.uuid5(uuid.NAMESPACE_URL, os.path.abspath(root)))),
+        "location": os.path.abspath(root),
+        "last-sequence-number": seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": last_col_id,
+        "current-schema-id": 0,
+        "schemas": [schema_json],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": part_fields_meta}],
+        "last-partition-id": (_PARTITION_FIELD_ID_START
+                              + len(part_fields_meta) - 1)
+        if part_fields_meta else _PARTITION_FIELD_ID_START - 1,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": properties,
+        "current-snapshot-id": snapshot_id,
+        "snapshots": snapshots,
+        "snapshot-log": [{"snapshot-id": s["snapshot-id"],
+                          "timestamp-ms": s["timestamp-ms"]}
+                         for s in snapshots],
+        "metadata-log": [],
+    }
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=2)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return snapshot_id
+
+
+def _current_version(meta_dir: str) -> int:
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            return int(f.read().strip())
+    return 0

@@ -123,8 +123,19 @@ def bind_server_with_raw(
             # models must already exist as temp views on the caller's session
             tables[model] = raw_tables[model] = spark.table(model)
         elif stype == "iceberg":
-            ident = ".".join(x for x in (server.catalog, server.schema_, model) if x)
-            tables[model] = raw_tables[model] = spark.read.table(ident)
+            if server.path or server.location:
+                # Hadoop-layout table dir: pure-Python metadata planning
+                # (manifest Avro + metadata JSON) — no iceberg-spark jar
+                # needed; optional time travel via options.snapshotId
+                from datacontract_cli_spark.sources.iceberg_table import read_iceberg
+                path = _model_path(server, model, "iceberg")
+                snap = (server.options or {}).get("snapshotId")
+                tables[model] = raw_tables[model] = read_iceberg(
+                    spark, path,
+                    snapshot_id=None if snap is None else int(snap))
+            else:
+                ident = ".".join(x for x in (server.catalog, server.schema_, model) if x)
+                tables[model] = raw_tables[model] = spark.read.table(ident)
         elif stype == "delta":
             path = _model_path(server, model, "delta")
             tables[model] = raw_tables[model] = spark.read.format("delta").load(path)
