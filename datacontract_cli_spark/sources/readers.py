@@ -138,7 +138,18 @@ def bind_server_with_raw(
                 tables[model] = raw_tables[model] = spark.read.table(ident)
         elif stype == "delta":
             path = _model_path(server, model, "delta")
-            tables[model] = raw_tables[model] = spark.read.format("delta").load(path)
+            try:
+                # delta-spark when the jar is present (handles deletion
+                # vectors / column mapping natively)
+                df = spark.read.format("delta").load(path)
+            except Exception:
+                # pure-Python log replay fallback (protocol-1 tables);
+                # optional time travel via options.versionAsOf
+                from datacontract_cli_spark.sources.delta_table import read_delta
+                ver = (server.options or {}).get("versionAsOf")
+                df = read_delta(spark, path,
+                                version=None if ver is None else int(ver))
+            tables[model] = raw_tables[model] = df
         elif stype == "kafka":
             tables[model] = raw_tables[model] = _read_kafka(spark, server, obj)
         else:
