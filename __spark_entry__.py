@@ -1244,6 +1244,79 @@ def _q_error_followup(spark, sf):
                           col="event_type").orderBy("event_type")
 
 
+def _table_fixture_root(sf_dir: str, kind: str) -> str:
+    """Deterministic /tmp location for a documents-derived lakehouse
+    fixture table, keyed by source path+mtime so a fresh sf_dir rebuilds."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = f"{os.path.abspath(src)}:{os.path.getmtime(src)}:{kind}:v1"
+    h = hashlib.md5(key.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"dcspark_{kind}_{h}")
+
+
+def _q_iceberg_scan(spark, sf):
+    """Round-trip the documents table through a pure-Python-written
+    Iceberg v2 layout (partitioned by lang), read it back through the
+    pure-Python manifest planner with a partition-pruned filter, and
+    aggregate — exactness vs the oracle proves the whole metadata plane
+    (OCF codec, manifests, pruning, schema mapping)."""
+    import os
+
+    from datacontract_cli_spark.sources.iceberg_table import read_iceberg
+    from datacontract_cli_spark.sources.iceberg_write import write_iceberg_table
+
+    root = _table_fixture_root(sf, "iceberg")
+    marker = os.path.join(root, "_READY")
+    if not os.path.exists(marker):
+        write_iceberg_table(_t(spark, sf, "documents"), root,
+                            partition_by=["lang"], files_per_group=2)
+        open(marker, "w").close()
+    return (
+        read_iceberg(spark, root, filters=[("lang", "=", "en")])
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+def _q_delta_time_travel(spark, sf):
+    """Two-version Delta table (v0 = web docs, v1 appends the rest) built
+    by the pure-Python log writer; reads VERSION 0 via log replay with a
+    partition filter. Oracle = the web+en slice of documents — matching
+    it proves replay, time travel and partition-value injection."""
+    import os
+
+    from datacontract_cli_spark.sources.delta_table import (
+        read_delta,
+        write_delta_table,
+    )
+
+    root = _table_fixture_root(sf, "delta")
+    marker = os.path.join(root, "_READY")
+    if not os.path.exists(marker):
+        docs = _t(spark, sf, "documents")
+        write_delta_table(docs.filter(F.col("source") == "web"), root,
+                          partition_by=["lang"])
+        write_delta_table(docs.filter(~F.col("source").eqNullSafe("web")),
+                          root, mode="append")
+        open(marker, "w").close()
+    return (
+        read_delta(spark, root, version=0, filters=[("lang", "=", "en")])
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate tests only the FIRST 50
     # entries.  Everything that has never been driver-green (or failed last
@@ -1283,6 +1356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agent_loops": _q_agent_loops,
         "error_followup": _q_error_followup,
         "ks_by_event_type": _q_ks_by_event_type,
+        "iceberg_scan_documents": _q_iceberg_scan,
+        "delta_time_travel": _q_delta_time_travel,
         # --- green in r03 but pushed past the cap in r04
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
@@ -1291,8 +1366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "hash_split": _q_hash_split,
         # --- core contract-check lanes
-        "missing_count": _q_missing_count,
-        "duplicate_count": _q_duplicate_count,
+        # (missing_count/duplicate_count rotated late-r5 for the iceberg/
+        # delta scans: green r01-r04, predicate/agg lanes untouched r5)
         "duplicate_count_composite": _q_duplicate_composite,
         "freshness_retention": _q_freshness_retention,
         "row_filter": _q_row_filter,
@@ -1312,6 +1387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "dedup_exact": _q_dedup_exact,
+        "missing_count": _q_missing_count,
+        "duplicate_count": _q_duplicate_count,
         # (tpch_q1/topk_parts/json_validation/cosine_topk/embedding_near_dups/
         # simhash_near_dups rotated r5: their code paths are untouched this
         # round — the one dedup.py change was the winnow arrow kernel.
@@ -1358,6 +1435,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # the Spark side round-trips documents through a pure-Python
+        # Iceberg/Delta layout in /tmp and reads it back via manifest/log
+        # planning; the oracle recomputes the same slice straight from
+        # the source parquet (CAST: DuckDB sum() is HUGEINT, Spark BIGINT)
+        "iceberg_scan_documents": (
+            "SELECT count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+            "min(doc_id) AS min_id, max(doc_id) AS max_id "
+            "FROM documents WHERE lang = 'en'"
+        ),
+        "delta_time_travel": (
+            "SELECT count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+            "min(doc_id) AS min_id, max(doc_id) AS max_id "
+            "FROM documents WHERE source = 'web' AND lang = 'en'"
+        ),
         "line_dedup": (
             # derive the same overlapping-window corpus, then keep-first
             # via row_number over (line) — independent of the operator's
