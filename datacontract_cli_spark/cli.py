@@ -9,6 +9,7 @@ samples, json/junit output, exit code 1 on failure.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -158,9 +159,9 @@ def build_parser() -> argparse.ArgumentParser:
     imp.add_argument("--format", required=True,
                      choices=["parquet", "orc", "csv", "json", "avro",
                               "jsonschema", "sql", "dbt", "bigquery", "unity",
-                              "iceberg", "dbml", "protobuf", "powerbi", "excel",
-                              "odcs", "dcs", "spark", "s3", "gcs", "adls",
-                              "great-expectations"])
+                              "iceberg", "delta", "dbml", "protobuf",
+                              "powerbi", "excel", "odcs", "dcs", "spark",
+                              "s3", "gcs", "adls", "great-expectations"])
     imp.add_argument("--source", required=True,
                      help="file or schema path; for --format spark a "
                           "comma-separated list of tables/views in the "
@@ -273,8 +274,8 @@ def main(argv: list[str] | None = None) -> int:
             except (OSError, ValueError) as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 1
-        elif args.format in ("dbt", "bigquery", "unity", "iceberg", "dbml",
-                             "protobuf", "powerbi", "excel",
+        elif args.format in ("dbt", "bigquery", "unity", "iceberg", "delta",
+                             "dbml", "protobuf", "powerbi", "excel",
                              "great-expectations"):
             from datacontract_cli_spark.sources.excel_import import import_excel
             from datacontract_cli_spark.sources.powerbi_import import import_powerbi_file
@@ -287,7 +288,13 @@ def main(argv: list[str] | None = None) -> int:
                            importers.import_great_expectations_file,
                        "bigquery": importers.import_bigquery_json_file,
                        "unity": importers.import_unity_json_file,
-                       "iceberg": importers.import_iceberg_json_file,
+                       # a table DIRECTORY imports from live metadata
+                       # (metadata/vN.metadata.json / _delta_log replay);
+                       # a file stays the schema-JSON lane
+                       "iceberg": (importers.import_iceberg_table
+                                   if os.path.isdir(args.source)
+                                   else importers.import_iceberg_json_file),
+                       "delta": importers.import_delta_table,
                        "dbml": importers.import_dbml_file,
                        "protobuf": _import_protobuf_file,
                        "powerbi": import_powerbi_file,

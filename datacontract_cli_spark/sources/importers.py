@@ -1016,3 +1016,74 @@ def import_object_storage(spark: SparkSession, location: Optional[str],
         servers=[Server(server="production", type=server_type, format=fmt,
                         location=location, options=options)],
     )
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse table directories -> contract (pure metadata, no data scan)
+# ---------------------------------------------------------------------------
+
+def import_iceberg_table(path: str,
+                         table_name: Optional[str] = None) -> DataContract:
+    """Contract from a Hadoop-layout Iceberg table DIRECTORY: the current
+    schema (field ids, required flags, identifier-field-ids -> primary
+    keys) comes straight from ``metadata/vN.metadata.json`` — the same
+    walk the pyiceberg-based reference importer performs
+    (imports/iceberg_importer.py:37-65), with an ``iceberg`` server bound
+    to the path so `test` runs against the table immediately."""
+    import os
+
+    from datacontract_cli_spark.model.contract import Server
+    from datacontract_cli_spark.sources.iceberg_table import (
+        load_table_metadata,
+    )
+
+    meta = load_table_metadata(path)
+    if meta.get("schemas"):
+        sid = meta.get("current-schema-id", 0)
+        sch = next((s for s in meta["schemas"]
+                    if s.get("schema-id") == sid), meta["schemas"][-1])
+    else:
+        sch = meta.get("schema") or {}
+    name = table_name or os.path.basename(
+        os.path.abspath(path).rstrip("/"))
+    contract = import_iceberg_json(
+        {"fields": sch.get("fields", []),
+         "identifier-field-ids": sch.get("identifier-field-ids", [])},
+        table_name=name)
+    contract.servers = [Server(server="lake", type="iceberg", path=path)]
+    return contract
+
+
+def import_delta_table(path: str,
+                       table_name: Optional[str] = None) -> DataContract:
+    """Contract from a Delta table DIRECTORY: replay the log's latest
+    ``metaData`` action — its ``schemaString`` is a Spark StructType JSON,
+    so types map through the same converter the live-session importer
+    uses; partition columns are recorded on the model description and a
+    ``delta`` server binds the path."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from datacontract_cli_spark.model.contract import Server
+    from datacontract_cli_spark.sources.delta_table import _replay
+
+    state = _replay(path)
+    md = state["metadata"]
+    st = T.StructType.fromJson(_json.loads(md["schemaString"]))
+    props = [spark_type_to_property(f.name, f.dataType)
+             for f in st.fields]
+    for prop, field in zip(props, st.fields):
+        prop.required = not field.nullable
+    part_cols = md.get("partitionColumns") or []
+    name = table_name or os.path.basename(
+        os.path.abspath(path).rstrip("/"))
+    obj = SchemaObject(
+        name=name, physical_type="table",
+        description=(f"partitioned by ({', '.join(part_cols)})"
+                     if part_cols else None),
+        properties=props)
+    return DataContract(id=name, version="0.0.1", schema_objects=[obj],
+                        servers=[Server(server="lake", type="delta",
+                                        path=path)])

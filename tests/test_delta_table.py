@@ -163,3 +163,34 @@ def test_contract_engine_over_delta_server(spark, table):
     assert chk is not None and chk.diagnostics["value"] == n_bad
     assert run.check(
         "transcripts__conv_id__field_type").result is ResultEnum.passed
+
+
+def test_import_contract_from_delta_dir(spark, table):
+    from datacontract_cli_spark.sources.importers import import_delta_table
+
+    root, _ = table
+    contract = import_delta_table(root, table_name="transcripts")
+    obj = contract.schema_objects[0]
+    props = {p.name: p for p in obj.properties}
+    assert set(props) == {"conv_id", "turn_idx", "role", "text", "tool",
+                          "ts"}
+    assert props["turn_idx"].logical_type == "integer"
+    assert "role" in (obj.description or "")  # partition columns recorded
+    srv = contract.servers[0]
+    assert srv.type == "delta" and srv.path == root
+    run = SparkContractEngine(spark).test(contract)
+    assert run.check("transcripts__conv_id__field_type").result \
+        is ResultEnum.passed
+
+
+def test_import_cli_delta_dir(table, tmp_path):
+    from datacontract_cli_spark.cli import main
+
+    root, _ = table
+    out = str(tmp_path / "imported.yaml")
+    rc = main(["import", "--format", "delta", "--source", root,
+               "--output", out])
+    assert rc == 0
+    import yaml
+    doc = yaml.safe_load(open(out))
+    assert doc["servers"][0]["type"] == "delta"

@@ -252,3 +252,44 @@ def test_contract_snapshot_option(spark, tmp_path):
     from datacontract_cli_spark.sources.readers import bind_server_with_raw
     tables, _raw = bind_server_with_raw(spark, contract, contract.servers[0])
     assert tables["transcripts"].count() == df1.count()
+
+
+# ---------------------------------------------------------------------------
+# contract import from a table directory
+# ---------------------------------------------------------------------------
+
+def test_import_contract_from_table_dir(spark, table):
+    from datacontract_cli_spark.sources.importers import import_iceberg_table
+
+    root, _ = table
+    contract = import_iceberg_table(root, table_name="transcripts")
+    obj = contract.schema_objects[0]
+    props = {p.name: p for p in obj.properties}
+    assert set(props) == {"conv_id", "turn_idx", "role", "text", "tool",
+                          "ts"}
+    assert props["turn_idx"].logical_type == "integer"
+    # reference parity: ODCS logicalType "date" covers timestamps
+    # (reference iceberg_importer.py:152-158), physical keeps the detail
+    assert props["ts"].logical_type == "date"
+    assert props["ts"].physical_type == "timestamptz"
+    srv = contract.servers[0]
+    assert srv.type == "iceberg" and srv.path == root
+    # the imported contract runs against its own table end-to-end
+    # (physicalType is set, so the dialect-exact physical check fires)
+    run = SparkContractEngine(spark).test(contract)
+    assert run.check("transcripts__ts__field_physical_type").result \
+        is ResultEnum.passed
+
+
+def test_import_cli_table_dir(table, tmp_path, capsys):
+    from datacontract_cli_spark.cli import main
+
+    root, _ = table
+    out = str(tmp_path / "imported.yaml")
+    rc = main(["import", "--format", "iceberg", "--source", root,
+               "--output", out])
+    assert rc == 0
+    import yaml
+    doc = yaml.safe_load(open(out))
+    names = [p["name"] for p in doc["schema"][0]["properties"]]
+    assert "conv_id" in names and "ts" in names
