@@ -279,12 +279,20 @@ class SparkContractEngine:
         path: str,
         model: str,
         checkpoint_dir: str,
+        table_format: str = "parquet",
+        snapshot_id=None,
     ):
         """File-level incremental mode: validate only files new or changed
         (by size/mtime fingerprint) since the last run, fold count metrics
         over the per-file manifest; returns (Run, result dict with files /
         new_files / removed_files / folded). Count checks only — key
-        uniqueness needs test_partitioned (duplicates cross files)."""
+        uniqueness needs test_partitioned (duplicates cross files).
+
+        ``table_format`` "iceberg"/"delta" plans the live file set from
+        the table's own metadata (snapshot manifests / log replay) instead
+        of a directory walk — appending a snapshot then re-running scans
+        exactly the appended files. ``snapshot_id`` time-travels (an
+        Iceberg snapshot id or a Delta version)."""
         from datacontract_cli_spark.engine.incremental import IncrementalValidator
 
         specs = [s for s in compile_checks(contract, None) if s.model == model
@@ -292,7 +300,13 @@ class SparkContractEngine:
                                   MetricType.MISSING_COUNT,
                                   MetricType.INVALID_COUNT)]
         iv = IncrementalValidator(self.spark, checkpoint_dir)
-        result = iv.run(path, specs, model)
+        if table_format == "iceberg":
+            result = iv.run_iceberg(path, specs, model,
+                                    snapshot_id=snapshot_id)
+        elif table_format == "delta":
+            result = iv.run_delta(path, specs, model, version=snapshot_id)
+        else:
+            result = iv.run(path, specs, model)
         run = Run(dataContractId=contract.id,
                   dataContractVersion=contract.version)
         unevaluated = set(result.get("unevaluated") or [])

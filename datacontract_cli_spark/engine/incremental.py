@@ -147,14 +147,24 @@ class IncrementalValidator:
         return out
 
     def run(self, path: str, specs: List[CheckSpec], model: str,
-            schema=None) -> Dict[str, Any]:
+            schema=None, listing: Optional[List[Tuple[str, int, float]]]
+            = None, base_path: Optional[str] = "auto") -> Dict[str, Any]:
         """Validate new/changed files only; returns
         ``{files, new_files, removed_files, folded, unevaluated}`` where
         ``folded`` sums count metrics over every CURRENT file's manifest
         row and ``unevaluated`` lists spec keys some live file could not
         evaluate (absent column) — the caller must surface those as
-        errors, never as passing zeros."""
-        listing = list_data_files(self.spark, path)
+        errors, never as passing zeros.
+
+        ``listing`` overrides the Hadoop-FS walk with an explicit
+        [(uri, size, mtime)] — the table-format lanes (run_iceberg /
+        run_delta) pass the snapshot/log-planned file set so the unit of
+        incrementality is exactly what the table's metadata says is live.
+        ``base_path`` "auto" probes ``path`` for the hive-partition
+        directory case; None disables it (Iceberg data files carry all
+        columns — partition inference would shadow them)."""
+        if listing is None:
+            listing = list_data_files(self.spark, path)
         current = {f: (size, mtime) for f, size, mtime in listing}
         known = self.validated_files(model)
         removed = sorted(set(known) - set(current))
@@ -192,11 +202,14 @@ class IncrementalValidator:
             # Only valid when the data path is a directory (a single-file
             # table has no partition dirs and Spark rejects a file basePath)
             reader = self.spark.read
-            jvm = self.spark._jvm
-            hp = jvm.org.apache.hadoop.fs.Path(path)
-            if hp.getFileSystem(self.spark._jsc.hadoopConfiguration()) \
-                    .getFileStatus(hp).isDirectory():
-                reader = reader.option("basePath", path)
+            if base_path == "auto":
+                jvm = self.spark._jvm
+                hp = jvm.org.apache.hadoop.fs.Path(path)
+                if hp.getFileSystem(self.spark._jsc.hadoopConfiguration()) \
+                        .getFileStatus(hp).isDirectory():
+                    reader = reader.option("basePath", path)
+            elif base_path is not None:
+                reader = reader.option("basePath", base_path)
             if schema is not None:
                 reader = reader.schema(schema)
             df = reader.parquet(*sorted(todo))
@@ -264,3 +277,60 @@ class IncrementalValidator:
             "folded": folded,
             "unevaluated": sorted(unevaluated),
         }
+
+    # ------------------------------------------------------------------
+    # table-format lanes: the snapshot/log IS the listing
+    # ------------------------------------------------------------------
+
+    def run_iceberg(self, table_path: str, specs: List[CheckSpec],
+                    model: str,
+                    snapshot_id: Optional[int] = None) -> Dict[str, Any]:
+        """Snapshot-incremental validation of an Iceberg table: the file
+        set comes from manifest planning, so validating snapshot N after
+        snapshot N-1 scans EXACTLY the appended data files (Iceberg files
+        are immutable — fingerprints are path+recorded size), and
+        snapshot-expired/rewritten files drop out of the fold as
+        ``removed_files``. The result dict gains ``snapshot_id``."""
+        from datacontract_cli_spark.sources.iceberg_table import (
+            plan_scan_entries,
+            schema_struct,
+        )
+
+        meta, entries = plan_scan_entries(table_path, snapshot_id)
+        listing = [
+            (_norm_uri("file://" + e["data_file"]["file_path"]),
+             int(e["data_file"].get("file_size_in_bytes", 0)), 0.0)
+            for e in entries]
+        out = self.run(table_path, specs, model,
+                       schema=schema_struct(meta), listing=listing,
+                       base_path=None)  # data files carry all columns
+        out["snapshot_id"] = (snapshot_id
+                              if snapshot_id is not None
+                              else meta.get("current-snapshot-id"))
+        return out
+
+    def run_delta(self, table_path: str, specs: List[CheckSpec],
+                  model: str,
+                  version: Optional[int] = None) -> Dict[str, Any]:
+        """Log-incremental validation of a Delta table: live files from
+        checkpoint+commit replay; partition columns resolve from the
+        hive-style directory layout via basePath (delta data files do not
+        store them). Removed (vacuum/rewrite) files leave the fold."""
+        from datacontract_cli_spark.sources.delta_table import (
+            _strip_scheme,
+            plan_delta,
+        )
+
+        state, live_adds = plan_delta(table_path, version)
+        root = _strip_scheme(table_path)
+        listing = [
+            (_norm_uri("file://" + os.path.join(root, a["path"])),
+             int(a.get("size", 0)),
+             float(a.get("modificationTime", 0)) / 1000.0)
+            for a in live_adds]
+        from datacontract_cli_spark.sources.delta_table import delta_schema
+        out = self.run(table_path, specs, model,
+                       schema=delta_schema(state["metadata"]),
+                       listing=listing, base_path=root)
+        out["delta_version"] = state["version"]
+        return out

@@ -408,11 +408,12 @@ class _Planner:
         return [e for chunk in chunks for e in chunk]
 
 
-def plan_scan(table_path: str, snapshot_id: Optional[int] = None,
-              filters: Sequence[Tuple[str, str, Any]] = ()
-              ) -> Tuple[Dict[str, Any], List[str]]:
-    """(metadata, pruned parquet paths) for a snapshot — exposed for tests
-    asserting pruning counts and for the incremental-validation lane."""
+def plan_scan_entries(table_path: str, snapshot_id: Optional[int] = None,
+                      filters: Sequence[Tuple[str, str, Any]] = ()
+                      ) -> Tuple[Dict[str, Any], List[Dict[str, Any]]]:
+    """(metadata, pruned live manifest entries) with data_file paths
+    rebased to the actual table root — the planning surface for
+    incremental validation (per-file sizes/record counts come along)."""
     meta = load_table_metadata(table_path)
     snap = _select_snapshot(meta, snapshot_id)
     if snap is None:
@@ -421,14 +422,22 @@ def plan_scan(table_path: str, snapshot_id: Optional[int] = None,
     entries = planner.plan_files(snap, filters)
     root = _strip_scheme(table_path)
     loc = meta.get("location", "")
-    paths = []
     for e in entries:
         d = e["data_file"]
         fmt = str(d.get("file_format", "PARQUET")).upper()
         if fmt != "PARQUET":
             raise NotImplementedError(f"Iceberg {fmt} data files unsupported")
-        paths.append(_rebase(d["file_path"], loc, root))
-    return meta, paths
+        d["file_path"] = _rebase(d["file_path"], loc, root)
+    return meta, entries
+
+
+def plan_scan(table_path: str, snapshot_id: Optional[int] = None,
+              filters: Sequence[Tuple[str, str, Any]] = ()
+              ) -> Tuple[Dict[str, Any], List[str]]:
+    """(metadata, pruned parquet paths) for a snapshot — exposed for tests
+    asserting pruning counts and for the incremental-validation lane."""
+    meta, entries = plan_scan_entries(table_path, snapshot_id, filters)
+    return meta, [e["data_file"]["file_path"] for e in entries]
 
 
 def read_iceberg(spark: SparkSession, table_path: str,

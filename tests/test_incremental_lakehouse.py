@@ -1,0 +1,158 @@
+"""Snapshot/log-incremental validation over Iceberg and Delta tables:
+the table format's own metadata is the file listing, so validating the
+next snapshot scans exactly the appended files."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datacontract_cli_spark.checks.spec import CheckSpec, MetricType, Op, Threshold
+from datacontract_cli_spark.engine.incremental import IncrementalValidator
+from datacontract_cli_spark.sources.delta_table import write_delta_table
+from datacontract_cli_spark.sources.iceberg_write import (
+    append_iceberg,
+    write_iceberg_table,
+)
+from datacontract_cli_spark.sources.transcripts import synthesize_transcripts
+
+
+def _spec(key, field=None, metric=MetricType.ROW_COUNT, **kw):
+    return CheckSpec(key=key, category="schema", type="t", name=key,
+                     model="transcripts", field=field, metric=metric,
+                     threshold=Threshold(Op.EQ, 0), **kw)
+
+
+SPECS = [
+    _spec("rows"),
+    _spec("missing_tool", field="tool", metric=MetricType.MISSING_COUNT),
+    _spec("invalid_role", field="role", metric=MetricType.INVALID_COUNT,
+          valid_values=["system", "user", "assistant", "tool"]),
+]
+
+
+def _expected(df):
+    return {
+        "rows": df.count(),
+        "missing_tool": df.filter(F.col("tool").isNull()).count(),
+        "invalid_role": df.filter(
+            F.col("role").isNotNull()
+            & ~F.col("role").isin("system", "user", "assistant",
+                                  "tool")).count(),
+    }
+
+
+def test_iceberg_snapshot_incremental(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    df1 = synthesize_transcripts(spark, n_convs=12, turns_per_conv=4,
+                                 defect_rate=0.2)
+    write_iceberg_table(df1, root, partition_by=["role"],
+                        files_per_group=2)
+    iv = IncrementalValidator(spark, str(tmp_path / "ckpt"))
+
+    r1 = iv.run_iceberg(root, SPECS, "transcripts")
+    assert r1["snapshot_id"] == 1
+    exp1 = _expected(df1)
+    assert r1["folded"]["row_count"] == exp1["rows"]
+    assert r1["folded"]["missing_tool"] == exp1["missing_tool"]
+    assert r1["folded"]["invalid_role"] == exp1["invalid_role"]
+    n_first = len(r1["new_files"])
+    assert n_first == len(r1["files"]) > 0
+
+    # append a snapshot: ONLY the appended files are scanned
+    df2 = synthesize_transcripts(spark, n_convs=5, turns_per_conv=4,
+                                 defect_rate=0.0, seed=11)
+    append_iceberg(df2, root)
+    r2 = iv.run_iceberg(root, SPECS, "transcripts")
+    assert r2["snapshot_id"] == 2
+    assert len(r2["new_files"]) == len(r2["files"]) - n_first
+    assert set(r2["new_files"]).isdisjoint(set(r1["new_files"]))
+    both = df1.unionByName(df2)
+    exp2 = _expected(both)
+    assert r2["folded"]["row_count"] == exp2["rows"]
+    assert r2["folded"]["invalid_role"] == exp2["invalid_role"]
+    assert r2["removed_files"] == []
+    assert r2["unevaluated"] == []
+
+    # third run, nothing new: zero files scanned, fold unchanged
+    r3 = iv.run_iceberg(root, SPECS, "transcripts")
+    assert r3["new_files"] == []
+    assert r3["folded"] == r2["folded"]
+
+    # time-travel validation of snapshot 1 reuses the manifest rows:
+    # nothing rescanned, fold matches the first run
+    r_old = iv.run_iceberg(root, SPECS, "transcripts", snapshot_id=1)
+    assert r_old["new_files"] == []
+    assert r_old["folded"] == r1["folded"]
+
+
+def test_delta_log_incremental(spark, tmp_path):
+    root = str(tmp_path / "dtbl")
+    df1 = synthesize_transcripts(spark, n_convs=10, turns_per_conv=4,
+                                 defect_rate=0.2)
+    write_delta_table(df1, root, partition_by=["role"])
+    iv = IncrementalValidator(spark, str(tmp_path / "ckpt"))
+
+    r1 = iv.run_delta(root, SPECS, "transcripts")
+    assert r1["delta_version"] == 0
+    exp1 = _expected(df1)
+    assert r1["folded"]["row_count"] == exp1["rows"]
+    # role is a PARTITION column: resolved from the hive dirs via
+    # basePath, so the invalid-count is evaluable per file
+    assert r1["unevaluated"] == []
+    assert r1["folded"]["invalid_role"] == exp1["invalid_role"]
+    assert r1["folded"]["missing_tool"] == exp1["missing_tool"]
+    n_first = len(r1["new_files"])
+
+    df2 = synthesize_transcripts(spark, n_convs=4, turns_per_conv=4,
+                                 seed=3)
+    write_delta_table(df2, root, mode="append")
+    r2 = iv.run_delta(root, SPECS, "transcripts")
+    assert r2["delta_version"] == 1
+    assert len(r2["new_files"]) == len(r2["files"]) - n_first
+    exp2 = _expected(df1.unionByName(df2))
+    assert r2["folded"]["row_count"] == exp2["rows"]
+    assert r2["folded"]["invalid_role"] == exp2["invalid_role"]
+
+    r3 = iv.run_delta(root, SPECS, "transcripts")
+    assert r3["new_files"] == [] and r3["folded"] == r2["folded"]
+
+
+ICEBERG_INC_CONTRACT = """
+id: t
+version: 1.0.0
+schema:
+  - name: transcripts
+    properties:
+      - name: conv_id
+        logicalType: string
+        required: true
+      - name: role
+        logicalType: string
+        quality:
+          - metric: invalidValues
+            arguments:
+              validValues: [system, user, assistant, tool]
+            mustBe: 0
+"""
+
+
+def test_engine_incremental_iceberg(spark, tmp_path):
+    """engine.test_incremental(table_format='iceberg') end-to-end: the
+    contract's compiled count checks fold over snapshot-planned files."""
+    from datacontract_cli_spark.engine.executor import SparkContractEngine
+    from datacontract_cli_spark.model.contract import load_contract_str
+    from datacontract_cli_spark.model.run import ResultEnum
+
+    root = str(tmp_path / "tbl")
+    df = synthesize_transcripts(spark, n_convs=8, turns_per_conv=4,
+                                defect_rate=0.2)
+    write_iceberg_table(df, root, partition_by=["role"])
+    contract = load_contract_str(ICEBERG_INC_CONTRACT)
+    engine = SparkContractEngine(spark)
+    run, result = engine.test_incremental(
+        contract, root, "transcripts", str(tmp_path / "ckpt"),
+        table_format="iceberg")
+    assert result["snapshot_id"] == 1
+    chk = next(c for c in run.checks if "invalid_values" in c.key)
+    exp = _expected(df)["invalid_role"]
+    assert chk.diagnostics["value"] == exp
+    assert chk.result is (ResultEnum.failed if exp else ResultEnum.passed)

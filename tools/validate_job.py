@@ -30,6 +30,13 @@ def main() -> int:
                         "(needs --checkpoint-dir); count checks only")
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--partition-key", default="conv_id")
+    p.add_argument("--table-format", default="parquet",
+                   choices=["parquet", "iceberg", "delta"],
+                   help="with --incremental: plan live files from the "
+                        "table's own metadata (snapshot manifests / "
+                        "delta log) instead of a directory walk")
+    p.add_argument("--snapshot-id", type=int, default=None,
+                   help="time-travel: Iceberg snapshot id / Delta version")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -51,8 +58,9 @@ def main() -> int:
             print("error: --incremental needs --checkpoint-dir", file=sys.stderr)
             return 2
         engine = SparkContractEngine(spark)
-        run, result = engine.test_incremental(contract, args.data, args.model,
-                                              args.checkpoint_dir)
+        run, result = engine.test_incremental(
+            contract, args.data, args.model, args.checkpoint_dir,
+            table_format=args.table_format, snapshot_id=args.snapshot_id)
         print(json.dumps({"new_files": result["new_files"],
                           "removed_files": result["removed_files"],
                           "n_files": len(result["files"]),
