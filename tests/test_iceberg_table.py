@@ -313,3 +313,24 @@ def test_diff_snapshots(spark, tmp_path):
     n_new_keys = df2.select("conv_id", "turn_idx").distinct().count()
     assert row["n_added"] == n_new_keys
     assert row["n_removed"] == 0 and row["n_changed"] == 0
+
+
+def test_scan_keeps_catalyst_pushdown(spark, table):
+    """The metadata plane is Python, but the DATA plane must stay fully
+    Catalyst: filters push into the parquet scan of the planned files and
+    projection prunes the read schema."""
+    import contextlib
+    import io
+
+    root, _ = table
+    q = (read_iceberg(spark, root, filters=[("turn_idx", ">=", 2)])
+         .select("conv_id", "turn_idx"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(turn_idx" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "conv_id" in read_schema and "turn_idx" in read_schema
+    assert "text" not in read_schema  # column pruning reached the scan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
