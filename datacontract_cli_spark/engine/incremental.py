@@ -334,3 +334,66 @@ class IncrementalValidator:
                        listing=listing, base_path=root)
         out["delta_version"] = state["version"]
         return out
+
+
+class SnapshotTailer:
+    """CDC-style validation of an append-mostly Iceberg table: each call
+    to :meth:`poll` validates every snapshot that landed since the last
+    validated one, IN ORDER, and emits a per-snapshot verdict whose
+    metric deltas cover exactly that snapshot's appended rows (count
+    metrics fold linearly, so snapshot N's delta is fold(N) −
+    fold(N−1) — no rescan of earlier data ever happens, the underlying
+    run_iceberg scans only the snapshot's new files).
+
+    State (last validated snapshot id + its fold) lives next to the file
+    manifest in the checkpoint dir, so a crashed tailer resumes at the
+    first unvalidated snapshot — the north rule's "resume mid-run with
+    per-partition lineage + metrics" applied at snapshot granularity.
+    This is the batch dual of Structured Streaming's source offsets: the
+    snapshot log is the offset log."""
+
+    def __init__(self, spark: SparkSession, checkpoint_dir: str):
+        self.iv = IncrementalValidator(spark, checkpoint_dir)
+        self.checkpoint_dir = checkpoint_dir
+
+    def _state_path(self, model: str) -> str:
+        return os.path.join(self.checkpoint_dir, f"{model}.snapshots.json")
+
+    def _load_state(self, model: str) -> Dict[str, Any]:
+        p = self._state_path(model)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"validated": [], "last_fold": {}}
+
+    def poll(self, table_path: str, specs: List[CheckSpec],
+             model: str) -> List[Dict[str, Any]]:
+        """Validate all pending snapshots; returns one result per newly
+        validated snapshot: {snapshot_id, folded (cumulative), delta
+        (this snapshot's appended counts), new_files}."""
+        from datacontract_cli_spark.sources.iceberg_table import snapshots
+
+        state = self._load_state(model)
+        seen = set(state["validated"])
+        pending = [s["snapshot_id"] for s in snapshots(table_path)
+                   if s["snapshot_id"] not in seen]
+        out: List[Dict[str, Any]] = []
+        prev_fold = dict(state["last_fold"])
+        for sid in pending:  # snapshot log is already append-ordered
+            r = self.iv.run_iceberg(table_path, specs, model,
+                                    snapshot_id=sid)
+            delta = {k: v - prev_fold.get(k, 0)
+                     for k, v in r["folded"].items()
+                     if isinstance(v, (int, float))}
+            out.append({"snapshot_id": sid, "folded": dict(r["folded"]),
+                        "delta": delta, "new_files": r["new_files"],
+                        "unevaluated": r["unevaluated"]})
+            prev_fold = dict(r["folded"])
+            state["validated"].append(sid)
+            state["last_fold"] = prev_fold
+            os.makedirs(self.checkpoint_dir, exist_ok=True)
+            tmp = self._state_path(model) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(state, f)
+            os.replace(tmp, self._state_path(model))  # crash-safe per snap
+        return out

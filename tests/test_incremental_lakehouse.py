@@ -156,3 +156,45 @@ def test_engine_incremental_iceberg(spark, tmp_path):
     exp = _expected(df)["invalid_role"]
     assert chk.diagnostics["value"] == exp
     assert chk.result is (ResultEnum.failed if exp else ResultEnum.passed)
+
+
+def test_snapshot_tailer(spark, tmp_path):
+    """Per-snapshot verdicts with exact deltas; resume skips validated
+    snapshots even across a fresh tailer instance."""
+    from datacontract_cli_spark.engine.incremental import SnapshotTailer
+
+    root = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    df1 = synthesize_transcripts(spark, n_convs=8, turns_per_conv=4,
+                                 defect_rate=0.2)
+    write_iceberg_table(df1, root, partition_by=["role"])
+
+    tailer = SnapshotTailer(spark, ckpt)
+    r = tailer.poll(root, SPECS, "transcripts")
+    assert [x["snapshot_id"] for x in r] == [1]
+    exp1 = _expected(df1)
+    assert r[0]["delta"]["row_count"] == exp1["rows"]
+    assert r[0]["delta"]["invalid_role"] == exp1["invalid_role"]
+
+    # two more snapshots land before the next poll
+    df2 = synthesize_transcripts(spark, n_convs=3, turns_per_conv=4,
+                                 seed=5)
+    df3 = synthesize_transcripts(spark, n_convs=2, turns_per_conv=4,
+                                 defect_rate=0.5, seed=6)
+    append_iceberg(df2, root)
+    append_iceberg(df3, root)
+
+    # fresh instance: state resumes from the checkpoint dir
+    r2 = SnapshotTailer(spark, ckpt).poll(root, SPECS, "transcripts")
+    assert [x["snapshot_id"] for x in r2] == [2, 3]
+    assert r2[0]["delta"]["row_count"] == df2.count()
+    assert r2[0]["delta"]["invalid_role"] == _expected(df2)["invalid_role"]
+    assert r2[1]["delta"]["row_count"] == df3.count()
+    assert r2[1]["delta"]["invalid_role"] == _expected(df3)["invalid_role"]
+    # cumulative fold is the whole table
+    assert r2[1]["folded"]["row_count"] == (df1.count() + df2.count()
+                                            + df3.count())
+
+    # idle poll: nothing pending
+    assert SnapshotTailer(spark, ckpt).poll(root, SPECS,
+                                            "transcripts") == []
