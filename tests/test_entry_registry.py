@@ -41,6 +41,10 @@ ROTATED = {
     # (green r03+r04, dedup_exact r01-r04; the only dedup.py edits this
     # round were in the winnowing/simhash lanes)
     "minhash_near_dups", "ngram_jaccard_dups", "dedup_exact",
+    # rotated late-r5 for iceberg_scan_documents/delta_time_travel
+    # (green r01-r04; the missing/duplicate predicate+agg lanes are
+    # untouched this round)
+    "missing_count", "duplicate_count",
 }
 
 
