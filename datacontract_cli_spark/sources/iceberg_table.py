@@ -56,6 +56,8 @@ from datacontract_cli_spark.sources.avro_ocf import read_ocf, write_ocf
 
 STATUS_DELETED = 2
 CONTENT_DATA = 0
+CONTENT_POS_DELETES = 1
+CONTENT_EQ_DELETES = 2
 
 
 # ---------------------------------------------------------------------------
@@ -366,23 +368,33 @@ class _Planner:
         return True
 
     def plan_files(self, snapshot: Dict[str, Any],
-                   filters: Sequence[Tuple[str, str, Any]] = ()
-                   ) -> List[Dict[str, Any]]:
+                   filters: Sequence[Tuple[str, str, Any]] = (),
+                   with_deletes: bool = False):
         """Live, pruned data-file entries for a snapshot. Mirrors Iceberg
         scan planning: manifest list -> per-manifest summary pruning ->
-        parallel manifest reads -> entry status + stats pruning."""
+        parallel manifest reads -> entry status + stats pruning.
+
+        ``with_deletes=True`` additionally reads content=1 (delete)
+        manifests and returns ``(data_entries, delete_entries)`` — the
+        merge-on-read planning surface. Delete entries are NEVER pruned by
+        query filters: a pruned delete file would resurrect deleted rows
+        (the query predicate bounds the rows you see, not the deletes
+        that apply to them)."""
         ml = snapshot.get("manifest-list")
         if ml:
             _, manifests = read_ocf(_rebase(ml, self.location, self.root))
         else:  # ancient v1: inline manifests
             manifests = [{"manifest_path": p, "content": 0}
                          for p in snapshot.get("manifests", [])]
-        if any(mf.get("content", 0) == 1 for mf in manifests):
+        delete_manifests = [mf for mf in manifests
+                            if mf.get("content", 0) == 1]
+        if delete_manifests and not with_deletes:
             raise NotImplementedError(
                 "Iceberg v2 row-level DELETE manifests present; this "
-                "pure-Python reader supports copy-on-write tables only")
-        manifests = [mf for mf in manifests
-                     if self._manifest_may_match(mf, filters)]
+                "planning surface supports copy-on-write tables only "
+                "(read_iceberg applies merge-on-read deletes)")
+        manifests = [mf for mf in manifests if mf.get("content", 0) == 0
+                     and self._manifest_may_match(mf, filters)]
 
         def _read_manifest(mf: Dict[str, Any]) -> List[Dict[str, Any]]:
             path = _rebase(mf["manifest_path"], self.location, self.root)
@@ -394,7 +406,11 @@ class _Planner:
                     continue
                 if e["data_file"].get("content", CONTENT_DATA) != CONTENT_DATA:
                     raise NotImplementedError(
-                        "Iceberg delete files present; copy-on-write only")
+                        "delete file entry inside a content=0 manifest")
+                if e.get("sequence_number") is None:
+                    # spec: null entry sequence number inherits the
+                    # manifest's (needed for MoR delete scoping)
+                    e["sequence_number"] = mf.get("sequence_number", 0)
                 if self._file_may_match(e, spec_id, filters):
                     e["_spec_id"] = spec_id
                     out.append(e)
@@ -405,7 +421,22 @@ class _Planner:
         else:
             with ThreadPoolExecutor(max_workers=min(8, len(manifests))) as ex:
                 chunks = list(ex.map(_read_manifest, manifests))
-        return [e for chunk in chunks for e in chunk]
+        data_entries = [e for chunk in chunks for e in chunk]
+        if not with_deletes:
+            return data_entries
+
+        delete_entries: List[Dict[str, Any]] = []
+        for mf in delete_manifests:
+            path = _rebase(mf["manifest_path"], self.location, self.root)
+            _, entries = read_ocf(path)
+            for e in entries:
+                if e.get("status") == STATUS_DELETED:
+                    continue
+                if e.get("sequence_number") is None:
+                    # inherited from the manifest per spec
+                    e["sequence_number"] = mf.get("sequence_number", 0)
+                delete_entries.append(e)
+        return data_entries, delete_entries
 
 
 def plan_scan_entries(table_path: str, snapshot_id: Optional[int] = None,
@@ -440,6 +471,135 @@ def plan_scan(table_path: str, snapshot_id: Optional[int] = None,
     return meta, [e["data_file"]["file_path"] for e in entries]
 
 
+def plan_scan_with_deletes(table_path: str,
+                           snapshot_id: Optional[int] = None,
+                           filters: Sequence[Tuple[str, str, Any]] = ()):
+    """(metadata, data_entries, delete_entries) — the merge-on-read
+    planning surface. Paths in both entry lists are rebased to the actual
+    table root."""
+    meta = load_table_metadata(table_path)
+    snap = _select_snapshot(meta, snapshot_id)
+    if snap is None:
+        return meta, [], []
+    planner = _Planner(meta, table_path)
+    data_entries, delete_entries = planner.plan_files(snap, filters,
+                                                      with_deletes=True)
+    root = _strip_scheme(table_path)
+    loc = meta.get("location", "")
+    for e in data_entries + delete_entries:
+        d = e["data_file"]
+        fmt = str(d.get("file_format", "PARQUET")).upper()
+        if fmt != "PARQUET":
+            raise NotImplementedError(f"Iceberg {fmt} files unsupported")
+        d["file_path"] = _rebase(d["file_path"], loc, root)
+    return meta, data_entries, delete_entries
+
+
+def _rebase_pathcol(df: DataFrame, col: str, location: str,
+                    root: str) -> DataFrame:
+    """Normalize a parquet-recorded file-path column: strip any file:
+    scheme, then rebase the table's recorded location prefix onto the
+    directory the table actually lives in now (mirrors :func:`_rebase`,
+    but as a Column expression over positional-delete rows)."""
+    c = F.regexp_replace(F.col(col), "^file:(//)?", "")
+    rec = _strip_scheme(location or "").rstrip("/")
+    actual = _strip_scheme(root).rstrip("/")
+    if rec and rec != actual:
+        c = F.when(
+            c.startswith(rec + "/"),
+            F.concat(F.lit(actual), F.substring(c, len(rec) + 1, 1 << 30))
+        ).otherwise(c)
+    return df.withColumn(col, c)
+
+
+def _apply_mor_deletes(spark: SparkSession, meta: Dict[str, Any],
+                       st: T.StructType,
+                       data_entries: List[Dict[str, Any]],
+                       delete_entries: List[Dict[str, Any]],
+                       location: str, root: str) -> DataFrame:
+    """Merge-on-read: scan data files and anti-join away deleted rows.
+
+    Spark-first design (scales to 10^12 rows): the data side is never
+    shuffled — positional deletes join on the hidden
+    (``_metadata.file_path``, ``_metadata.row_index``) pair and equality
+    deletes on their key columns, both via **broadcast left-anti joins**
+    (delete files are a tiny fraction of the table; Spark's own Iceberg
+    source applies them the same way, as does Delta's deletion-vector
+    read path). Sequence-number scoping per the Iceberg spec: a
+    positional delete applies to data files with seq <= delete seq, an
+    equality delete only to STRICTLY older data files — implemented by
+    grouping data files by their applicable delete-file set (driver-side,
+    O(files), same as Iceberg's planner) so each group is one clean scan
+    and appended-after rows never anti-join against older deletes."""
+    def _seq(e) -> int:
+        return e.get("sequence_number") or 0
+
+    pos = [e for e in delete_entries
+           if e["data_file"].get("content") == CONTENT_POS_DELETES]
+    eq = [e for e in delete_entries
+          if e["data_file"].get("content") == CONTENT_EQ_DELETES]
+    sid = meta.get("current-schema-id", 0)
+    schemas = meta.get("schemas") or [meta.get("schema", {"fields": []})]
+    sch = next((s for s in schemas if s.get("schema-id") == sid),
+               schemas[-1])
+    name_by_id = {f["id"]: f["name"] for f in sch.get("fields", [])}
+
+    groups: Dict[Tuple, List[str]] = {}
+    for e in data_entries:
+        dseq = _seq(e)
+        pk = tuple(sorted(p["data_file"]["file_path"] for p in pos
+                          if _seq(p) >= dseq))
+        ek = tuple(sorted(
+            (q["data_file"]["file_path"],
+             tuple(q["data_file"].get("equality_ids") or ()))
+            for q in eq if _seq(q) > dseq))
+        groups.setdefault((pk, ek), []).append(e["data_file"]["file_path"])
+
+    parts: List[DataFrame] = []
+    for (pk, ek), paths in sorted(groups.items()):
+        df = spark.read.schema(st).parquet(*paths)
+        if pk:
+            df = (df
+                  .withColumn("__icb_file",
+                              F.regexp_replace(F.col("_metadata.file_path"),
+                                               "^file:(//)?", ""))
+                  .withColumn("__icb_pos", F.col("_metadata.row_index")))
+            dels = spark.read.parquet(*pk).select("file_path", "pos")
+            dels = _rebase_pathcol(dels, "file_path", location, root)
+            df = df.join(
+                F.broadcast(dels),
+                (df["__icb_file"] == dels["file_path"])
+                & (df["__icb_pos"] == dels["pos"]),
+                "left_anti").drop("__icb_file", "__icb_pos")
+        if ek:
+            by_ids: Dict[Tuple[int, ...], List[str]] = {}
+            for (path, ids) in ek:
+                if not ids:
+                    raise NotImplementedError(
+                        "equality delete file without equality_ids")
+                by_ids.setdefault(ids, []).append(path)
+            for ids, epaths in sorted(by_ids.items()):
+                try:
+                    cols = [name_by_id[fid] for fid in ids]
+                except KeyError as exc:
+                    raise ValueError(
+                        f"equality delete field id {exc} not in current "
+                        "schema") from None
+                dels = (spark.read.parquet(*epaths)
+                        .select(*cols).dropDuplicates())
+                cond = None
+                for c in cols:
+                    e_ = df[c].eqNullSafe(dels[c])
+                    cond = e_ if cond is None else (cond & e_)
+                df = df.join(F.broadcast(dels), cond, "left_anti")
+        parts.append(df)
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def read_iceberg(spark: SparkSession, table_path: str,
                  snapshot_id: Optional[int] = None,
                  filters: Sequence[Tuple[str, str, Any]] = ()
@@ -447,11 +607,19 @@ def read_iceberg(spark: SparkSession, table_path: str,
     """Scan an Iceberg table (optionally time-travelled to ``snapshot_id``)
     into a DataFrame. ``filters`` — (column, op, value) with op in
     ``= < <= > >= in`` — prune manifests and files, then are RE-APPLIED to
-    the DataFrame so results are exact regardless of pruning coverage."""
-    meta, paths = plan_scan(table_path, snapshot_id, filters)
+    the DataFrame so results are exact regardless of pruning coverage.
+    Merge-on-read tables (v2 positional/equality delete files) are applied
+    via broadcast anti-joins — see :func:`_apply_mor_deletes`."""
+    meta, data_entries, delete_entries = plan_scan_with_deletes(
+        table_path, snapshot_id, filters)
     st = schema_struct(meta)
+    paths = [e["data_file"]["file_path"] for e in data_entries]
     if not paths:
         df = spark.createDataFrame([], st)
+    elif delete_entries:
+        df = _apply_mor_deletes(spark, meta, st, data_entries,
+                                delete_entries, meta.get("location", ""),
+                                _strip_scheme(table_path))
     else:
         df = spark.read.schema(st).parquet(*paths)
     for (col, op, val) in filters:

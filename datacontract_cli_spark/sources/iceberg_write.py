@@ -171,6 +171,10 @@ def _manifest_entry_schema(partition_fields: List[Dict[str, Any]]) -> Dict:
              "type": ["null", {"type": "array",
                                "items": dict(_BOUND_KV, name="k_v2")}],
              "default": None},
+            # v2 equality deletes: schema field ids the delete rows match on
+            {"name": "equality_ids",
+             "type": ["null", {"type": "array", "items": "int"}],
+             "default": None},
         ]}
     return {"type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int"},
@@ -315,6 +319,165 @@ def append_iceberg(df: DataFrame, table_path: str,
                     if pf.get("source-id") in fields_by_id]
     return _commit(df, table_path, partition_by, files_per_group,
                    dict(meta.get("properties") or {}), base_meta=meta)
+
+
+def delete_rows_iceberg(spark, table_path: str, predicate: str) -> int:
+    """Merge-on-read DELETE: commit a snapshot of **positional delete
+    files** (Iceberg v2 content=1) marking every current row that matches
+    ``predicate``, without rewriting any data file.
+
+    Spark-first: the matching (file, position) pairs come from the hidden
+    ``_metadata.file_path`` / ``_metadata.row_index`` columns of the very
+    scan being deleted from — one distributed pass, no driver row
+    handling; rows are spec-ordered by (file_path, pos). At production
+    scale this is exactly how Spark's Iceberg DELETE planning works; the
+    delete parquet is a single small file because deletes are a tiny
+    fraction of a 10^12-row table. Reference: datacontract-cli reads MoR
+    tables through pyiceberg's identical delete application."""
+    from datacontract_cli_spark.sources.iceberg_table import (
+        plan_scan,
+        schema_struct,
+    )
+
+    meta, paths = plan_scan(table_path)
+    if not paths:
+        return meta.get("current-snapshot-id") or 0
+    st = schema_struct(meta)
+    matches = (
+        spark.read.schema(st).parquet(*paths)
+        .filter(predicate)
+        .select(
+            F.regexp_replace(F.col("_metadata.file_path"),
+                             "^file:(//)?", "").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"))
+        .orderBy("file_path", "pos"))
+    return _commit_delete_snapshot(table_path, meta, matches, content=1,
+                                   equality_ids=None)
+
+
+def delete_equality_iceberg(spark, table_path: str, keys_df: DataFrame,
+                            equality_cols: Sequence[str]) -> int:
+    """Merge-on-read DELETE by key: commit an **equality delete file**
+    (Iceberg v2 content=2) removing every row whose ``equality_cols``
+    match a row of ``keys_df`` — the streaming-upsert/CDC primitive.
+    Sequence-number semantics per spec: the delete applies only to rows
+    whose data file has a STRICTLY OLDER sequence number, so rows
+    appended after this commit with the same keys survive."""
+    meta = load_table_metadata(table_path)
+    sch = next((s for s in meta.get("schemas", [])
+                if s.get("schema-id") == meta.get("current-schema-id", 0)),
+               None) or {"fields": []}
+    id_by_name = {f["name"]: f["id"] for f in sch["fields"]}
+    missing = [c for c in equality_cols if c not in id_by_name]
+    if missing:
+        raise ValueError(f"equality columns not in table schema: {missing}")
+    rows = keys_df.select(*equality_cols).dropDuplicates() \
+                  .orderBy(*equality_cols)
+    return _commit_delete_snapshot(
+        table_path, meta, rows, content=2,
+        equality_ids=[id_by_name[c] for c in equality_cols])
+
+
+def _commit_delete_snapshot(table_path: str, meta: Dict[str, Any],
+                            rows: DataFrame, content: int,
+                            equality_ids: Optional[List[int]]) -> int:
+    """Write ``rows`` as one parquet delete file and commit a snapshot
+    whose manifest list = prior manifests + one delete manifest
+    (manifest content=1, entry data_file content = 1|2)."""
+    import pyarrow.parquet as pq
+
+    root = _strip_scheme(table_path)
+    meta_dir = os.path.join(root, "metadata")
+    snapshot_id = max((s["snapshot-id"] for s in meta.get("snapshots", [])),
+                      default=0) + 1
+    seq = meta.get("last-sequence-number", 0) + 1
+    version = _current_version(meta_dir) + 1
+
+    del_dir = os.path.join(root, "data", f"deletes-snap-{snapshot_id}")
+    rows.coalesce(1).write.mode("overwrite").parquet(del_dir)
+    files = sorted(os.path.join(del_dir, f) for f in os.listdir(del_dir)
+                   if f.endswith(".parquet"))
+    if not files:
+        raise RuntimeError("delete write produced no parquet file")
+
+    # table partition spec (delete files are committed table-global:
+    # partition values null, reader never prunes delete manifests)
+    spec = (meta.get("partition-specs") or [{"fields": []}])[0]
+    sch = next((s for s in meta.get("schemas", [])
+                if s.get("schema-id") == meta.get("current-schema-id", 0)),
+               None) or {"fields": []}
+    fld_by_id = {f["id"]: f for f in sch["fields"]}
+    part_fields_avro = [
+        {"name": pf["name"], "_type": fld_by_id[pf["source-id"]]["type"]}
+        for pf in spec.get("fields", []) if pf.get("source-id") in fld_by_id]
+    entry_schema = _manifest_entry_schema(part_fields_avro)
+
+    entries, n_rows = [], 0
+    for path in files:
+        n = pq.ParquetFile(path).metadata.num_rows
+        n_rows += n
+        entries.append({
+            "status": 1, "snapshot_id": snapshot_id,
+            "sequence_number": seq, "file_sequence_number": seq,
+            "data_file": {
+                "content": content, "file_path": os.path.abspath(path),
+                "file_format": "PARQUET",
+                "partition": {f["name"]: None for f in part_fields_avro},
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(path),
+                "lower_bounds": None, "upper_bounds": None,
+                "equality_ids": equality_ids,
+            }})
+    manifest_path = os.path.join(
+        meta_dir,
+        f"manifest-{snapshot_id}-"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, 'del' + str(snapshot_id)).hex[:8]}"
+        ".avro")
+    manifest_bytes = write_ocf(manifest_path, entry_schema, entries)
+    new_manifest = {
+        "manifest_path": os.path.abspath(manifest_path),
+        "manifest_length": len(manifest_bytes),
+        "partition_spec_id": 0, "content": 1,
+        "sequence_number": seq, "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(entries), "existing_files_count": 0,
+        "deleted_files_count": 0, "added_rows_count": n_rows,
+        "existing_rows_count": 0, "deleted_rows_count": 0,
+        "partitions": None}
+
+    prior_manifests: List[Dict[str, Any]] = []
+    cur = next((s for s in meta.get("snapshots", [])
+                if s["snapshot-id"] == meta.get("current-snapshot-id")),
+               None)
+    if cur and cur.get("manifest-list"):
+        _, prior_manifests = read_ocf(cur["manifest-list"])
+
+    ml_path = os.path.join(meta_dir, f"snap-{snapshot_id}-manifest-list.avro")
+    write_ocf(ml_path, _MANIFEST_FILE_SCHEMA,
+              prior_manifests + [new_manifest])
+
+    now_ms = int(time.time() * 1000)
+    snapshot = {"snapshot-id": snapshot_id, "sequence-number": seq,
+                "timestamp-ms": now_ms,
+                "manifest-list": os.path.abspath(ml_path),
+                "summary": {"operation": "delete",
+                            "added-delete-files": str(len(entries)),
+                            "added-position-deletes" if content == 1
+                            else "added-equality-deletes": str(n_rows)},
+                "schema-id": meta.get("current-schema-id", 0)}
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["last-updated-ms"] = now_ms
+    new_meta["current-snapshot-id"] = snapshot_id
+    new_meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+    new_meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}]
+    meta_path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    with open(meta_path, "w") as f:
+        json.dump(new_meta, f, indent=2)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return snapshot_id
 
 
 def _commit(df: DataFrame, table_path: str, partition_by: Sequence[str],
