@@ -1317,6 +1317,51 @@ def _q_delta_time_travel(spark, sf):
     )
 
 
+def _q_iceberg_mor(spark, sf):
+    """Iceberg v2 MERGE-ON-READ lifecycle over documents: positional
+    delete (doc_id % 7 == 0), equality delete (lang = 'de'), then an
+    append that re-adds the de docs with doc_id < 50 — which survive
+    both older deletes (sequence-number scoping). The reader applies
+    delete files as broadcast LEFT ANTI joins on
+    (_metadata.file_path, _metadata.row_index) / the equality key; the
+    oracle recomputes the surviving set relationally, so exactness
+    proves delete-file commit, planning, scoping and application."""
+    import os
+
+    from datacontract_cli_spark.sources.iceberg_table import read_iceberg
+    from datacontract_cli_spark.sources.iceberg_write import (
+        append_iceberg,
+        delete_equality_iceberg,
+        delete_rows_iceberg,
+        write_iceberg_table,
+    )
+
+    root = _table_fixture_root(sf, "iceberg_mor")
+    marker = os.path.join(root, "_READY")
+    if not os.path.exists(marker):
+        docs = _t(spark, sf, "documents")
+        write_iceberg_table(docs, root, files_per_group=4)
+        delete_rows_iceberg(spark, root, "doc_id % 7 = 0")
+        delete_equality_iceberg(
+            spark, root,
+            spark.createDataFrame([("de",)], "lang string"), ["lang"])
+        append_iceberg(
+            docs.filter((F.col("lang") == "de") & (F.col("doc_id") < 50)),
+            root)
+        open(marker, "w").close()
+    return (
+        read_iceberg(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate tests only the FIRST 50
     # entries.  Everything that has never been driver-green (or failed last
@@ -1358,6 +1403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_by_event_type": _q_ks_by_event_type,
         "iceberg_scan_documents": _q_iceberg_scan,
         "delta_time_travel": _q_delta_time_travel,
+        "iceberg_merge_on_read": _q_iceberg_mor,
         # --- green in r03 but pushed past the cap in r04
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
@@ -1367,8 +1413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": _q_hash_split,
         # --- core contract-check lanes
         # (missing_count/duplicate_count rotated late-r5 for the iceberg/
-        # delta scans: green r01-r04, predicate/agg lanes untouched r5)
-        "duplicate_count_composite": _q_duplicate_composite,
+        # delta scans; duplicate_count_composite rotated for
+        # iceberg_merge_on_read: green r01-r04, predicate/agg lanes
+        # untouched r5)
         "freshness_retention": _q_freshness_retention,
         "row_filter": _q_row_filter,
         "violation_samples": _q_violation_samples,
@@ -1389,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "missing_count": _q_missing_count,
         "duplicate_count": _q_duplicate_count,
+        "duplicate_count_composite": _q_duplicate_composite,
         # (tpch_q1/topk_parts/json_validation/cosine_topk/embedding_near_dups/
         # simhash_near_dups rotated r5: their code paths are untouched this
         # round — the one dedup.py change was the winnow arrow kernel.
@@ -1450,6 +1498,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
             "min(doc_id) AS min_id, max(doc_id) AS max_id "
             "FROM documents WHERE source = 'web' AND lang = 'en'"
+        ),
+        "iceberg_merge_on_read": (
+            # surviving set after the MoR lifecycle: everything minus the
+            # positional delete (doc_id % 7 = 0) minus the equality
+            # delete (lang = 'de'), plus the later re-append of de docs
+            # with doc_id < 50 which — appended after both deletes —
+            # survives them under sequence-number scoping
+            "WITH live AS ("
+            "  SELECT * FROM documents "
+            "  WHERE doc_id % 7 <> 0 AND lang <> 'de' "
+            "  UNION ALL "
+            "  SELECT * FROM documents WHERE lang = 'de' AND doc_id < 50"
+            ") SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+            "min(doc_id) AS min_id, max(doc_id) AS max_id "
+            "FROM live GROUP BY lang ORDER BY lang"
         ),
         "line_dedup": (
             # derive the same overlapping-window corpus, then keep-first

@@ -45,6 +45,9 @@ ROTATED = {
     # (green r01-r04; the missing/duplicate predicate+agg lanes are
     # untouched this round)
     "missing_count", "duplicate_count",
+    # rotated late-r5 for iceberg_merge_on_read (green r01-r04; the
+    # composite-PK compile/layout lane is untouched this round)
+    "duplicate_count_composite",
 }
 
 
