@@ -18,9 +18,12 @@ Scale notes (10^12-turn table):
   over a thread pool (I/O bound).
 - Partition pruning happens at TWO levels, mirroring Iceberg: manifest
   level via ``partitions`` field summaries (skip whole manifests), then
-  file level via identity/truncate partition values and per-file
+  file level via identity/truncate/bucket partition values and per-file
   column lower/upper bounds (Appendix D single-value serialization).
-  Bucket-transform partitions are never pruned (correct, just unpruned).
+  Bucket pruning uses the spec-exact Murmur3 bucket function
+  (:mod:`datacontract_cli_spark.sources.iceberg_transforms`) so it is
+  correct against tables written by any Iceberg engine; day/hour
+  transforms are never pruned (correct, just unpruned).
 - The data plane is untouched Spark: explicit file list + explicit schema,
   so Catalyst still gets parquet predicate pushdown and column pruning
   inside each file.
@@ -315,19 +318,39 @@ class _Planner:
             return True
         spec = self.specs.get(mf.get("partition_spec_id", 0), [])
         for i, pf in enumerate(spec):
-            if i >= len(summaries) or pf.get("transform") != "identity":
+            if i >= len(summaries):
                 continue
             src = self.fields_by_id.get(pf.get("source-id"))
             if src is None:
                 continue
             col, typ = src["name"], src["type"]
-            lo = decode_bound(typ, summaries[i].get("lower_bound"))
-            hi = decode_bound(typ, summaries[i].get("upper_bound"))
-            for (fcol, op, val) in filters:
-                if fcol == col and not (
-                        summaries[i].get("contains_null") and op == "=") \
-                        and not _range_may_match(lo, hi, op, val):
-                    return False
+            transform = pf.get("transform", "identity")
+            if transform == "identity":
+                lo = decode_bound(typ, summaries[i].get("lower_bound"))
+                hi = decode_bound(typ, summaries[i].get("upper_bound"))
+                for (fcol, op, val) in filters:
+                    if fcol == col and not (
+                            summaries[i].get("contains_null") and op == "=") \
+                            and not _range_may_match(lo, hi, op, val):
+                        return False
+            elif transform.startswith("bucket["):
+                # equality filters prune by the spec bucket of the value
+                # (a null source row can never satisfy = / in, so bucket
+                # bounds alone decide)
+                from datacontract_cli_spark.sources.iceberg_transforms \
+                    import bucket_value
+
+                nb = int(transform[len("bucket["):-1])
+                lo = decode_bound("int", summaries[i].get("lower_bound"))
+                hi = decode_bound("int", summaries[i].get("upper_bound"))
+                for (fcol, op, val) in filters:
+                    if fcol != col or op not in ("=", "in"):
+                        continue
+                    vals = list(val) if op == "in" else [val]
+                    buckets = [bucket_value(v, nb, typ) for v in vals]
+                    if not any(_range_may_match(lo, hi, "=", b)
+                               for b in buckets):
+                        return False
         return True
 
     # -- file-level pruning ----------------------------------------------
@@ -336,19 +359,20 @@ class _Planner:
         df_ = entry["data_file"]
         part = df_.get("partition") or {}
         spec = self.specs.get(spec_id, [])
-        part_cols: Dict[str, Tuple[str, Any]] = {}
+        part_cols: Dict[str, Tuple[str, Any, Any]] = {}
         for pf in spec:
             src = self.fields_by_id.get(pf.get("source-id"))
             if src is None:
                 continue
             part_cols[src["name"]] = (pf.get("transform", "identity"),
-                                      part.get(pf.get("name", src["name"])))
+                                      part.get(pf.get("name", src["name"])),
+                                      src["type"])
         lowers = {b["key"]: b["value"] for b in (df_.get("lower_bounds") or [])}
         uppers = {b["key"]: b["value"] for b in (df_.get("upper_bounds") or [])}
         for (col, op, val) in filters:
             # partition transform pruning
             if col in part_cols:
-                transform, pv = part_cols[col]
+                transform, pv, styp = part_cols[col]
                 if transform == "identity":
                     if not _identity_value_matches(pv, op, val):
                         return False
@@ -356,7 +380,16 @@ class _Planner:
                     w = int(transform[len("truncate["):-1])
                     if pv is not None and _truncate(w, val) != pv:
                         return False
-                # bucket[N]/day/hour/...: no pruning (correct, unpruned)
+                elif transform.startswith("bucket[") and op in ("=", "in"):
+                    from datacontract_cli_spark.sources.iceberg_transforms \
+                        import bucket_value
+
+                    nb = int(transform[len("bucket["):-1])
+                    vals = list(val) if op == "in" else [val]
+                    if pv is not None and all(
+                            bucket_value(v, nb, styp) != pv for v in vals):
+                        return False
+                # day/hour/...: no pruning (correct, unpruned)
             # column-stats pruning
             fid = self.id_by_name.get(col)
             if fid is not None and (fid in lowers or fid in uppers):

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -257,27 +258,102 @@ def _render_part_dir(name: str, value: Any) -> str:
     return f"{name}={value}"
 
 
+# ---------------------------------------------------------------------------
+# partition-spec parsing (identity / bucket[N] / truncate[W])
+# ---------------------------------------------------------------------------
+
+_PART_RE = re.compile(
+    r"^\s*(?:(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
+    r"|identity\s*\(\s*(\w+)\s*\)|(\w+))\s*$")
+
+
+def _parse_partition_spec(partition_by: Sequence[str],
+                          by_name: Dict[str, Dict[str, Any]]) -> List[Dict]:
+    """Parse ``["conv_id", "bucket(8, doc_id)", "truncate(4, lang)"]`` into
+    [{transform, source, name, value_type}] — Iceberg naming convention
+    (identity keeps the column name; bucket/truncate suffix it)."""
+    out = []
+    for spec in partition_by:
+        m = _PART_RE.match(spec)
+        if not m:
+            raise ValueError(f"cannot parse partition spec {spec!r} "
+                             "(use col, identity(col), bucket(N, col), "
+                             "truncate(W, col))")
+        fn, param, col = m.group(1), m.group(2), m.group(3)
+        if col is None:
+            col = m.group(4) or m.group(5)
+        if col not in by_name:
+            raise ValueError(f"partition column {col!r} not in DataFrame")
+        src_type = by_name[col]["type"]
+        if fn == "bucket":
+            out.append({"transform": f"bucket[{param}]", "source": col,
+                        "name": f"{col}_bucket", "value_type": "int",
+                        "src_type": src_type, "param": int(param)})
+        elif fn == "truncate":
+            out.append({"transform": f"truncate[{param}]", "source": col,
+                        "name": f"{col}_trunc", "value_type": src_type,
+                        "src_type": src_type, "param": int(param)})
+        else:
+            out.append({"transform": "identity", "source": col,
+                        "name": col, "value_type": src_type,
+                        "src_type": src_type, "param": None})
+    return out
+
+
+def _partition_expr(p: Dict[str, Any]):
+    """Spark Column computing the partition value of one parsed spec."""
+    from datacontract_cli_spark.sources.iceberg_transforms import (
+        bucket_column,
+    )
+
+    t = p["transform"]
+    if t == "identity":
+        return F.col(p["source"])
+    if t.startswith("bucket["):
+        return bucket_column(p["source"], p["param"], p["src_type"])
+    # truncate[W]
+    w = p["param"]
+    s = str(p["src_type"])
+    if s == "string":
+        return F.substring(F.col(p["source"]), 1, w)
+    if s in ("int", "long"):
+        # spec: v - (((v % W) + W) % W) — floors toward -inf for negatives
+        c = F.col(p["source"])
+        return (c - (((c % w) + w) % w)).cast("long" if s == "long"
+                                              else "int")
+    raise ValueError(f"truncate transform unsupported for type {s!r}")
+
+
 def _write_data_files(df: DataFrame, data_dir: str,
-                      partition_by: Sequence[str],
+                      parts: List[Dict[str, Any]],
                       files_per_group: int) -> List[Tuple[Dict, List[str]]]:
     """[(partition_values, parquet paths)] — full rows in every file
-    (Iceberg keeps partition source columns in the data, unlike Hive)."""
+    (Iceberg keeps partition source columns in the data, unlike Hive).
+    ``parts`` are parsed transform specs; grouping runs on derived
+    transform columns (identity/bucket/truncate) that are dropped before
+    the rows hit parquet."""
     os.makedirs(data_dir, exist_ok=True)
     groups: List[Tuple[Dict, DataFrame, str]] = []
-    if partition_by:
+    if parts:
+        tmp_cols = [f"__part_{i}" for i in range(len(parts))]
+        dfp = df
+        for tmp, p in zip(tmp_cols, parts):
+            dfp = dfp.withColumn(tmp, _partition_expr(p))
         tuples = [r.asDict() for r in
-                  df.select(*partition_by).distinct().collect()]
-        tuples.sort(key=lambda d: tuple(str(d[c]) for c in partition_by))
-        for pv in tuples:
+                  dfp.select(*tmp_cols).distinct().collect()]
+        tuples.sort(key=lambda d: tuple(str(d[c]) for c in tmp_cols))
+        for tv in tuples:
             cond = None
-            for c in partition_by:
-                e = (F.col(c).isNull() if pv[c] is None
-                     else F.col(c) == F.lit(pv[c]))
+            for c in tmp_cols:
+                e = (F.col(c).isNull() if tv[c] is None
+                     else F.col(c) == F.lit(tv[c]))
                 cond = e if cond is None else (cond & e)
-            sub = df.filter(cond)
+            sub = dfp.filter(cond).drop(*tmp_cols)
+            pv = {p["name"]: tv[tmp]
+                  for p, tmp in zip(parts, tmp_cols)}
             subdir = os.path.join(
-                data_dir, *[_render_part_dir(c, pv[c])
-                            for c in partition_by])
+                data_dir, *[_render_part_dir(p["name"], pv[p["name"]])
+                            for p in parts])
             groups.append((pv, sub, subdir))
     else:
         groups.append(({}, df, data_dir))
@@ -314,9 +390,21 @@ def append_iceberg(df: DataFrame, table_path: str,
     for s in meta.get("schemas", []):
         if s.get("schema-id") == meta.get("current-schema-id", 0):
             fields_by_id = {f["id"]: f for f in s["fields"]}
-    partition_by = [fields_by_id[pf["source-id"]]["name"]
-                    for pf in spec.get("fields", [])
-                    if pf.get("source-id") in fields_by_id]
+    partition_by = []
+    for pf in spec.get("fields", []):
+        if pf.get("source-id") not in fields_by_id:
+            continue
+        src = fields_by_id[pf["source-id"]]["name"]
+        t = pf.get("transform", "identity")
+        if t == "identity":
+            partition_by.append(src)
+        elif t.startswith("bucket["):
+            partition_by.append(f"bucket({t[len('bucket['):-1]}, {src})")
+        elif t.startswith("truncate["):
+            partition_by.append(f"truncate({t[len('truncate['):-1]}, {src})")
+        else:
+            raise NotImplementedError(
+                f"append into a table partitioned by {t!r}")
     return _commit(df, table_path, partition_by, files_per_group,
                    dict(meta.get("properties") or {}), base_meta=meta)
 
@@ -490,16 +578,14 @@ def _commit(df: DataFrame, table_path: str, partition_by: Sequence[str],
     schema_json, last_col_id = _iceberg_schema_json(df)
     fields = schema_json["fields"]
     by_name = {f["name"]: f for f in fields}
-    part_fields_meta = []
-    for i, c in enumerate(partition_by):
-        if c not in by_name:
-            raise ValueError(f"partition column {c!r} not in DataFrame")
-        part_fields_meta.append(
-            {"name": c, "transform": "identity",
-             "source-id": by_name[c]["id"],
-             "field-id": _PARTITION_FIELD_ID_START + i})
-    part_fields_avro = [{"name": c, "_type": by_name[c]["type"]}
-                        for c in partition_by]
+    parts = _parse_partition_spec(partition_by, by_name)
+    part_fields_meta = [
+        {"name": p["name"], "transform": p["transform"],
+         "source-id": by_name[p["source"]]["id"],
+         "field-id": _PARTITION_FIELD_ID_START + i}
+        for i, p in enumerate(parts)]
+    part_fields_avro = [{"name": p["name"], "_type": p["value_type"]}
+                        for p in parts]
 
     if base_meta is not None:
         snapshot_id = max((s["snapshot-id"]
@@ -514,7 +600,7 @@ def _commit(df: DataFrame, table_path: str, partition_by: Sequence[str],
     data_dir = os.path.join(root, "data",
                             f"snap-{snapshot_id}") if base_meta is not None \
         else os.path.join(root, "data")
-    written = _write_data_files(df, data_dir, partition_by, files_per_group)
+    written = _write_data_files(df, data_dir, parts, files_per_group)
     entry_schema = _manifest_entry_schema(part_fields_avro)
     entries = []
     added_rows = 0
@@ -528,7 +614,8 @@ def _commit(df: DataFrame, table_path: str, partition_by: Sequence[str],
                 "data_file": {
                     "content": 0, "file_path": os.path.abspath(path),
                     "file_format": "PARQUET",
-                    "partition": {c: pv.get(c) for c in partition_by},
+                    "partition": {p["name"]: pv.get(p["name"])
+                                  for p in parts},
                     "record_count": n, "file_size_in_bytes": size,
                     "lower_bounds": lowers or None,
                     "upper_bounds": uppers or None,
