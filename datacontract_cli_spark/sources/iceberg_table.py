@@ -22,8 +22,11 @@ Scale notes (10^12-turn table):
   column lower/upper bounds (Appendix D single-value serialization).
   Bucket pruning uses the spec-exact Murmur3 bucket function
   (:mod:`datacontract_cli_spark.sources.iceberg_transforms`) so it is
-  correct against tables written by any Iceberg engine; day/hour
-  transforms are never pruned (correct, just unpruned).
+  correct against tables written by any Iceberg engine; the monotonic
+  transforms (truncate and year/month/day/hour) additionally prune RANGE
+  predicates — ``ts >= X`` keeps only partitions with
+  ``day(partition) >= day(X)`` — which is the access pattern that makes
+  ``day(ts)`` the canonical layout for time-ordered transcript tables.
 - The data plane is untouched Spark: explicit file list + explicit schema,
   so Catalyst still gets parquet predicate pushdown and column pruning
   inside each file.
@@ -285,11 +288,39 @@ def _identity_value_matches(part_value: Any, op: str, value: Any) -> bool:
 
 
 def _truncate(w: int, value: Any) -> Any:
+    if isinstance(value, bool):
+        return None  # not a truncatable type
     if isinstance(value, str):
         return value[:w]
     if isinstance(value, int):
         return value - (value % w)
-    return value
+    return None  # decimal/other: no pruning (correct, unpruned)
+
+
+def _monotonic_value_matches(pv: Any, op: str, tvals: List[Any]) -> bool:
+    """Can a row in partition ``pv`` satisfy (x op val), where ``tvals``
+    are the TRANSFORMED filter values of a monotonic (non-decreasing)
+    transform (truncate / year / month / day / hour)? Monotonicity gives:
+    x < val ⇒ t(x) <= t(val) and x > val ⇒ t(x) >= t(val), so range
+    predicates prune by comparing partition values directly."""
+    if pv is None or not tvals or any(t is None for t in tvals):
+        return True  # null partition / untransformable value: keep
+    try:
+        if op == "=":
+            return pv == tvals[0]
+        if op == "in":
+            return pv in tvals
+        if op in ("<", "<="):
+            return pv <= tvals[0]
+        if op in (">", ">="):
+            return pv >= tvals[0]
+    except TypeError:
+        return True
+    return True
+
+
+_RELAXED_OP = {"<": "<=", ">": ">=", "<=": "<=", ">=": ">=",
+               "=": "=", "in": "in"}
 
 
 class _Planner:
@@ -351,6 +382,39 @@ class _Planner:
                     if not any(_range_may_match(lo, hi, "=", b)
                                for b in buckets):
                         return False
+            elif (transform in ("year", "month", "day", "hour")
+                  or transform.startswith("truncate[")):
+                # monotonic transforms: partition-value bounds prune range
+                # predicates too, with < / > relaxed to <= / >= (x < val
+                # only implies t(x) <= t(val))
+                if transform.startswith("truncate["):
+                    w = int(transform[len("truncate["):-1])
+                    tx = lambda v: _truncate(w, v)  # noqa: E731
+                    btyp = typ
+                else:
+                    from datacontract_cli_spark.sources \
+                        .iceberg_transforms import temporal_value
+                    tx = lambda v: temporal_value(v, transform, typ)  # noqa: E731,B023
+                    btyp = "int"
+                lo = decode_bound(btyp, summaries[i].get("lower_bound"))
+                hi = decode_bound(btyp, summaries[i].get("upper_bound"))
+                for (fcol, op, val) in filters:
+                    if fcol != col:
+                        continue
+                    vals = list(val) if op == "in" else [val]
+                    try:
+                        tvals = [tx(v) for v in vals]
+                    except ValueError:
+                        continue
+                    if any(t is None for t in tvals):
+                        continue
+                    rop = _RELAXED_OP[op]
+                    if rop == "in":
+                        if not any(_range_may_match(lo, hi, "=", t)
+                                   for t in tvals):
+                            return False
+                    elif not _range_may_match(lo, hi, rop, tvals[0]):
+                        return False
         return True
 
     # -- file-level pruning ----------------------------------------------
@@ -376,9 +440,24 @@ class _Planner:
                 if transform == "identity":
                     if not _identity_value_matches(pv, op, val):
                         return False
-                elif transform.startswith("truncate[") and op == "=":
+                elif transform.startswith("truncate["):
+                    # truncate is monotonic: range ops prune too
                     w = int(transform[len("truncate["):-1])
-                    if pv is not None and _truncate(w, val) != pv:
+                    vals = list(val) if op == "in" else [val]
+                    if not _monotonic_value_matches(
+                            pv, op, [_truncate(w, v) for v in vals]):
+                        return False
+                elif transform in ("year", "month", "day", "hour"):
+                    from datacontract_cli_spark.sources.iceberg_transforms \
+                        import temporal_value
+
+                    vals = list(val) if op == "in" else [val]
+                    try:
+                        tvals = [temporal_value(v, transform, styp)
+                                 for v in vals]
+                    except ValueError:
+                        tvals = []  # untransformable filter value: keep
+                    if not _monotonic_value_matches(pv, op, tvals):
                         return False
                 elif transform.startswith("bucket[") and op in ("=", "in"):
                     from datacontract_cli_spark.sources.iceberg_transforms \
@@ -389,7 +468,6 @@ class _Planner:
                     if pv is not None and all(
                             bucket_value(v, nb, styp) != pv for v in vals):
                         return False
-                # day/hour/...: no pruning (correct, unpruned)
             # column-stats pruning
             fid = self.id_by_name.get(col)
             if fid is not None and (fid in lowers or fid in uppers):

@@ -1,4 +1,5 @@
-"""Iceberg partition transforms: spec-exact ``bucket[N]`` hashing.
+"""Iceberg partition transforms: spec-exact ``bucket[N]`` hashing and
+``year``/``month``/``day``/``hour`` temporal transforms.
 
 Iceberg buckets with the 32-bit x86 Murmur3 hash (seed 0) over a
 canonical byte form — int/long/date/time/timestamp[tz] as the 8-byte
@@ -116,6 +117,159 @@ def bucket_value(value: Any, n: int, type_str: str) -> Optional[int]:
     else:
         raise ValueError(f"bucket transform unsupported for type {s!r}")
     return (murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+# ---------------------------------------------------------------------------
+# temporal transforms (Iceberg spec "Partition Transforms"): year/month/day
+# of a date or timestamp[tz], hour of a timestamp[tz]. All are ordinal
+# offsets from 1970 (years / months / days / hours since epoch), FLOORED —
+# values before 1970 get negative ordinals (1969-12-31T23:59:58Z is day -1,
+# hour -1, month -1, year -1). Floor (not truncate-toward-zero) is what
+# makes the transforms monotonic, and monotonicity is what lets range
+# predicates on the source column prune partition values exactly.
+# ---------------------------------------------------------------------------
+
+_MICROS_PER_HOUR = 3_600_000_000
+_MICROS_PER_DAY = 86_400_000_000
+
+TEMPORAL_UNITS = ("year", "month", "day", "hour")
+
+
+def _value_micros(value: Any) -> int:
+    """Microseconds since epoch of a filter/row value for a timestamp[tz]
+    source: accepts datetime (naive = UTC, matching the writer's stats
+    canonicalization), ISO-8601 string, or a raw micros int."""
+    import datetime as _dt
+
+    if isinstance(value, bool):
+        raise ValueError("boolean is not a timestamp value")
+    if isinstance(value, int):
+        return value
+    if isinstance(value, str):
+        value = _dt.datetime.fromisoformat(value)
+    if isinstance(value, _dt.datetime):
+        if value.tzinfo is None:
+            value = value.replace(tzinfo=_dt.timezone.utc)
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        return (value - epoch) // _dt.timedelta(microseconds=1)
+    if isinstance(value, _dt.date):
+        return (value - _dt.date(1970, 1, 1)).days * _MICROS_PER_DAY
+    raise ValueError(f"cannot interpret {value!r} as a timestamp")
+
+
+def _value_days(value: Any) -> int:
+    """Days since epoch of a filter/row value for a date source."""
+    import datetime as _dt
+
+    if isinstance(value, bool):
+        raise ValueError("boolean is not a date value")
+    if isinstance(value, int):
+        return value
+    if isinstance(value, str):
+        value = _dt.date.fromisoformat(value)
+    if isinstance(value, _dt.datetime):
+        value = value.date()
+    if isinstance(value, _dt.date):
+        return (value - _dt.date(1970, 1, 1)).days
+    raise ValueError(f"cannot interpret {value!r} as a date")
+
+
+def temporal_value(value: Any, unit: str, type_str: str) -> Optional[int]:
+    """Spec temporal transform of one value (None stays None). ``unit`` is
+    year|month|day|hour; ``type_str`` the Iceberg source type. Spec
+    examples: day(2017-11-16) = 17486, month = 574, year = 47,
+    hour(2017-11-16T22:31:08) = 419686 (17486*24 + 22)."""
+    import datetime as _dt
+
+    if value is None:
+        return None
+    s = str(type_str)
+    if s == "date":
+        if unit == "hour":
+            raise ValueError("hour transform is invalid for date columns "
+                             "(Iceberg spec)")
+        days = _value_days(value)
+    elif s in ("timestamp", "timestamptz"):
+        us = _value_micros(value)
+        if unit == "hour":
+            return us // _MICROS_PER_HOUR  # Python floordiv floors
+        days = us // _MICROS_PER_DAY
+    else:
+        raise ValueError(f"temporal transform unsupported for type {s!r}")
+    if unit == "day":
+        return days
+    d = _dt.date(1970, 1, 1) + _dt.timedelta(days=days)
+    if unit == "year":
+        return d.year - 1970
+    if unit == "month":
+        return (d.year - 1970) * 12 + d.month - 1
+    raise ValueError(f"unknown temporal unit {unit!r}")
+
+
+def temporal_column(col_name: str, unit: str, type_str: str):
+    """Spark Column computing the spec temporal transform of ``col_name``
+    — pure JVM Column math (codegen'd, no Python workers):
+
+    - timestamptz (TimestampType, an instant): exact long arithmetic over
+      ``unix_micros`` — ``pmod``-floored integer division, so the result is
+      independent of the session time zone AND exact for the full long
+      range (no double rounding at partition boundaries).
+    - timestamp (TimestampNTZType) / date: Spark's calendar functions on
+      NTZ/date values are time-zone-free, so ``to_date``/``year``/``month``
+      /``hour`` apply directly.
+    """
+    from pyspark.sql import functions as F
+
+    s = str(type_str)
+    c = F.col(col_name)
+    epoch_date = F.lit("1970-01-01").cast("date")
+
+    def _floordiv(d: int):
+        # floor(unix_micros / d) in exact long arithmetic: subtracting
+        # pmod makes the numerator an exact multiple of d, and SQL `div`
+        # is long integer division — no double rounding at partition
+        # boundaries anywhere in the long range.
+        um = f"unix_micros(`{col_name}`)"
+        return F.expr(
+            f"CAST(({um} - pmod({um}, {d}L)) DIV {d}L AS INT)")
+
+    if s == "timestamptz":
+        if unit == "hour":
+            return _floordiv(_MICROS_PER_HOUR)
+        day = _floordiv(_MICROS_PER_DAY)
+        if unit == "day":
+            return day
+        d = F.date_add(epoch_date, day)
+        if unit == "year":
+            return (F.year(d) - F.lit(1970)).cast("int")
+        if unit == "month":
+            return ((F.year(d) - F.lit(1970)) * F.lit(12)
+                    + F.month(d) - F.lit(1)).cast("int")
+    elif s == "timestamp":
+        d = F.to_date(c)
+        day = F.datediff(d, epoch_date)
+        if unit == "hour":
+            return (day * F.lit(24) + F.hour(c)).cast("int")
+        if unit == "day":
+            return day.cast("int")
+        if unit == "year":
+            return (F.year(d) - F.lit(1970)).cast("int")
+        if unit == "month":
+            return ((F.year(d) - F.lit(1970)) * F.lit(12)
+                    + F.month(d) - F.lit(1)).cast("int")
+    elif s == "date":
+        if unit == "hour":
+            raise ValueError("hour transform is invalid for date columns "
+                             "(Iceberg spec)")
+        if unit == "day":
+            return F.datediff(c, epoch_date).cast("int")
+        if unit == "year":
+            return (F.year(c) - F.lit(1970)).cast("int")
+        if unit == "month":
+            return ((F.year(c) - F.lit(1970)) * F.lit(12)
+                    + F.month(c) - F.lit(1)).cast("int")
+    raise ValueError(
+        f"temporal transform {unit}({col_name}) unsupported for type {s!r}")
 
 
 def bucket_column(col_name: str, n: int, type_str: str):

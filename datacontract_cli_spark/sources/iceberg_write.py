@@ -259,33 +259,56 @@ def _render_part_dir(name: str, value: Any) -> str:
 
 
 # ---------------------------------------------------------------------------
-# partition-spec parsing (identity / bucket[N] / truncate[W])
+# partition-spec parsing
+# (identity / bucket[N] / truncate[W] / year / month / day / hour)
 # ---------------------------------------------------------------------------
 
 _PART_RE = re.compile(
     r"^\s*(?:(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
-    r"|identity\s*\(\s*(\w+)\s*\)|(\w+))\s*$")
+    r"|(year|month|day|hour|identity)\s*\(\s*(\w+)\s*\)|(\w+))\s*$")
+
+# partition value types on the wire: all four temporal transforms are
+# int-encoded (day is logically date-typed in the spec, but a date IS an
+# int of days since epoch in Avro — declaring plain int keeps the
+# partition record round-trip exact)
+_TEMPORAL_VALUE_TYPE = {"year": "int", "month": "int",
+                        "day": "int", "hour": "int"}
 
 
 def _parse_partition_spec(partition_by: Sequence[str],
                           by_name: Dict[str, Dict[str, Any]]) -> List[Dict]:
-    """Parse ``["conv_id", "bucket(8, doc_id)", "truncate(4, lang)"]`` into
-    [{transform, source, name, value_type}] — Iceberg naming convention
-    (identity keeps the column name; bucket/truncate suffix it)."""
+    """Parse ``["conv_id", "bucket(8, doc_id)", "truncate(4, lang)",
+    "day(ts)"]`` into [{transform, source, name, value_type}] — Iceberg
+    naming convention (identity keeps the column name; everything else
+    suffixes it with the transform)."""
     out = []
     for spec in partition_by:
         m = _PART_RE.match(spec)
         if not m:
             raise ValueError(f"cannot parse partition spec {spec!r} "
                              "(use col, identity(col), bucket(N, col), "
-                             "truncate(W, col))")
+                             "truncate(W, col), year|month|day|hour(col))")
         fn, param, col = m.group(1), m.group(2), m.group(3)
+        if fn is None and m.group(4):
+            fn = m.group(4) if m.group(4) != "identity" else None
+            col = m.group(5)
         if col is None:
-            col = m.group(4) or m.group(5)
+            col = m.group(5) or m.group(6)
         if col not in by_name:
             raise ValueError(f"partition column {col!r} not in DataFrame")
         src_type = by_name[col]["type"]
-        if fn == "bucket":
+        if fn in ("year", "month", "day", "hour"):
+            from datacontract_cli_spark.sources.iceberg_transforms import (
+                temporal_value,
+            )
+            # validate unit/type compatibility up front (raises for e.g.
+            # hour(date) or day(string))
+            temporal_value(0, fn, src_type)
+            out.append({"transform": fn, "source": col,
+                        "name": f"{col}_{fn}",
+                        "value_type": _TEMPORAL_VALUE_TYPE[fn],
+                        "src_type": src_type, "param": None})
+        elif fn == "bucket":
             out.append({"transform": f"bucket[{param}]", "source": col,
                         "name": f"{col}_bucket", "value_type": "int",
                         "src_type": src_type, "param": int(param)})
@@ -304,11 +327,14 @@ def _partition_expr(p: Dict[str, Any]):
     """Spark Column computing the partition value of one parsed spec."""
     from datacontract_cli_spark.sources.iceberg_transforms import (
         bucket_column,
+        temporal_column,
     )
 
     t = p["transform"]
     if t == "identity":
         return F.col(p["source"])
+    if t in ("year", "month", "day", "hour"):
+        return temporal_column(p["source"], t, p["src_type"])
     if t.startswith("bucket["):
         return bucket_column(p["source"], p["param"], p["src_type"])
     # truncate[W]
@@ -402,6 +428,8 @@ def append_iceberg(df: DataFrame, table_path: str,
             partition_by.append(f"bucket({t[len('bucket['):-1]}, {src})")
         elif t.startswith("truncate["):
             partition_by.append(f"truncate({t[len('truncate['):-1]}, {src})")
+        elif t in ("year", "month", "day", "hour"):
+            partition_by.append(f"{t}({src})")
         else:
             raise NotImplementedError(
                 f"append into a table partitioned by {t!r}")
