@@ -406,11 +406,9 @@ def write_iceberg_table(df: DataFrame, table_path: str,
                    properties or {}, base_meta=None)
 
 
-def append_iceberg(df: DataFrame, table_path: str,
-                   files_per_group: int = 1) -> int:
-    """Append ``df`` as a new snapshot (previous snapshots stay readable
-    via time travel). Partitioning follows the table's existing spec."""
-    meta = load_table_metadata(table_path)
+def _spec_to_partition_by(meta: Dict[str, Any]) -> List[str]:
+    """Render a table's partition spec back into the writer's
+    ``partition_by`` strings (so appends follow the existing layout)."""
     spec = (meta.get("partition-specs") or [{"fields": []}])[0]
     fields_by_id = {}
     for s in meta.get("schemas", []):
@@ -432,9 +430,62 @@ def append_iceberg(df: DataFrame, table_path: str,
             partition_by.append(f"{t}({src})")
         else:
             raise NotImplementedError(
-                f"append into a table partitioned by {t!r}")
-    return _commit(df, table_path, partition_by, files_per_group,
-                   dict(meta.get("properties") or {}), base_meta=meta)
+                f"write into a table partitioned by {t!r}")
+    return partition_by
+
+
+def append_iceberg(df: DataFrame, table_path: str,
+                   files_per_group: int = 1) -> int:
+    """Append ``df`` as a new snapshot (previous snapshots stay readable
+    via time travel). Partitioning follows the table's existing spec."""
+    meta = load_table_metadata(table_path)
+    return _commit(df, table_path, _spec_to_partition_by(meta),
+                   files_per_group, dict(meta.get("properties") or {}),
+                   base_meta=meta)
+
+
+def upsert_iceberg(df: DataFrame, table_path: str,
+                   key_cols: Sequence[str],
+                   files_per_group: int = 1) -> int:
+    """MERGE-style upsert in ONE snapshot: rows of ``df`` replace current
+    rows with matching ``key_cols``; unmatched keys are inserts.
+
+    The commit carries two manifests at the SAME sequence number — an
+    equality-delete manifest (content=2 on ``key_cols``) and the new data
+    manifest. Spec sequence-number scoping does the merge: equality
+    deletes apply only to data files with a STRICTLY OLDER sequence
+    number, so the new rows survive their own delete and every older row
+    with a matching key drops. This is exactly how Iceberg's
+    merge-on-read MERGE INTO commits, and it is atomic — a reader sees
+    either the old snapshot or the fully-merged one, never the
+    deleted-but-not-yet-inserted state that a delete+append pair exposes.
+
+    At 10^12-row scale this writes only ``df``-sized data plus one tiny
+    key file — no data-file rewrite, no table scan (the delete file is
+    pure keys; matching happens lazily at read time via the broadcast
+    anti-join in the scan's merge-on-read application)."""
+    meta = load_table_metadata(table_path)
+    sch = next((s for s in meta.get("schemas", [])
+                if s.get("schema-id") == meta.get("current-schema-id", 0)),
+               None) or {"fields": []}
+    id_by_name = {f["name"]: f["id"] for f in sch["fields"]}
+    missing = [c for c in key_cols if c not in id_by_name]
+    if missing:
+        raise ValueError(f"upsert key columns not in table schema: "
+                         f"{missing}")
+    # same ids _commit will derive — the delete manifest must share them
+    snapshot_id = max((s["snapshot-id"] for s in meta.get("snapshots", [])),
+                      default=0) + 1
+    seq = meta.get("last-sequence-number", 0) + 1
+    keys = df.select(*key_cols).dropDuplicates().orderBy(*key_cols)
+    delete_manifest, _ = _build_delete_manifest(
+        table_path, meta, keys, content=2,
+        equality_ids=[id_by_name[c] for c in key_cols],
+        snapshot_id=snapshot_id, seq=seq)
+    return _commit(df, table_path, _spec_to_partition_by(meta),
+                   files_per_group, dict(meta.get("properties") or {}),
+                   base_meta=meta, extra_manifests=[delete_manifest],
+                   operation="overwrite")
 
 
 def delete_rows_iceberg(spark, table_path: str, predicate: str) -> int:
@@ -494,21 +545,19 @@ def delete_equality_iceberg(spark, table_path: str, keys_df: DataFrame,
         equality_ids=[id_by_name[c] for c in equality_cols])
 
 
-def _commit_delete_snapshot(table_path: str, meta: Dict[str, Any],
-                            rows: DataFrame, content: int,
-                            equality_ids: Optional[List[int]]) -> int:
-    """Write ``rows`` as one parquet delete file and commit a snapshot
-    whose manifest list = prior manifests + one delete manifest
-    (manifest content=1, entry data_file content = 1|2)."""
+def _build_delete_manifest(table_path: str, meta: Dict[str, Any],
+                           rows: DataFrame, content: int,
+                           equality_ids: Optional[List[int]],
+                           snapshot_id: int, seq: int
+                           ) -> Tuple[Dict[str, Any], int]:
+    """Write ``rows`` as one parquet delete file plus its manifest
+    (manifest content=1, entry data_file content = 1|2). Returns
+    ``(manifest_file_record, deleted_row_count)`` for inclusion in a
+    snapshot's manifest list."""
     import pyarrow.parquet as pq
 
     root = _strip_scheme(table_path)
     meta_dir = os.path.join(root, "metadata")
-    snapshot_id = max((s["snapshot-id"] for s in meta.get("snapshots", [])),
-                      default=0) + 1
-    seq = meta.get("last-sequence-number", 0) + 1
-    version = _current_version(meta_dir) + 1
-
     del_dir = os.path.join(root, "data", f"deletes-snap-{snapshot_id}")
     rows.coalesce(1).write.mode("overwrite").parquet(del_dir)
     files = sorted(os.path.join(del_dir, f) for f in os.listdir(del_dir)
@@ -560,6 +609,22 @@ def _commit_delete_snapshot(table_path: str, meta: Dict[str, Any],
         "deleted_files_count": 0, "added_rows_count": n_rows,
         "existing_rows_count": 0, "deleted_rows_count": 0,
         "partitions": None}
+    return new_manifest, n_rows
+
+
+def _commit_delete_snapshot(table_path: str, meta: Dict[str, Any],
+                            rows: DataFrame, content: int,
+                            equality_ids: Optional[List[int]]) -> int:
+    """Commit a delete-only snapshot: manifest list = prior manifests +
+    one delete manifest."""
+    root = _strip_scheme(table_path)
+    meta_dir = os.path.join(root, "metadata")
+    snapshot_id = max((s["snapshot-id"] for s in meta.get("snapshots", [])),
+                      default=0) + 1
+    seq = meta.get("last-sequence-number", 0) + 1
+    version = _current_version(meta_dir) + 1
+    new_manifest, n_rows = _build_delete_manifest(
+        table_path, meta, rows, content, equality_ids, snapshot_id, seq)
 
     prior_manifests: List[Dict[str, Any]] = []
     cur = next((s for s in meta.get("snapshots", [])
@@ -577,7 +642,7 @@ def _commit_delete_snapshot(table_path: str, meta: Dict[str, Any],
                 "timestamp-ms": now_ms,
                 "manifest-list": os.path.abspath(ml_path),
                 "summary": {"operation": "delete",
-                            "added-delete-files": str(len(entries)),
+                            "added-delete-files": "1",
                             "added-position-deletes" if content == 1
                             else "added-equality-deletes": str(n_rows)},
                 "schema-id": meta.get("current-schema-id", 0)}
@@ -598,7 +663,9 @@ def _commit_delete_snapshot(table_path: str, meta: Dict[str, Any],
 
 def _commit(df: DataFrame, table_path: str, partition_by: Sequence[str],
             files_per_group: int, properties: Dict[str, str],
-            base_meta: Optional[Dict[str, Any]]) -> int:
+            base_meta: Optional[Dict[str, Any]],
+            extra_manifests: Optional[List[Dict[str, Any]]] = None,
+            operation: str = "append") -> int:
     root = _strip_scheme(table_path)
     meta_dir = os.path.join(root, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -689,14 +756,14 @@ def _commit(df: DataFrame, table_path: str, partition_by: Sequence[str],
 
     ml_path = os.path.join(meta_dir, f"snap-{snapshot_id}-manifest-list.avro")
     write_ocf(ml_path, _MANIFEST_FILE_SCHEMA,
-              prior_manifests + [new_manifest])
+              prior_manifests + list(extra_manifests or []) + [new_manifest])
 
     # -- metadata json ---------------------------------------------------
     now_ms = int(time.time() * 1000)
     snapshot = {"snapshot-id": snapshot_id, "sequence-number": seq,
                 "timestamp-ms": now_ms,
                 "manifest-list": os.path.abspath(ml_path),
-                "summary": {"operation": "append",
+                "summary": {"operation": operation,
                             "added-records": str(added_rows)},
                 "schema-id": 0}
     snapshots = (base_meta.get("snapshots", []) if base_meta else []) \

@@ -21,6 +21,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from datacontract_cli_spark.sources.iceberg_table import (
+    load_table_metadata,
     plan_scan,
     plan_scan_with_deletes,
     read_iceberg,
@@ -203,3 +204,102 @@ def test_multi_column_equality_delete(spark, tmp_path):
     got = read_iceberg(spark, root)
     assert got.count() == 98
     assert got.filter("doc_id IN (3, 8)").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# upsert (single-snapshot MERGE)
+# ---------------------------------------------------------------------------
+
+def test_upsert_single_snapshot_merge(spark, tmp_path):
+    """One upsert commit = updates + inserts, atomically: matched keys
+    take the new row values, unmatched keys insert, and the snapshot
+    count grows by exactly ONE (not a delete+append pair)."""
+    from datacontract_cli_spark.sources.iceberg_write import upsert_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg_table(_base_df(spark), root, files_per_group=2)
+    n_before = len(load_table_metadata(root)["snapshots"])
+    up = spark.createDataFrame(
+        [(10, 99, "updated-10"), (11, 99, "updated-11"),
+         (9000, 99, "inserted-9000")],
+        "doc_id long, grp int, text string")
+    upsert_iceberg(up, root, key_cols=["doc_id"])
+    meta = load_table_metadata(root)
+    assert len(meta["snapshots"]) == n_before + 1
+    assert meta["snapshots"][-1]["summary"]["operation"] == "overwrite"
+    got = read_iceberg(spark, root)
+    assert got.count() == 601  # 600 - 2 replaced + 2 new + 1 insert
+    by_id = {r.doc_id: r for r in got.filter(
+        "doc_id in (10, 11, 12, 9000)").collect()}
+    assert by_id[10].text == "updated-10" and by_id[10].grp == 99
+    assert by_id[11].text == "updated-11"
+    assert by_id[12].text == "text-12"       # untouched neighbor
+    assert by_id[9000].text == "inserted-9000"
+
+
+def test_upsert_time_travel_sees_pre_merge(spark, tmp_path):
+    from datacontract_cli_spark.sources.iceberg_write import upsert_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg_table(_base_df(spark), root)
+    up = spark.createDataFrame([(0, 7, "changed")],
+                               "doc_id long, grp int, text string")
+    upsert_iceberg(up, root, key_cols=["doc_id"])
+    old = read_iceberg(spark, root, snapshot_id=1)
+    assert old.filter("doc_id = 0").collect()[0].text == "text-0"
+    new = read_iceberg(spark, root)
+    assert new.filter("doc_id = 0").collect()[0].text == "changed"
+
+
+def test_upsert_follows_partition_spec(spark, tmp_path):
+    """Upserted data files land in the table's partition layout, so
+    pruning stays exact after a merge."""
+    from datacontract_cli_spark.sources.iceberg_write import upsert_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg_table(_base_df(spark), root, partition_by=["grp"])
+    up = spark.createDataFrame(
+        [(3, 3, "revised-3"), (7777, 4, "fresh")],
+        "doc_id long, grp int, text string")
+    upsert_iceberg(up, root, key_cols=["doc_id"])
+    _, data_all, _ = plan_scan_with_deletes(root)
+    _, data_g3, _ = plan_scan_with_deletes(root, filters=[("grp", "=", 3)])
+    assert len(data_g3) == 2  # original grp=3 file + upserted grp=3 file
+    assert len(data_all) == 5 + 2
+    got = read_iceberg(spark, root, filters=[("grp", "=", 3)])
+    exp_ids = {i for i in range(600) if i % 5 == 3}
+    rows = {r.doc_id: r.text for r in got.collect()}
+    assert set(rows) == exp_ids
+    assert rows[3] == "revised-3"
+    assert read_iceberg(spark, root).count() == 601
+
+
+def test_upsert_composes_with_prior_deletes(spark, mor_table, tmp_path):
+    """Upsert over the full lifecycle table: prior positional/equality
+    deletes keep applying; the merge only touches its own keys."""
+    import shutil as _sh
+
+    from datacontract_cli_spark.sources.iceberg_write import upsert_iceberg
+
+    root = str(tmp_path / "t")
+    _sh.copytree(mor_table, root)
+    before = _rows(read_iceberg(spark, root))
+    up = spark.createDataFrame(
+        [(2000, 2, "rewritten-2000"), (1, 1, "rewritten-1")],
+        "doc_id long, grp int, text string")
+    upsert_iceberg(up, root, key_cols=["doc_id"])
+    got = {r.doc_id: r.text for r in read_iceberg(spark, root).collect()}
+    assert got[2000] == "rewritten-2000"
+    assert got[1] == "rewritten-1"
+    assert len(got) == len(before)  # both keys existed: pure update
+    # a doc deleted by the old positional delete stays deleted
+    assert 7 not in got and 0 not in got
+
+
+def test_upsert_key_not_in_schema_raises(spark, tmp_path):
+    from datacontract_cli_spark.sources.iceberg_write import upsert_iceberg
+
+    root = str(tmp_path / "t")
+    write_iceberg_table(_base_df(spark), root)
+    with pytest.raises(ValueError, match="not in table schema"):
+        upsert_iceberg(_base_df(spark).limit(1), root, key_cols=["nope"])
