@@ -31,10 +31,14 @@ Scale notes (10^12-turn table):
   so Catalyst still gets parquet predicate pushdown and column pruning
   inside each file.
 
-Row-level deletes (v2 merge-on-read) are detected and rejected with an
-honest ``NotImplementedError`` — copy-on-write tables (what this module's
-writer produces, and what Spark's own Iceberg writer defaults to) never
-carry them.
+Row-level deletes (v2 merge-on-read: positional and equality delete
+files) are applied at read time via broadcast left-anti joins with
+spec-exact sequence-number scoping — see :func:`_apply_mor_deletes`.
+Schema evolution resolves columns by FIELD ID (the Iceberg contract):
+each data file is read with the schema current when it was written, then
+projected to the table's current schema — renames map by id, added
+columns backfill null, drops disappear, int→long / float→double
+promotions cast.
 
 The writer half produces spec-shaped v2 table layouts (deterministic
 snapshot ids / sequence numbers) so contracts, fixtures and the oracle
@@ -174,16 +178,54 @@ def _iceberg_to_spark_type(t: Any) -> T.DataType:
     return prim[s]
 
 
-def schema_struct(meta: Dict[str, Any]) -> T.StructType:
-    sid = meta.get("current-schema-id", 0)
+def _schema_dict(meta: Dict[str, Any],
+                 schema_id: Optional[int] = None) -> Dict[str, Any]:
+    """The schema dict for ``schema_id`` (default: the current schema)."""
+    sid = meta.get("current-schema-id", 0) if schema_id is None \
+        else schema_id
     schemas = meta.get("schemas")
     if schemas:
-        sch = next((s for s in schemas if s.get("schema-id") == sid),
-                   schemas[-1])
-    else:  # v1 inline schema
-        sch = meta["schema"]
+        return next((s for s in schemas if s.get("schema-id") == sid),
+                    schemas[-1])
+    return meta["schema"]  # v1 inline schema
+
+
+def schema_struct(meta: Dict[str, Any],
+                  schema_id: Optional[int] = None) -> T.StructType:
+    sch = _schema_dict(meta, schema_id)
     return _iceberg_to_spark_type(
         {"type": "struct", "fields": sch["fields"]})
+
+
+def _entry_schema_id(meta: Dict[str, Any], entry: Dict[str, Any]) -> int:
+    """The schema id a manifest entry's data file was written under —
+    resolved through the snapshot that added it (Iceberg records
+    ``schema-id`` per snapshot; files never change schema after write)."""
+    sid_by_snap = {s.get("snapshot-id"): s.get("schema-id", 0)
+                   for s in meta.get("snapshots", [])}
+    return sid_by_snap.get(entry.get("snapshot_id"),
+                           meta.get("current-schema-id", 0))
+
+
+def _project_to_schema(df: DataFrame, write_sch: Dict[str, Any],
+                       cur_sch: Dict[str, Any]) -> DataFrame:
+    """Field-id projection from a file's write-time schema to the current
+    schema: same id under a new name → rename; id absent from the file →
+    null backfill; type changed (int→long / float→double promotion) →
+    cast. Pure column expressions — Catalyst still prunes and pushes
+    down into the parquet scan underneath."""
+    by_id = {f["id"]: f for f in write_sch.get("fields", [])}
+    cols = []
+    for f in cur_sch.get("fields", []):
+        cur_t = _iceberg_to_spark_type(f["type"])
+        w = by_id.get(f["id"])
+        if w is None:
+            cols.append(F.lit(None).cast(cur_t).alias(f["name"]))
+        elif w["name"] == f["name"] and w["type"] == f["type"]:
+            cols.append(F.col(w["name"]))
+        else:
+            cols.append(F.col(w["name"]).cast(cur_t).alias(f["name"]))
+    return df.select(*cols)
 
 
 # ---------------------------------------------------------------------------
@@ -472,8 +514,13 @@ class _Planner:
             fid = self.id_by_name.get(col)
             if fid is not None and (fid in lowers or fid in uppers):
                 typ = self.fields_by_id[fid]["type"]
-                lo = decode_bound(typ, lowers.get(fid))
-                hi = decode_bound(typ, uppers.get(fid))
+                try:
+                    lo = decode_bound(typ, lowers.get(fid))
+                    hi = decode_bound(typ, uppers.get(fid))
+                except (struct.error, ValueError):
+                    # bounds written under a pre-promotion type (e.g. a
+                    # 4-byte int bound on a now-long column): keep the file
+                    continue
                 if not _range_may_match(lo, hi, op, val):
                     return False
         return True
@@ -624,7 +671,6 @@ def _rebase_pathcol(df: DataFrame, col: str, location: str,
 
 
 def _apply_mor_deletes(spark: SparkSession, meta: Dict[str, Any],
-                       st: T.StructType,
                        data_entries: List[Dict[str, Any]],
                        delete_entries: List[Dict[str, Any]],
                        location: str, root: str) -> DataFrame:
@@ -649,11 +695,8 @@ def _apply_mor_deletes(spark: SparkSession, meta: Dict[str, Any],
            if e["data_file"].get("content") == CONTENT_POS_DELETES]
     eq = [e for e in delete_entries
           if e["data_file"].get("content") == CONTENT_EQ_DELETES]
-    sid = meta.get("current-schema-id", 0)
-    schemas = meta.get("schemas") or [meta.get("schema", {"fields": []})]
-    sch = next((s for s in schemas if s.get("schema-id") == sid),
-               schemas[-1])
-    name_by_id = {f["id"]: f["name"] for f in sch.get("fields", [])}
+    cur_sch = _schema_dict(meta)
+    cur_sid = meta.get("current-schema-id", 0)
 
     groups: Dict[Tuple, List[str]] = {}
     for e in data_entries:
@@ -662,13 +705,22 @@ def _apply_mor_deletes(spark: SparkSession, meta: Dict[str, Any],
                           if _seq(p) >= dseq))
         ek = tuple(sorted(
             (q["data_file"]["file_path"],
-             tuple(q["data_file"].get("equality_ids") or ()))
+             tuple(q["data_file"].get("equality_ids") or ()),
+             _entry_schema_id(meta, q))
             for q in eq if _seq(q) > dseq))
-        groups.setdefault((pk, ek), []).append(e["data_file"]["file_path"])
+        wsid = _entry_schema_id(meta, e)
+        groups.setdefault((pk, ek, wsid), []).append(
+            e["data_file"]["file_path"])
 
     parts: List[DataFrame] = []
-    for (pk, ek), paths in sorted(groups.items()):
-        df = spark.read.schema(st).parquet(*paths)
+    for (pk, ek, wsid), paths in sorted(groups.items()):
+        write_sch = _schema_dict(meta, wsid)
+        data_name_by_id = {f["id"]: f["name"]
+                           for f in write_sch.get("fields", [])}
+        df = spark.read.schema(
+            _iceberg_to_spark_type(
+                {"type": "struct",
+                 "fields": write_sch["fields"]})).parquet(*paths)
         if pk:
             df = (df
                   .withColumn("__icb_file",
@@ -683,26 +735,37 @@ def _apply_mor_deletes(spark: SparkSession, meta: Dict[str, Any],
                 & (df["__icb_pos"] == dels["pos"]),
                 "left_anti").drop("__icb_file", "__icb_pos")
         if ek:
-            by_ids: Dict[Tuple[int, ...], List[str]] = {}
-            for (path, ids) in ek:
+            by_ids: Dict[Tuple[Tuple[int, ...], int], List[str]] = {}
+            for (path, ids, del_sid) in ek:
                 if not ids:
                     raise NotImplementedError(
                         "equality delete file without equality_ids")
-                by_ids.setdefault(ids, []).append(path)
-            for ids, epaths in sorted(by_ids.items()):
+                by_ids.setdefault((ids, del_sid), []).append(path)
+            for (ids, del_sid), epaths in sorted(by_ids.items()):
+                # join on the DATA side's write-time names; the delete
+                # parquet's columns carry the names current when the
+                # delete committed — field ids reconcile both.
+                del_name_by_id = {
+                    f["id"]: f["name"]
+                    for f in _schema_dict(meta, del_sid).get("fields", [])}
                 try:
-                    cols = [name_by_id[fid] for fid in ids]
+                    cols = [data_name_by_id[fid] for fid in ids]
+                    del_cols = [del_name_by_id[fid] for fid in ids]
                 except KeyError as exc:
                     raise ValueError(
-                        f"equality delete field id {exc} not in current "
-                        "schema") from None
+                        f"equality delete field id {exc} not in the "
+                        "data file's or delete file's schema") from None
                 dels = (spark.read.parquet(*epaths)
-                        .select(*cols).dropDuplicates())
+                        .select(*[F.col(dc).alias(c)
+                                  for dc, c in zip(del_cols, cols)])
+                        .dropDuplicates())
                 cond = None
                 for c in cols:
                     e_ = df[c].eqNullSafe(dels[c])
                     cond = e_ if cond is None else (cond & e_)
                 df = df.join(F.broadcast(dels), cond, "left_anti")
+        if wsid != cur_sid or write_sch is not cur_sch:
+            df = _project_to_schema(df, write_sch, cur_sch)
         parts.append(df)
 
     out = parts[0]
@@ -728,11 +791,28 @@ def read_iceberg(spark: SparkSession, table_path: str,
     if not paths:
         df = spark.createDataFrame([], st)
     elif delete_entries:
-        df = _apply_mor_deletes(spark, meta, st, data_entries,
+        df = _apply_mor_deletes(spark, meta, data_entries,
                                 delete_entries, meta.get("location", ""),
                                 _strip_scheme(table_path))
     else:
-        df = spark.read.schema(st).parquet(*paths)
+        # group files by write-time schema (field-id evolution): each
+        # group is one clean parquet scan projected to the current schema
+        cur_sid = meta.get("current-schema-id", 0)
+        by_sid: Dict[int, List[str]] = {}
+        for e in data_entries:
+            by_sid.setdefault(_entry_schema_id(meta, e), []).append(
+                e["data_file"]["file_path"])
+        parts = []
+        cur_sch = _schema_dict(meta)
+        for wsid, ps in sorted(by_sid.items()):
+            part = spark.read.schema(schema_struct(meta, wsid)).parquet(*ps)
+            if wsid != cur_sid:
+                part = _project_to_schema(part, _schema_dict(meta, wsid),
+                                          cur_sch)
+            parts.append(part)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
     for (col, op, val) in filters:
         c = F.col(col)
         if op == "=":

@@ -488,6 +488,187 @@ def upsert_iceberg(df: DataFrame, table_path: str,
                    operation="overwrite")
 
 
+_ALLOWED_PROMOTIONS = {("int", "long"), ("float", "double")}
+
+
+def evolve_schema_iceberg(table_path: str,
+                          add: Sequence[Tuple[str, str]] = (),
+                          rename: Optional[Dict[str, str]] = None,
+                          drop: Sequence[str] = (),
+                          promote: Optional[Dict[str, str]] = None) -> int:
+    """Metadata-only schema evolution (the Iceberg contract: columns are
+    tracked by FIELD ID, names are labels). ``add`` = (name, iceberg type)
+    pairs appended as optional columns with fresh ids; ``rename`` keeps
+    id+type; ``drop`` removes the field (data files keep the bytes; reads
+    stop projecting them); ``promote`` widens int→long / float→double.
+    Commits a new schema-id + metadata version — NO snapshot, NO data
+    rewrite, O(metadata) regardless of table size. Returns the new
+    schema id. Existing snapshots/files stay readable: the reader maps
+    every data file from its write-time schema by field id
+    (iceberg_table._project_to_schema)."""
+    rename = dict(rename or {})
+    promote = dict(promote or {})
+    drop_set = set(drop)
+    meta = load_table_metadata(table_path)
+    schemas = list(meta.get("schemas") or [meta["schema"]])
+    cur_sid = meta.get("current-schema-id", 0)
+    cur = next((s for s in schemas if s.get("schema-id") == cur_sid),
+               schemas[-1])
+    by_name = {f["name"]: f for f in cur["fields"]}
+    for n in (*rename, *promote, *drop_set):
+        if n not in by_name:
+            raise ValueError(f"column {n!r} not in current schema")
+    part_src_ids = {pf.get("source-id")
+                    for spec in meta.get("partition-specs", [])
+                    for pf in spec.get("fields", [])}
+    for n in drop_set:
+        if by_name[n]["id"] in part_src_ids:
+            raise ValueError(
+                f"cannot drop {n!r}: it is a partition source column")
+    new_fields: List[Dict[str, Any]] = []
+    for f in cur["fields"]:
+        if f["name"] in drop_set:
+            continue
+        g = dict(f)
+        if f["name"] in promote:
+            pair = (str(f["type"]), promote[f["name"]])
+            if pair not in _ALLOWED_PROMOTIONS:
+                raise ValueError(
+                    f"illegal type promotion {pair[0]}→{pair[1]} for "
+                    f"{f['name']!r} (allowed: int→long, float→double)")
+            g["type"] = promote[f["name"]]
+        if f["name"] in rename:
+            g["name"] = rename[f["name"]]
+        new_fields.append(g)
+    last_col = meta.get("last-column-id",
+                        max((f["id"] for s in schemas
+                             for f in s["fields"]), default=0))
+    taken = {f["name"] for f in new_fields}
+    for (name, typ) in add:
+        if name in taken:
+            raise ValueError(f"column {name!r} already exists")
+        taken.add(name)
+        last_col += 1
+        new_fields.append({"id": last_col, "name": name,
+                           "required": False, "type": typ})
+    if len(taken) != len(new_fields):
+        raise ValueError("schema evolution produced duplicate column names")
+    new_sid = max((s.get("schema-id", 0) for s in schemas), default=0) + 1
+    new_meta = dict(meta)
+    new_meta["schemas"] = schemas + [
+        {"type": "struct", "schema-id": new_sid, "fields": new_fields}]
+    new_meta["current-schema-id"] = new_sid
+    new_meta["last-column-id"] = last_col
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    meta_dir = os.path.join(_strip_scheme(table_path), "metadata")
+    version = _current_version(meta_dir) + 1
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"),
+              "w") as f:
+        json.dump(new_meta, f, indent=2)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return new_sid
+
+
+def compact_iceberg(spark, table_path: str,
+                    files_per_group: int = 1) -> int:
+    """Bin-pack compaction (rewrite_data_files + apply pending deletes):
+    read the current table state — merge-on-read delete files applied —
+    and commit it as a REPLACE snapshot whose manifest list references
+    ONLY the rewritten data files. Row-identical to the pre-compaction
+    read (asserted by tests); pending positional/equality deletes are
+    materialized and no longer carried, so post-compaction scans skip the
+    anti-joins entirely. Prior snapshots remain time-travelable — their
+    manifest lists still reference the old files (run expire_snapshots
+    to reclaim). At production scale this is Iceberg's
+    rewriteDataFiles/bin-pack action: the table-sized rewrite is the
+    point (amortizing small files + delete debt into clean scans)."""
+    from datacontract_cli_spark.sources.iceberg_table import read_iceberg
+
+    meta = load_table_metadata(table_path)
+    df = read_iceberg(spark, table_path)
+    return _commit(df, table_path, _spec_to_partition_by(meta),
+                   files_per_group, dict(meta.get("properties") or {}),
+                   base_meta=meta, operation="replace", replace_prior=True)
+
+
+def expire_snapshots(table_path: str, keep_last: int = 1) -> Dict[str, int]:
+    """Expire all but the most recent ``keep_last`` snapshots and delete
+    every file (manifest lists, manifests, data + delete files) no
+    surviving snapshot references — Iceberg's expire_snapshots +
+    remove_orphan_files maintenance pair. Metadata-bound: cost is
+    O(manifests), never a data scan. Returns
+    ``{"expired_snapshots": n, "deleted_files": n, "reclaimed_bytes": n}``."""
+    meta = load_table_metadata(table_path)
+    root = _strip_scheme(table_path)
+    loc = meta.get("location", "")
+    snaps = meta.get("snapshots", [])
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    kept = snaps[-keep_last:]
+    cur_id = meta.get("current-snapshot-id")
+    if cur_id is not None and all(s["snapshot-id"] != cur_id for s in kept):
+        raise ValueError("cannot expire the current snapshot")
+    expired = snaps[:-keep_last]
+    if not expired:
+        return {"expired_snapshots": 0, "deleted_files": 0,
+                "reclaimed_bytes": 0}
+
+    from datacontract_cli_spark.sources.iceberg_table import _rebase
+
+    def _referenced(snapshot: Dict[str, Any]) -> set:
+        refs = set()
+        ml = snapshot.get("manifest-list")
+        if not ml:
+            return refs
+        ml = _rebase(ml, loc, root)
+        refs.add(os.path.abspath(ml))
+        if not os.path.exists(ml):
+            return refs
+        _, manifests = read_ocf(ml)
+        for mf in manifests:
+            mp = _rebase(mf["manifest_path"], loc, root)
+            refs.add(os.path.abspath(mp))
+            if not os.path.exists(mp):
+                continue
+            _, entries = read_ocf(mp)
+            for e in entries:
+                refs.add(os.path.abspath(
+                    _rebase(e["data_file"]["file_path"], loc, root)))
+        return refs
+
+    keep_refs = set()
+    for s in kept:
+        keep_refs |= _referenced(s)
+    drop_refs = set()
+    for s in expired:
+        drop_refs |= _referenced(s)
+
+    deleted = reclaimed = 0
+    for path in sorted(drop_refs - keep_refs):
+        if os.path.exists(path):
+            reclaimed += os.path.getsize(path)
+            os.remove(path)
+            deleted += 1
+
+    kept_ids = {s["snapshot-id"] for s in kept}
+    new_meta = dict(meta)
+    new_meta["snapshots"] = kept
+    new_meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", [])
+        if e.get("snapshot-id") in kept_ids]
+    new_meta["last-updated-ms"] = int(time.time() * 1000)
+    meta_dir = os.path.join(root, "metadata")
+    version = _current_version(meta_dir) + 1
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"),
+              "w") as f:
+        json.dump(new_meta, f, indent=2)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return {"expired_snapshots": len(expired), "deleted_files": deleted,
+            "reclaimed_bytes": reclaimed}
+
+
 def delete_rows_iceberg(spark, table_path: str, predicate: str) -> int:
     """Merge-on-read DELETE: commit a snapshot of **positional delete
     files** (Iceberg v2 content=1) marking every current row that matches
@@ -665,13 +846,41 @@ def _commit(df: DataFrame, table_path: str, partition_by: Sequence[str],
             files_per_group: int, properties: Dict[str, str],
             base_meta: Optional[Dict[str, Any]],
             extra_manifests: Optional[List[Dict[str, Any]]] = None,
-            operation: str = "append") -> int:
+            operation: str = "append",
+            replace_prior: bool = False) -> int:
     root = _strip_scheme(table_path)
     meta_dir = os.path.join(root, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
 
-    schema_json, last_col_id = _iceberg_schema_json(df)
-    fields = schema_json["fields"]
+    if base_meta is not None:
+        # append into an existing table: the table's schema history is
+        # authoritative — data files are stamped with the CURRENT schema
+        # (field-id evolution resolves old files at read time)
+        schemas_list = base_meta.get("schemas") or [base_meta["schema"]]
+        cur_sid = base_meta.get("current-schema-id", 0)
+        active = next((s for s in schemas_list
+                       if s.get("schema-id") == cur_sid), schemas_list[-1])
+        fields = active["fields"]
+        want = {f["name"] for f in fields}
+        have = set(df.columns)
+        if have != want:
+            raise ValueError(
+                f"DataFrame columns {sorted(have)} do not match the "
+                f"table's current schema {sorted(want)}; run "
+                "evolve_schema_iceberg first")
+        from datacontract_cli_spark.sources.iceberg_table import (
+            _iceberg_to_spark_type,
+        )
+        df = df.select(*[
+            F.col(f["name"]).cast(_iceberg_to_spark_type(f["type"]))
+            for f in fields])
+        last_col_id = base_meta.get(
+            "last-column-id", max((f["id"] for f in fields), default=0))
+    else:
+        schema_json, last_col_id = _iceberg_schema_json(df)
+        fields = schema_json["fields"]
+        schemas_list = [schema_json]
+        cur_sid = 0
     by_name = {f["name"]: f for f in fields}
     parts = _parse_partition_spec(partition_by, by_name)
     part_fields_meta = [
@@ -747,7 +956,7 @@ def _commit(df: DataFrame, table_path: str, partition_by: Sequence[str],
         "partitions": summaries}
 
     prior_manifests: List[Dict[str, Any]] = []
-    if base_meta is not None:
+    if base_meta is not None and not replace_prior:
         cur = next((s for s in base_meta.get("snapshots", [])
                     if s["snapshot-id"]
                     == base_meta.get("current-snapshot-id")), None)
@@ -765,9 +974,18 @@ def _commit(df: DataFrame, table_path: str, partition_by: Sequence[str],
                 "manifest-list": os.path.abspath(ml_path),
                 "summary": {"operation": operation,
                             "added-records": str(added_rows)},
-                "schema-id": 0}
+                "schema-id": cur_sid}
     snapshots = (base_meta.get("snapshots", []) if base_meta else []) \
         + [snapshot]
+    if base_meta is not None and base_meta.get("partition-specs"):
+        part_specs = base_meta["partition-specs"]
+        last_part_id = base_meta.get(
+            "last-partition-id", _PARTITION_FIELD_ID_START - 1)
+    else:
+        part_specs = [{"spec-id": 0, "fields": part_fields_meta}]
+        last_part_id = (_PARTITION_FIELD_ID_START + len(part_fields_meta)
+                        - 1) if part_fields_meta \
+            else _PARTITION_FIELD_ID_START - 1
     meta = {
         "format-version": 2,
         "table-uuid": (base_meta or {}).get(
@@ -777,13 +995,11 @@ def _commit(df: DataFrame, table_path: str, partition_by: Sequence[str],
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
         "last-column-id": last_col_id,
-        "current-schema-id": 0,
-        "schemas": [schema_json],
+        "current-schema-id": cur_sid,
+        "schemas": schemas_list,
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": part_fields_meta}],
-        "last-partition-id": (_PARTITION_FIELD_ID_START
-                              + len(part_fields_meta) - 1)
-        if part_fields_meta else _PARTITION_FIELD_ID_START - 1,
+        "partition-specs": part_specs,
+        "last-partition-id": last_part_id,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": properties,
