@@ -1362,6 +1362,76 @@ def _q_iceberg_mor(spark, sf):
     )
 
 
+_QUARANTINE_CONTRACT = """
+apiVersion: v3.0.2
+kind: DataContract
+id: documents-quality-gate
+version: 1.0.0
+name: documents
+schema:
+  - name: documents
+    logicalType: table
+    properties:
+      - name: doc_id
+        logicalType: integer
+      - name: text
+        logicalType: string
+        required: true
+      - name: lang
+        logicalType: string
+        required: true
+        logicalTypeOptions:
+          enum: [en, de, fr]
+      - name: source
+        logicalType: string
+      - name: n_chars
+        logicalType: integer
+        logicalTypeOptions:
+          maximum: 500
+"""
+
+
+def _q_iceberg_quarantine(spark, sf):
+    """Contract-driven quarantine: rows violating the documents contract
+    (lang outside {en,de,fr}, n_chars > 500) are exported to a quarantine
+    parquet and removed from the Iceberg table by ONE positional-delete
+    snapshot. The post-quarantine read must equal the oracle's relational
+    recomputation of the conforming set — proving the violation
+    predicates, the (file, position) attribution, the delete commit and
+    its merge-on-read application all at once."""
+    import os
+
+    from datacontract_cli_spark.model.contract import load_contract_str
+    from datacontract_cli_spark.operators.quarantine import (
+        quarantine_violations,
+    )
+    from datacontract_cli_spark.sources.iceberg_table import read_iceberg
+    from datacontract_cli_spark.sources.iceberg_write import (
+        write_iceberg_table,
+    )
+
+    root = _table_fixture_root(sf, "iceberg_quar")
+    marker = os.path.join(root, "_READY")
+    if not os.path.exists(marker):
+        write_iceberg_table(_t(spark, sf, "documents"), root,
+                            files_per_group=4)
+        quarantine_violations(
+            spark, root, load_contract_str(_QUARANTINE_CONTRACT),
+            "documents")
+        open(marker, "w").close()
+    return (
+        read_iceberg(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate tests only the FIRST 50
     # entries.  Everything that has never been driver-green (or failed last
@@ -1404,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_scan_documents": _q_iceberg_scan,
         "delta_time_travel": _q_delta_time_travel,
         "iceberg_merge_on_read": _q_iceberg_mor,
+        "iceberg_quarantine": _q_iceberg_quarantine,
         # --- green in r03 but pushed past the cap in r04
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
@@ -1414,9 +1485,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- core contract-check lanes
         # (missing_count/duplicate_count rotated late-r5 for the iceberg/
         # delta scans; duplicate_count_composite rotated for
-        # iceberg_merge_on_read: green r01-r04, predicate/agg lanes
+        # iceberg_merge_on_read; freshness_retention rotated for
+        # iceberg_quarantine: all green r01-r04, predicate/agg lanes
         # untouched r5)
-        "freshness_retention": _q_freshness_retention,
         "row_filter": _q_row_filter,
         "violation_samples": _q_violation_samples,
         "percent_failed": _q_percent_failed,
@@ -1437,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "missing_count": _q_missing_count,
         "duplicate_count": _q_duplicate_count,
         "duplicate_count_composite": _q_duplicate_composite,
+        "freshness_retention": _q_freshness_retention,
         # (tpch_q1/topk_parts/json_validation/cosine_topk/embedding_near_dups/
         # simhash_near_dups rotated r5: their code paths are untouched this
         # round — the one dedup.py change was the winnow arrow kernel.
@@ -1498,6 +1570,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
             "min(doc_id) AS min_id, max(doc_id) AS max_id "
             "FROM documents WHERE source = 'web' AND lang = 'en'"
+        ),
+        "iceberg_quarantine": (
+            # the conforming set under the quarantine contract: lang in
+            # the enum (none are null in the fixture data) and
+            # n_chars <= 500 — everything else was positionally deleted
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+            "min(doc_id) AS min_id, max(doc_id) AS max_id "
+            "FROM documents "
+            "WHERE lang IS NOT NULL AND lang IN ('en', 'de', 'fr') "
+            "AND text IS NOT NULL "
+            "AND (n_chars IS NULL OR n_chars <= 500) "
+            "GROUP BY lang ORDER BY lang"
         ),
         "iceberg_merge_on_read": (
             # surviving set after the MoR lifecycle: everything minus the

@@ -208,12 +208,14 @@ def _entry_schema_id(meta: Dict[str, Any], entry: Dict[str, Any]) -> int:
 
 
 def _project_to_schema(df: DataFrame, write_sch: Dict[str, Any],
-                       cur_sch: Dict[str, Any]) -> DataFrame:
+                       cur_sch: Dict[str, Any],
+                       extra_cols: Sequence[str] = ()) -> DataFrame:
     """Field-id projection from a file's write-time schema to the current
     schema: same id under a new name → rename; id absent from the file →
     null backfill; type changed (int→long / float→double promotion) →
     cast. Pure column expressions — Catalyst still prunes and pushes
-    down into the parquet scan underneath."""
+    down into the parquet scan underneath. ``extra_cols`` (e.g. row
+    position helpers) pass through unchanged."""
     by_id = {f["id"]: f for f in write_sch.get("fields", [])}
     cols = []
     for f in cur_sch.get("fields", []):
@@ -225,7 +227,7 @@ def _project_to_schema(df: DataFrame, write_sch: Dict[str, Any],
             cols.append(F.col(w["name"]))
         else:
             cols.append(F.col(w["name"]).cast(cur_t).alias(f["name"]))
-    return df.select(*cols)
+    return df.select(*cols, *[F.col(c) for c in extra_cols])
 
 
 # ---------------------------------------------------------------------------
@@ -673,7 +675,8 @@ def _rebase_pathcol(df: DataFrame, col: str, location: str,
 def _apply_mor_deletes(spark: SparkSession, meta: Dict[str, Any],
                        data_entries: List[Dict[str, Any]],
                        delete_entries: List[Dict[str, Any]],
-                       location: str, root: str) -> DataFrame:
+                       location: str, root: str,
+                       keep_position: bool = False) -> DataFrame:
     """Merge-on-read: scan data files and anti-join away deleted rows.
 
     Spark-first design (scales to 10^12 rows): the data side is never
@@ -721,19 +724,22 @@ def _apply_mor_deletes(spark: SparkSession, meta: Dict[str, Any],
             _iceberg_to_spark_type(
                 {"type": "struct",
                  "fields": write_sch["fields"]})).parquet(*paths)
-        if pk:
+        if pk or keep_position:
             df = (df
                   .withColumn("__icb_file",
                               F.regexp_replace(F.col("_metadata.file_path"),
                                                "^file:(//)?", ""))
                   .withColumn("__icb_pos", F.col("_metadata.row_index")))
+        if pk:
             dels = spark.read.parquet(*pk).select("file_path", "pos")
             dels = _rebase_pathcol(dels, "file_path", location, root)
             df = df.join(
                 F.broadcast(dels),
                 (df["__icb_file"] == dels["file_path"])
                 & (df["__icb_pos"] == dels["pos"]),
-                "left_anti").drop("__icb_file", "__icb_pos")
+                "left_anti")
+            if not keep_position:
+                df = df.drop("__icb_file", "__icb_pos")
         if ek:
             by_ids: Dict[Tuple[Tuple[int, ...], int], List[str]] = {}
             for (path, ids, del_sid) in ek:
@@ -765,7 +771,10 @@ def _apply_mor_deletes(spark: SparkSession, meta: Dict[str, Any],
                     cond = e_ if cond is None else (cond & e_)
                 df = df.join(F.broadcast(dels), cond, "left_anti")
         if wsid != cur_sid or write_sch is not cur_sch:
-            df = _project_to_schema(df, write_sch, cur_sch)
+            df = _project_to_schema(
+                df, write_sch, cur_sch,
+                extra_cols=("__icb_file", "__icb_pos")
+                if keep_position else ())
         parts.append(df)
 
     out = parts[0]
@@ -776,24 +785,32 @@ def _apply_mor_deletes(spark: SparkSession, meta: Dict[str, Any],
 
 def read_iceberg(spark: SparkSession, table_path: str,
                  snapshot_id: Optional[int] = None,
-                 filters: Sequence[Tuple[str, str, Any]] = ()
-                 ) -> DataFrame:
+                 filters: Sequence[Tuple[str, str, Any]] = (),
+                 with_position: bool = False) -> DataFrame:
     """Scan an Iceberg table (optionally time-travelled to ``snapshot_id``)
     into a DataFrame. ``filters`` — (column, op, value) with op in
     ``= < <= > >= in`` — prune manifests and files, then are RE-APPLIED to
     the DataFrame so results are exact regardless of pruning coverage.
     Merge-on-read tables (v2 positional/equality delete files) are applied
-    via broadcast anti-joins — see :func:`_apply_mor_deletes`."""
+    via broadcast anti-joins — see :func:`_apply_mor_deletes`.
+    ``with_position=True`` appends ``__icb_file`` / ``__icb_pos`` columns
+    (the row's data file and ordinal) — the handle row-level DELETE and
+    quarantine commits address rows by."""
     meta, data_entries, delete_entries = plan_scan_with_deletes(
         table_path, snapshot_id, filters)
     st = schema_struct(meta)
+    if with_position:
+        st = T.StructType(list(st.fields) + [
+            T.StructField("__icb_file", T.StringType(), True),
+            T.StructField("__icb_pos", T.LongType(), True)])
     paths = [e["data_file"]["file_path"] for e in data_entries]
     if not paths:
         df = spark.createDataFrame([], st)
     elif delete_entries:
         df = _apply_mor_deletes(spark, meta, data_entries,
                                 delete_entries, meta.get("location", ""),
-                                _strip_scheme(table_path))
+                                _strip_scheme(table_path),
+                                keep_position=with_position)
     else:
         # group files by write-time schema (field-id evolution): each
         # group is one clean parquet scan projected to the current schema
@@ -806,9 +823,18 @@ def read_iceberg(spark: SparkSession, table_path: str,
         cur_sch = _schema_dict(meta)
         for wsid, ps in sorted(by_sid.items()):
             part = spark.read.schema(schema_struct(meta, wsid)).parquet(*ps)
+            if with_position:
+                part = (part
+                        .withColumn("__icb_file", F.regexp_replace(
+                            F.col("_metadata.file_path"),
+                            "^file:(//)?", ""))
+                        .withColumn("__icb_pos",
+                                    F.col("_metadata.row_index")))
             if wsid != cur_sid:
-                part = _project_to_schema(part, _schema_dict(meta, wsid),
-                                          cur_sch)
+                part = _project_to_schema(
+                    part, _schema_dict(meta, wsid), cur_sch,
+                    extra_cols=("__icb_file", "__icb_pos")
+                    if with_position else ())
             parts.append(part)
         df = parts[0]
         for p in parts[1:]:

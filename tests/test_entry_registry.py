@@ -48,6 +48,9 @@ ROTATED = {
     # rotated late-r5 for iceberg_merge_on_read (green r01-r04; the
     # composite-PK compile/layout lane is untouched this round)
     "duplicate_count_composite",
+    # rotated late-r5 for iceberg_quarantine (green r01-r04; the
+    # freshness/retention agg lane is untouched this round)
+    "freshness_retention",
 }
 
 
