@@ -244,6 +244,38 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--report", action="store_true",
                      help="print per-stage row counts as JSON on stderr")
     cur.add_argument("--master", default=None)
+
+    q = sub.add_parser(
+        "quarantine",
+        help="remove contract-violating rows from an Iceberg table: "
+             "violations land in a quarantine parquet and ONE "
+             "positional-delete snapshot hides them (merge-on-read)")
+    q.add_argument("contract")
+    q.add_argument("--table", required=True,
+                   help="Iceberg table directory")
+    q.add_argument("--schema-name", default=None,
+                   help="model to enforce (default: first in the contract)")
+    q.add_argument("--quarantine-path", default=None,
+                   help="where violating rows go "
+                        "(default: <table>/quarantine/)")
+    q.add_argument("--dry-run", action="store_true",
+                   help="report what would be quarantined; commit nothing")
+    q.add_argument("--master", default=None)
+
+    mt = sub.add_parser(
+        "maintain",
+        help="Iceberg table maintenance: bin-pack compaction "
+             "(materializes pending deletes) and snapshot expiry")
+    mt.add_argument("table", help="Iceberg table directory")
+    mt.add_argument("--compact", action="store_true",
+                    help="rewrite data files bin-packed; applies pending "
+                         "merge-on-read delete files")
+    mt.add_argument("--target-files", type=int, default=1,
+                    help="files per partition group after compaction")
+    mt.add_argument("--expire-keep", type=int, default=None,
+                    help="expire all but the newest N snapshots and "
+                         "delete unreferenced files")
+    mt.add_argument("--master", default=None)
     return p
 
 
@@ -425,6 +457,73 @@ def main(argv: list[str] | None = None) -> int:
         if report is not None:
             print(_json.dumps(report.to_rows()), file=sys.stderr)
         print(f"curated corpus written to {args.output}")
+        return 0
+
+    if args.command == "quarantine":
+        import json as _json
+        import os as _os
+
+        from datacontract_cli_spark.operators.quarantine import (
+            quarantine_violations,
+        )
+        from datacontract_cli_spark.session import get_spark
+
+        try:
+            contract = load_contract(args.contract)
+        except (OSError, ValueError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        model = args.schema_name or contract.schema_objects[0].name
+        master = args.master or \
+            f"local[{_os.environ.get('SPARK_GRAFT_CPUS', '4')}]"
+        spark = get_spark("dcspark-quarantine", master=master)
+        try:
+            rep = quarantine_violations(
+                spark, args.table, contract, model,
+                quarantine_path=args.quarantine_path,
+                dry_run=args.dry_run)
+        except Exception as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        print(_json.dumps({
+            "dry_run": args.dry_run,
+            "quarantined_rows": rep.quarantined_rows,
+            "counts_by_check": rep.counts_by_check,
+            "snapshot_id": rep.snapshot_id,
+            "quarantine_path": rep.quarantine_path,
+            "checks_applied": rep.checks_applied,
+        }))
+        return 0
+
+    if args.command == "maintain":
+        import json as _json
+        import os as _os
+
+        from datacontract_cli_spark.sources.iceberg_write import (
+            compact_iceberg,
+            expire_snapshots,
+        )
+
+        if not args.compact and args.expire_keep is None:
+            print("error: nothing to do (pass --compact and/or "
+                  "--expire-keep N)", file=sys.stderr)
+            return 1
+        out = {}
+        try:
+            if args.compact:
+                from datacontract_cli_spark.session import get_spark
+                master = args.master or \
+                    f"local[{_os.environ.get('SPARK_GRAFT_CPUS', '4')}]"
+                spark = get_spark("dcspark-maintain", master=master)
+                out["compacted_snapshot_id"] = compact_iceberg(
+                    spark, args.table, files_per_group=args.target_files)
+            if args.expire_keep is not None:
+                out.update(expire_snapshots(args.table,
+                                            keep_last=args.expire_keep))
+        except Exception as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        print(_json.dumps(out))
         return 0
 
     if args.command == "export":
