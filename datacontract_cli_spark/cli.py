@@ -260,6 +260,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default: <table>/quarantine/)")
     q.add_argument("--dry-run", action="store_true",
                    help="report what would be quarantined; commit nothing")
+    q.add_argument("--group-col", default=None,
+                   help="quarantine whole groups (e.g. conversations by "
+                        "conv_id): one bad row removes the entire group "
+                        "via an equality-delete snapshot")
     q.add_argument("--master", default=None)
 
     mt = sub.add_parser(
@@ -481,13 +485,14 @@ def main(argv: list[str] | None = None) -> int:
             rep = quarantine_violations(
                 spark, args.table, contract, model,
                 quarantine_path=args.quarantine_path,
-                dry_run=args.dry_run)
+                dry_run=args.dry_run, group_col=args.group_col)
         except Exception as e:
             print(f"error: {e}", file=sys.stderr)
             return 1
         print(_json.dumps({
             "dry_run": args.dry_run,
             "quarantined_rows": rep.quarantined_rows,
+            "quarantined_groups": rep.quarantined_groups,
             "counts_by_check": rep.counts_by_check,
             "snapshot_id": rep.snapshot_id,
             "quarantine_path": rep.quarantine_path,

@@ -54,6 +54,7 @@ class QuarantineReport:
     snapshot_id: Optional[int]  # None on dry_run or when nothing matched
     quarantine_path: Optional[str]
     checks_applied: List[str] = dc_field(default_factory=list)
+    quarantined_groups: Optional[int] = None  # set when group_col is used
 
 
 def _row_level_specs(contract: DataContract, model: str) -> List[CheckSpec]:
@@ -105,14 +106,25 @@ def violation_reasons(df: DataFrame, specs: List[CheckSpec]) -> DataFrame:
 def quarantine_violations(spark: SparkSession, table_path: str,
                           contract: DataContract, model: str,
                           quarantine_path: Optional[str] = None,
-                          dry_run: bool = False) -> QuarantineReport:
+                          dry_run: bool = False,
+                          group_col: Optional[str] = None
+                          ) -> QuarantineReport:
     """Quarantine every row of the Iceberg table at ``table_path`` that
     violates a row-scoped check of ``contract``'s ``model``. Violating
     rows land in ``quarantine_path`` (parquet; default
     ``<table>/quarantine/``) with a ``__dc_reasons`` column, then one
     positional-delete snapshot removes them from the live table.
     ``dry_run=True`` writes and commits nothing — it only reports what
-    WOULD be quarantined."""
+    WOULD be quarantined.
+
+    ``group_col`` widens the blast radius to whole groups — the
+    transcript semantics: ONE bad turn disqualifies the ENTIRE
+    conversation from the training set. Every row of a group containing
+    any violation is quarantined (clean rows carry an empty
+    ``__dc_reasons``), and the table commit becomes a single EQUALITY
+    delete file on ``group_col`` (Iceberg v2 content=2) — keys only,
+    tiny regardless of conversation length, applied lazily by the
+    reader's broadcast anti-join."""
     import os
 
     from datacontract_cli_spark.sources.iceberg_table import read_iceberg
@@ -129,8 +141,17 @@ def quarantine_violations(spark: SparkSession, table_path: str,
 
     meta = load_table_metadata(table_path)
     scan = read_iceberg(spark, table_path, with_position=True)
-    bad = (violation_reasons(scan, specs)
-           .filter(F.size("__dc_reasons") > 0))
+    flagged = violation_reasons(scan, specs)
+    bad = flagged.filter(F.size("__dc_reasons") > 0)
+    if group_col is not None:
+        # one bad row taints its whole group: quarantine every row of a
+        # group that contains a violation (the group's clean rows ride
+        # along with empty reasons, keeping the export self-contained)
+        gc = resolve_column(scan, group_col)
+        if gc is None:
+            raise ValueError(f"group column {group_col!r} not in table")
+        bad_keys = bad.select(gc).dropDuplicates()
+        bad = flagged.join(F.broadcast(bad_keys), gc, "left_semi")
 
     batch_dir = None
     if not dry_run:
@@ -156,9 +177,25 @@ def quarantine_violations(spark: SparkSession, table_path: str,
     report.counts_by_check = counts
     report.quarantined_rows = total
     report.quarantine_path = batch_dir
+    if group_col is not None:
+        report.quarantined_groups = (
+            bad.select(resolve_column(bad, group_col) or group_col)
+            .dropDuplicates().count())
     if dry_run or total == 0:
         return report
 
+    if group_col is not None:
+        gc = resolve_column(bad, group_col) or group_col
+        sch = next((s for s in meta.get("schemas", [])
+                    if s.get("schema-id")
+                    == meta.get("current-schema-id", 0)),
+                   None) or {"fields": []}
+        id_by_name = {f["name"]: f["id"] for f in sch["fields"]}
+        keys = bad.select(gc).dropDuplicates().orderBy(gc)
+        report.snapshot_id = _commit_delete_snapshot(
+            table_path, meta, keys, content=2,
+            equality_ids=[id_by_name[gc]])
+        return report
     matches = (bad.select(F.col(_FILE).alias("file_path"),
                           F.col(_POS).alias("pos"))
                .dropDuplicates()

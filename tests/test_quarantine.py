@@ -151,3 +151,76 @@ def test_violation_reasons_on_plain_dataframe(spark):
     out = violation_reasons(df, specs)
     flagged = out.filter(F.size("__dc_reasons") > 0)
     assert flagged.count() == 1   # second occurrence of doc_id=1
+
+
+TRANSCRIPT_CONTRACT = """
+apiVersion: v3.0.2
+kind: DataContract
+id: transcripts-gate
+version: 1.0.0
+name: transcripts
+schema:
+  - name: transcripts
+    logicalType: table
+    properties:
+      - name: conv_id
+        logicalType: string
+        required: true
+      - name: turn_idx
+        logicalType: integer
+        required: true
+      - name: role
+        logicalType: string
+        required: true
+        logicalTypeOptions:
+          enum: [system, user, assistant, tool]
+      - name: text
+        logicalType: string
+        required: true
+"""
+
+
+def test_group_quarantine_removes_whole_conversations(spark, tmp_path):
+    """Transcript semantics: ONE bad turn disqualifies the ENTIRE
+    conversation — committed as a single equality-delete file on conv_id."""
+    rows = []
+    for c in range(6):
+        for t in range(4):
+            role = ["user", "assistant"][t % 2]
+            if c == 2 and t == 3:
+                role = "robot"            # enum violation
+            text = None if (c == 4 and t == 1) else f"turn {c}/{t}"
+            rows.append((f"conv-{c}", t, role, text))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    root = str(tmp_path / "t")
+    write_iceberg_table(df, root, files_per_group=3)
+
+    contract = load_contract_str(TRANSCRIPT_CONTRACT)
+    rep = quarantine_violations(spark, root, contract, "transcripts",
+                                group_col="conv_id")
+    assert rep.quarantined_groups == 2
+    assert rep.quarantined_rows == 8          # 2 whole conversations
+    got = read_iceberg(spark, root)
+    assert got.count() == 16
+    assert got.filter("conv_id IN ('conv-2', 'conv-4')").count() == 0
+
+    # the commit is ONE equality delete on conv_id, not 8 positions
+    from datacontract_cli_spark.sources.iceberg_table import (
+        plan_scan_with_deletes,
+    )
+    _, _, dels = plan_scan_with_deletes(root)
+    assert len(dels) == 1
+    assert dels[0]["data_file"]["content"] == 2   # equality delete
+
+    # export carries whole conversations; clean turns have empty reasons
+    q = spark.read.parquet(rep.quarantine_path)
+    assert q.count() == 8
+    assert q.filter(F.size("__dc_reasons") > 0).count() == 2
+    # rows appended AFTER the quarantine survive the equality delete
+    from datacontract_cli_spark.sources.iceberg_write import append_iceberg
+    append_iceberg(
+        spark.createDataFrame([("conv-2", 99, "user", "fresh")],
+                              "conv_id string, turn_idx int, role string, "
+                              "text string"), root)
+    assert read_iceberg(spark, root).filter("conv_id = 'conv-2'").count() == 1
