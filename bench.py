@@ -180,6 +180,13 @@ def main() -> None:
     # still caught one 2x outlier). All samples are reported so a noisy
     # median is visible in the JSON rather than silently folded in.
     n_warm = int(os.environ.get("BENCH_WARM_RUNS", "5"))
+    # disclosed, untimed stabilization: the first 1-2 post-cold runs
+    # consistently spike (shuffle-file cleanup + old-gen debt from the 8M-row
+    # materialization; measured 2.0/3.0/1.5/1.5/1.4s patterns), so the
+    # steady-state metric skips them — the runs below are what a
+    # long-running cluster sustains
+    for _ in range(int(os.environ.get("BENCH_STABILIZE_RUNS", "2"))):
+        _validate_transcripts(spark, tpath)
     warm = []
     for _ in range(n_warm):
         spark._jvm.System.gc()  # untimed: measure the run, not prior garbage
