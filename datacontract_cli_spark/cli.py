@@ -774,13 +774,12 @@ def main(argv: list[str] | None = None) -> int:
     print(writers.console_table(run))
     if args.by:
         from datacontract_cli_spark.engine.sliced import sliced_validation
-        from datacontract_cli_spark.sources.readers import bind_server_with_raw
-        try:
-            tables, _ = bind_server_with_raw(
-                spark, contract, contract.server(args.server))
-        except Exception as e:
-            print(f"--by: cannot bind server tables: {e}", file=sys.stderr)
-            tables = {}
+        # reuse the frames engine.test already bound — binding again
+        # would re-run metadata planning and re-read every model table
+        tables = getattr(engine, "last_tables", None) or {}
+        if not tables:
+            print("--by: no bound server tables (binding failed above)",
+                  file=sys.stderr)
         lowered = {k.lower(): v for k, v in tables.items()}
         for obj in contract.schema_objects:
             if args.schema_name not in ("all", obj.name):

@@ -141,6 +141,10 @@ class SparkContractEngine:
                     run.set_result(spec.key, ResultEnum.error, f"Could not bind server: {e}")
                 return run.finish()
 
+        # expose the bound frames so callers (e.g. `test --by`) can reuse
+        # them instead of paying table binding / metadata planning twice
+        self.last_tables: Dict[str, DataFrame] = dict(tables)
+
         lowered_tables = {k.lower(): v for k, v in tables.items()}
         lowered_raw = {k.lower(): v for k, v in (raw_tables or tables).items()}
         objects = {o.table.lower(): o for o in contract.schema_objects}

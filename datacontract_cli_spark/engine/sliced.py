@@ -141,6 +141,10 @@ def sliced_validation(df: DataFrame, contract: DataContract, model: str,
         alias = f"__m{i}__"
         column = resolve_column(df, spec.field) if spec.field else None
         if spec.field and column is None:
+            # column lost to schema drift: surface the check as FAILING
+            # in every slice (null metric), never silently drop it — the
+            # batch engine fails the same check with "Column not found"
+            verdicts.append((spec, None))
             continue
         if spec.metric is MetricType.ROW_COUNT:
             verdicts.append((spec, "__n__"))
@@ -193,6 +197,13 @@ def sliced_validation(df: DataFrame, contract: DataContract, model: str,
 
     rows = []
     for spec, alias in verdicts:
+        if alias is None:  # missing column: failed verdict, null metric
+            rows.append(F.struct(
+                F.lit(spec.key).alias("check_key"),
+                F.lit(None).cast("double").alias("metric_value"),
+                F.lit(False).alias("passed"),
+            ))
+            continue
         value = (alias if isinstance(alias, Column)
                  else F.col(alias)).cast("double")
         cond = _threshold_condition(spec.threshold, value)

@@ -37,10 +37,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _literal_regex(sep: str) -> str:
+    """Java-regex that matches ``sep`` literally (Pattern.quote): F.split
+    takes a REGEX, but every other use of sep in this module (concat_ws
+    rebuild, the caller's mental model) is literal — an unescaped
+    sep="." would split on every character and corrupt documents."""
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def explode_lines(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", sep: str = "\n") -> DataFrame:
-    """(id, pos, line) — one row per line, pos is 0-based within doc."""
-    parts = F.split(F.col(text_col), F.lit(sep), -1)
+    """(id, pos, line) — one row per line, pos is 0-based within doc.
+    ``sep`` is a LITERAL separator, not a regex."""
+    parts = F.split(F.col(text_col), F.lit(_literal_regex(sep)), -1)
     return df.select(F.col(id_col).alias("id"),
                      F.posexplode(parts).alias("pos", "line"))
 
@@ -72,8 +81,8 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
     # n_lines needs no explode/shuffle: it's the split-array size per row
     counts = df.select(
         F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), F.lit(sep), -1)).cast("bigint")
-        .alias("n_lines"))
+        F.size(F.split(F.col(text_col), F.lit(_literal_regex(sep)), -1))
+        .cast("bigint").alias("n_lines"))
     agg = [F.count(F.lit(1)).alias("n_kept")]
     if rebuild:
         agg.append(F.concat_ws(sep, F.transform(

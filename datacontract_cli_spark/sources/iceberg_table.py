@@ -197,12 +197,20 @@ def schema_struct(meta: Dict[str, Any],
         {"type": "struct", "fields": sch["fields"]})
 
 
-def _entry_schema_id(meta: Dict[str, Any], entry: Dict[str, Any]) -> int:
+def _schema_id_by_snapshot(meta: Dict[str, Any]) -> Dict[Any, int]:
+    return {s.get("snapshot-id"): s.get("schema-id", 0)
+            for s in meta.get("snapshots", [])}
+
+
+def _entry_schema_id(meta: Dict[str, Any], entry: Dict[str, Any],
+                     sid_by_snap: Optional[Dict[Any, int]] = None) -> int:
     """The schema id a manifest entry's data file was written under —
     resolved through the snapshot that added it (Iceberg records
-    ``schema-id`` per snapshot; files never change schema after write)."""
-    sid_by_snap = {s.get("snapshot-id"): s.get("schema-id", 0)
-                   for s in meta.get("snapshots", [])}
+    ``schema-id`` per snapshot; files never change schema after write).
+    Callers iterating many entries pass a prebuilt ``sid_by_snap`` so
+    planning stays O(entries + snapshots), not O(entries × snapshots)."""
+    if sid_by_snap is None:
+        sid_by_snap = _schema_id_by_snapshot(meta)
     return sid_by_snap.get(entry.get("snapshot_id"),
                            meta.get("current-schema-id", 0))
 
@@ -248,14 +256,19 @@ def encode_bound(type_str: str, value: Any) -> Optional[bytes]:
         return struct.pack("<f", float(value))
     if s == "double":
         return struct.pack("<d", float(value))
-    if s in ("string", "uuid"):
+    if s == "string":
         return str(value).encode("utf-8")
+    if s == "uuid":
+        # spec Appendix D: uuid bounds are the 16 raw big-endian bytes,
+        # not the hyphenated string
+        from .iceberg_transforms import uuid_bytes
+        return uuid_bytes(value)
     if s == "binary" or s.startswith("fixed["):
         return bytes(value)
     if s.startswith("decimal("):
-        unscaled = int(value)
-        n = max(1, (unscaled.bit_length() + 8) // 8)
-        return unscaled.to_bytes(n, "big", signed=True)
+        # minimal two's-complement (Java BigInteger.toByteArray parity)
+        from .iceberg_transforms import min_twos_complement
+        return min_twos_complement(int(value))
     return None  # unknown: no bound (never wrong, just unpruned)
 
 
@@ -273,8 +286,11 @@ def decode_bound(type_str: str, data: Optional[bytes]) -> Any:
         return struct.unpack("<f", data)[0]
     if s == "double":
         return struct.unpack("<d", data)[0]
-    if s in ("string", "uuid"):
+    if s == "string":
         return data.decode("utf-8", errors="replace")
+    if s == "uuid":
+        import uuid as _uuid
+        return str(_uuid.UUID(bytes=data))
     if s == "binary" or s.startswith("fixed["):
         return data
     if s.startswith("decimal("):
@@ -571,6 +587,13 @@ class _Planner:
                     # spec: null entry sequence number inherits the
                     # manifest's (needed for MoR delete scoping)
                     e["sequence_number"] = mf.get("sequence_number", 0)
+                if e.get("snapshot_id") is None:
+                    # spec: ADDED entries written by real engines leave
+                    # snapshot_id null, inherited from the manifest's
+                    # added_snapshot_id — without this, schema-id
+                    # resolution falls back to the CURRENT schema and a
+                    # renamed column reads all-NULL from old files
+                    e["snapshot_id"] = mf.get("added_snapshot_id")
                 if self._file_may_match(e, spec_id, filters):
                     e["_spec_id"] = spec_id
                     out.append(e)
@@ -595,6 +618,8 @@ class _Planner:
                 if e.get("sequence_number") is None:
                     # inherited from the manifest per spec
                     e["sequence_number"] = mf.get("sequence_number", 0)
+                if e.get("snapshot_id") is None:
+                    e["snapshot_id"] = mf.get("added_snapshot_id")
                 delete_entries.append(e)
         return data_entries, delete_entries
 
@@ -700,6 +725,7 @@ def _apply_mor_deletes(spark: SparkSession, meta: Dict[str, Any],
           if e["data_file"].get("content") == CONTENT_EQ_DELETES]
     cur_sch = _schema_dict(meta)
     cur_sid = meta.get("current-schema-id", 0)
+    sid_by_snap = _schema_id_by_snapshot(meta)
 
     groups: Dict[Tuple, List[str]] = {}
     for e in data_entries:
@@ -709,9 +735,9 @@ def _apply_mor_deletes(spark: SparkSession, meta: Dict[str, Any],
         ek = tuple(sorted(
             (q["data_file"]["file_path"],
              tuple(q["data_file"].get("equality_ids") or ()),
-             _entry_schema_id(meta, q))
+             _entry_schema_id(meta, q, sid_by_snap))
             for q in eq if _seq(q) > dseq))
-        wsid = _entry_schema_id(meta, e)
+        wsid = _entry_schema_id(meta, e, sid_by_snap)
         groups.setdefault((pk, ek, wsid), []).append(
             e["data_file"]["file_path"])
 
@@ -815,9 +841,11 @@ def read_iceberg(spark: SparkSession, table_path: str,
         # group files by write-time schema (field-id evolution): each
         # group is one clean parquet scan projected to the current schema
         cur_sid = meta.get("current-schema-id", 0)
+        sid_by_snap = _schema_id_by_snapshot(meta)
         by_sid: Dict[int, List[str]] = {}
         for e in data_entries:
-            by_sid.setdefault(_entry_schema_id(meta, e), []).append(
+            by_sid.setdefault(
+                _entry_schema_id(meta, e, sid_by_snap), []).append(
                 e["data_file"]["file_path"])
         parts = []
         cur_sch = _schema_dict(meta)

@@ -98,6 +98,31 @@ def murmur3_32_longs(vals: np.ndarray) -> np.ndarray:
 _LONG_TYPES = ("int", "long", "date", "time", "timestamp", "timestamptz")
 
 
+def min_twos_complement(unscaled: int) -> bytes:
+    """Minimal big-endian two's-complement of an int — byte-identical to
+    Java's BigInteger.toByteArray(), which is what the Iceberg spec means
+    by 'minimum number of bytes' for decimal hashing and bounds. The naive
+    (bit_length+8)//8 sizing over-pads exactly the -2^(8k-1) values
+    (-128 → ff80 instead of 80), changing the Murmur3 hash."""
+    if unscaled >= 0:
+        nb = unscaled.bit_length() // 8 + 1
+    else:
+        nb = (unscaled + 1).bit_length() // 8 + 1
+    return unscaled.to_bytes(nb, "big", signed=True)
+
+
+def uuid_bytes(value: Any) -> bytes:
+    """The 16 raw big-endian bytes of a uuid value (spec Appendix B hashes
+    uuids as 16 bytes, NOT as their hyphenated string — vector
+    f79c3e09-677c-4bbd-a479-3f349cb785e7 → 1488055340)."""
+    import uuid as _uuid
+    if isinstance(value, _uuid.UUID):
+        return value.bytes
+    if isinstance(value, (bytes, bytearray)) and len(value) == 16:
+        return bytes(value)
+    return _uuid.UUID(str(value)).bytes
+
+
 def bucket_value(value: Any, n: int, type_str: str) -> Optional[int]:
     """Spec bucket of a single value (None stays None — null rows keep a
     null partition value)."""
@@ -106,14 +131,14 @@ def bucket_value(value: Any, n: int, type_str: str) -> Optional[int]:
     s = str(type_str)
     if s in _LONG_TYPES:
         data = struct.pack("<q", int(value))
-    elif s in ("string", "uuid"):
+    elif s == "string":
         data = str(value).encode("utf-8")
+    elif s == "uuid":
+        data = uuid_bytes(value)
     elif s == "binary" or s.startswith("fixed["):
         data = bytes(value)
     elif s.startswith("decimal("):
-        unscaled = int(value)
-        nb = max(1, (unscaled.bit_length() + 8) // 8)
-        data = unscaled.to_bytes(nb, "big", signed=True)
+        data = min_twos_complement(int(value))
     else:
         raise ValueError(f"bucket transform unsupported for type {s!r}")
     return (murmur3_32(data) & 0x7FFFFFFF) % n

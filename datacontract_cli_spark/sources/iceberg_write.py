@@ -683,21 +683,22 @@ def delete_rows_iceberg(spark, table_path: str, predicate: str) -> int:
     fraction of a 10^12-row table. Reference: datacontract-cli reads MoR
     tables through pyiceberg's identical delete application."""
     from datacontract_cli_spark.sources.iceberg_table import (
-        plan_scan,
-        schema_struct,
+        load_table_metadata,
+        read_iceberg,
     )
 
-    meta, paths = plan_scan(table_path)
-    if not paths:
-        return meta.get("current-snapshot-id") or 0
-    st = schema_struct(meta)
+    # Plan through the merge-on-read reader so a second DELETE (or a
+    # DELETE after upsert/quarantine) works on a table that already has
+    # delete manifests: the predicate is evaluated against the LIVE view
+    # and positions come from the reader's __icb_file/__icb_pos handles.
+    meta = load_table_metadata(table_path)
+    if not meta.get("current-snapshot-id"):
+        return 0
+    live = read_iceberg(spark, table_path, with_position=True)
     matches = (
-        spark.read.schema(st).parquet(*paths)
-        .filter(predicate)
-        .select(
-            F.regexp_replace(F.col("_metadata.file_path"),
-                             "^file:(//)?", "").alias("file_path"),
-            F.col("_metadata.row_index").alias("pos"))
+        live.filter(predicate)
+        .select(F.col("__icb_file").alias("file_path"),
+                F.col("__icb_pos").alias("pos"))
         .orderBy("file_path", "pos"))
     return _commit_delete_snapshot(table_path, meta, matches, content=1,
                                    equality_ids=None)
@@ -793,6 +794,75 @@ def _build_delete_manifest(table_path: str, meta: Dict[str, Any],
     return new_manifest, n_rows
 
 
+def _prior_manifests(root: str, base_meta: Dict[str, Any]
+                     ) -> List[Dict[str, Any]]:
+    """Manifest-file records of the current snapshot, ready to be carried
+    into a new snapshot's manifest list. Metadata records absolute URIs
+    from write time, so a table that was MOVED since its last commit needs
+    two repairs the readers' ``_rebase`` cannot do once we stamp the new
+    location into the committed metadata: (a) the manifest-list itself must
+    be read at its rebased path, and (b) every carried manifest is
+    deep-rewritten into the new metadata dir with its data-file paths
+    rebased, so the committed table is self-consistent at its new root.
+    The not-moved fast path carries the records untouched (no manifest
+    I/O beyond the manifest-list read)."""
+    from datacontract_cli_spark.sources.iceberg_table import _rebase
+    cur = next((s for s in base_meta.get("snapshots", [])
+                if s["snapshot-id"]
+                == base_meta.get("current-snapshot-id")), None)
+    if not cur or not cur.get("manifest-list"):
+        return []
+    loc = base_meta.get("location", "")
+    ml = _rebase(cur["manifest-list"], loc, root)
+    _, manifests = read_ocf(ml)
+    moved = _strip_scheme(loc).rstrip("/") != root.rstrip("/")
+    if not moved:
+        return manifests
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    rewritten = []
+    for mf in manifests:
+        mp = _rebase(mf["manifest_path"], loc, root)
+        schema, entries = read_ocf(mp)
+        for e in entries:
+            df_rec = e["data_file"]
+            path = os.path.abspath(_rebase(df_rec["file_path"], loc, root))
+            if df_rec.get("content") == 1:
+                # positional delete files reference data files by path IN
+                # THEIR ROW DATA — rewrite the parquet too, or the deletes
+                # dangle at the new root
+                path = _rewrite_pos_delete_file(path, loc, root)
+            df_rec["file_path"] = path
+        new_mp = os.path.join(meta_dir, "rebased-" + os.path.basename(mp))
+        data = write_ocf(new_mp, schema, entries)
+        mf = dict(mf)
+        mf["manifest_path"] = os.path.abspath(new_mp)
+        mf["manifest_length"] = len(data)
+        rewritten.append(mf)
+    return rewritten
+
+
+def _rewrite_pos_delete_file(path: str, loc: str, root: str) -> str:
+    """Rewrite a positional delete parquet whose ``file_path`` column
+    still points at the table's previous location. Delete files are tiny
+    (a fraction of the rows of one table), so a driver-side pyarrow
+    rewrite is fine. Returns the new file's absolute path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datacontract_cli_spark.sources.iceberg_table import _rebase
+    t = pq.read_table(path)
+    idx = t.schema.get_field_index("file_path")
+    vals = [None if v is None
+            else os.path.abspath(_rebase(v, loc, root))
+            for v in t.column(idx).to_pylist()]
+    t = t.set_column(idx, "file_path", pa.array(vals, pa.string()))
+    new_path = os.path.join(os.path.dirname(path),
+                            "rebased-" + os.path.basename(path))
+    pq.write_table(t, new_path)
+    return os.path.abspath(new_path)
+
+
 def _commit_delete_snapshot(table_path: str, meta: Dict[str, Any],
                             rows: DataFrame, content: int,
                             equality_ids: Optional[List[int]]) -> int:
@@ -807,12 +877,7 @@ def _commit_delete_snapshot(table_path: str, meta: Dict[str, Any],
     new_manifest, n_rows = _build_delete_manifest(
         table_path, meta, rows, content, equality_ids, snapshot_id, seq)
 
-    prior_manifests: List[Dict[str, Any]] = []
-    cur = next((s for s in meta.get("snapshots", [])
-                if s["snapshot-id"] == meta.get("current-snapshot-id")),
-               None)
-    if cur and cur.get("manifest-list"):
-        _, prior_manifests = read_ocf(cur["manifest-list"])
+    prior_manifests = _prior_manifests(root, meta)
 
     ml_path = os.path.join(meta_dir, f"snap-{snapshot_id}-manifest-list.avro")
     write_ocf(ml_path, _MANIFEST_FILE_SCHEMA,
@@ -957,11 +1022,7 @@ def _commit(df: DataFrame, table_path: str, partition_by: Sequence[str],
 
     prior_manifests: List[Dict[str, Any]] = []
     if base_meta is not None and not replace_prior:
-        cur = next((s for s in base_meta.get("snapshots", [])
-                    if s["snapshot-id"]
-                    == base_meta.get("current-snapshot-id")), None)
-        if cur and cur.get("manifest-list"):
-            _, prior_manifests = read_ocf(cur["manifest-list"])
+        prior_manifests = _prior_manifests(root, base_meta)
 
     ml_path = os.path.join(meta_dir, f"snap-{snapshot_id}-manifest-list.avro")
     write_ocf(ml_path, _MANIFEST_FILE_SCHEMA,

@@ -138,15 +138,20 @@ def bind_server_with_raw(
                 tables[model] = raw_tables[model] = spark.read.table(ident)
         elif stype == "delta":
             path = _model_path(server, model, "delta")
+            ver = (server.options or {}).get("versionAsOf")
             try:
                 # delta-spark when the jar is present (handles deletion
-                # vectors / column mapping natively)
-                df = spark.read.format("delta").load(path)
+                # vectors / column mapping natively); time travel must be
+                # passed here too, or the same contract would validate a
+                # DIFFERENT version depending on which jars are installed
+                reader = spark.read.format("delta")
+                if ver is not None:
+                    reader = reader.option("versionAsOf", int(ver))
+                df = reader.load(path)
             except Exception:
                 # pure-Python log replay fallback (protocol-1 tables);
                 # optional time travel via options.versionAsOf
                 from datacontract_cli_spark.sources.delta_table import read_delta
-                ver = (server.options or {}).get("versionAsOf")
                 df = read_delta(spark, path,
                                 version=None if ver is None else int(ver))
             tables[model] = raw_tables[model] = df
