@@ -1317,6 +1317,47 @@ def _q_delta_time_travel(spark, sf):
     )
 
 
+def _q_delta_deletion_vectors(spark, sf):
+    """Delta protocol-3 merge-on-read lifecycle over documents: a
+    COLUMN-MAPPED table (parquet files carry generated physical names)
+    takes two successive deletion-vector DELETE commits (doc_id % 9 = 0,
+    then lang = 'fr' — the second must UNION into the first files' DVs).
+    The reader decodes the roaring-bitmap DVs (sources/roaring.py,
+    spec-pinned) and applies them as one broadcast LEFT ANTI join on
+    (_metadata.file_path, row_index); fully-deleted files prune at
+    planning. The oracle recomputes the surviving set relationally, so
+    exactness proves the DV codec, descriptor resolution, union-on-
+    redelete, column-mapping projection and the anti-join application."""
+    import os
+
+    from datacontract_cli_spark.sources.delta_table import (
+        delete_rows_delta,
+        read_delta,
+        write_delta_table,
+    )
+
+    root = _table_fixture_root(sf, "delta_dv")
+    marker = os.path.join(root, "_READY")
+    if not os.path.exists(marker):
+        docs = _t(spark, sf, "documents")
+        write_delta_table(docs, root, partition_by=["lang"],
+                          column_mapping="name")
+        delete_rows_delta(spark, root, "doc_id % 9 = 0")
+        delete_rows_delta(spark, root, "lang = 'fr'")
+        open(marker, "w").close()
+    return (
+        read_delta(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _q_iceberg_mor(spark, sf):
     """Iceberg v2 MERGE-ON-READ lifecycle over documents: positional
     delete (doc_id % 7 == 0), equality delete (lang = 'de'), then an
@@ -1475,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_time_travel": _q_delta_time_travel,
         "iceberg_merge_on_read": _q_iceberg_mor,
         "iceberg_quarantine": _q_iceberg_quarantine,
+        "delta_deletion_vectors": _q_delta_deletion_vectors,
         # --- green in r03 but pushed past the cap in r04
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
@@ -1488,9 +1530,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iceberg_merge_on_read; freshness_retention rotated for
         # iceberg_quarantine: all green r01-r04, predicate/agg lanes
         # untouched r5)
+        # (percent_failed rotated late-r5 for delta_deletion_vectors:
+        # green r01-r04, threshold lane untouched r5)
         "row_filter": _q_row_filter,
         "violation_samples": _q_violation_samples,
-        "percent_failed": _q_percent_failed,
         "psi_event_type": _q_psi_event_type,
         "jsd_event_type": _q_jsd_event_type,
         "chi2_event_type": _q_chi2_event_type,
@@ -1505,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "dedup_exact": _q_dedup_exact,
+        "percent_failed": _q_percent_failed,
         "missing_count": _q_missing_count,
         "duplicate_count": _q_duplicate_count,
         "duplicate_count_composite": _q_duplicate_composite,
@@ -1582,6 +1626,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE lang IS NOT NULL AND lang IN ('en', 'de', 'fr') "
             "AND text IS NOT NULL "
             "AND (n_chars IS NULL OR n_chars <= 500) "
+            "GROUP BY lang ORDER BY lang"
+        ),
+        "delta_deletion_vectors": (
+            # surviving set after two DV DELETE commits on the
+            # column-mapped table: doc_id % 9 = 0 first, lang = 'fr'
+            # second (union semantics on re-deleted files)
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+            "min(doc_id) AS min_id, max(doc_id) AS max_id "
+            "FROM documents "
+            "WHERE doc_id % 9 <> 0 AND (lang IS NULL OR lang <> 'fr') "
             "GROUP BY lang ORDER BY lang"
         ),
         "iceberg_merge_on_read": (

@@ -17,13 +17,23 @@ literal columns — one ``spark.read.parquet`` per distinct tuple,
 values and per-file ``stats`` JSON (minValues/maxValues) filter the file
 list with the same predicate algebra the Iceberg lane uses.
 
-Protocol guard: ``minReaderVersion`` > 1 (column mapping, deletion
-vectors) raises an honest ``NotImplementedError`` rather than returning
-silently-wrong rows.
+Reader protocol support: 1 (base), 2 (column mapping: files carry
+PHYSICAL column names — ``delta.columnMapping.physicalName`` field
+metadata; the scan reads the physical schema and projects to logical
+names by position, which also renames nested struct fields; ``name``
+and ``id`` modes both apply, since Delta writes physical names into
+the parquet either way), and 3 with ``readerFeatures`` among
+{deletionVectors, columnMapping, timestampNtz, v2Checkpoint absent}.
+Deletion vectors (see :mod:`delta_dv`) are applied exactly like the
+Iceberg merge-on-read lane: a broadcast LEFT ANTI join on the hidden
+(``_metadata.file_path``, ``row_index``) pair — the data side is never
+shuffled. Unknown reader features still raise an honest
+``NotImplementedError`` rather than returning silently-wrong rows.
 
 Scale: replay cost is O(actions since checkpoint) — the same planning
-work delta-spark does on the driver. The writer half emits
-protocol-shaped commits + checkpoints for fixtures and tests.
+work delta-spark does on the driver; DV decode is O(deleted rows) on
+the driver (deletes are a small fraction of a table between
+compactions, and each DV is a compressed roaring bitmap).
 """
 
 from __future__ import annotations
@@ -136,17 +146,74 @@ def _replay(table_path: str,
             protocol = a["protocol"]
     if metadata is None:
         raise ValueError("delta log has no metaData action")
-    if protocol and protocol.get("minReaderVersion", 1) > 1:
-        raise NotImplementedError(
-            f"delta minReaderVersion {protocol['minReaderVersion']} "
-            "(column mapping / deletion vectors) unsupported; "
-            "this pure-Python reader handles reader protocol 1")
+    _check_protocol(protocol)
     return {"files": files, "metadata": metadata,
             "protocol": protocol, "version": target}
 
 
+_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping",
+                              "timestampNtz"}
+
+
+def _check_protocol(protocol: Optional[Dict[str, Any]]) -> None:
+    if not protocol:
+        return
+    v = protocol.get("minReaderVersion", 1)
+    if v <= 2:  # 2 = column mapping, handled via physical names
+        return
+    if v == 3:
+        feats = set(protocol.get("readerFeatures") or [])
+        unknown = feats - _SUPPORTED_READER_FEATURES
+        if unknown:
+            raise NotImplementedError(
+                f"delta readerFeatures {sorted(unknown)} unsupported; "
+                f"this reader handles {sorted(_SUPPORTED_READER_FEATURES)}")
+        return
+    raise NotImplementedError(
+        f"delta minReaderVersion {v} unsupported (max 3)")
+
+
 def delta_schema(metadata: Dict[str, Any]) -> T.StructType:
     return T.StructType.fromJson(json.loads(metadata["schemaString"]))
+
+
+def _mapping_mode(metadata: Dict[str, Any]) -> str:
+    return (metadata.get("configuration") or {}).get(
+        "delta.columnMapping.mode", "none")
+
+
+def _physical_struct(dt: T.DataType) -> T.DataType:
+    """Rename every (nested) struct field to its
+    ``delta.columnMapping.physicalName`` — the names actually present in
+    the parquet files of a column-mapped table."""
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(
+                (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name),
+                _physical_struct(f.dataType), f.nullable)
+            for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_physical_struct(dt.elementType),
+                           dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_physical_struct(dt.keyType),
+                         _physical_struct(dt.valueType),
+                         dt.valueContainsNull)
+    return dt
+
+
+def _schemas(metadata: Dict[str, Any]
+             ) -> Tuple[T.StructType, T.StructType, Dict[str, str]]:
+    """(logical schema, physical read schema, logical->physical top-level
+    name map). Identity when column mapping is off."""
+    logical = delta_schema(metadata)
+    if _mapping_mode(metadata) == "none":
+        return logical, logical, {f.name: f.name for f in logical.fields}
+    physical = _physical_struct(logical)
+    phys_by_logical = {lf.name: pf.name
+                       for lf, pf in zip(logical.fields, physical.fields)}
+    return logical, physical, phys_by_logical
 
 
 def _pv_dict(pv: Any) -> Dict[str, Optional[str]]:
@@ -179,11 +246,17 @@ def plan_delta(table_path: str, version: Optional[int] = None,
                filters: Sequence[Tuple[str, str, Any]] = ()
                ) -> Tuple[Dict[str, Any], List[Dict[str, Any]]]:
     """(state, pruned live add-actions). Partition-value pruning plus
-    per-file stats-JSON (minValues/maxValues) pruning."""
+    per-file stats-JSON (minValues/maxValues) pruning. In column-mapping
+    mode partitionValues and stats are keyed by PHYSICAL names; filters
+    come in logical names and are translated. Files whose deletion
+    vector covers every row are pruned outright."""
+    from datacontract_cli_spark.sources.delta_dv import normalize_descriptor
+
     state = _replay(table_path, version)
     st = delta_schema(state["metadata"])
     part_cols = state["metadata"].get("partitionColumns") or []
     types = {f.name: f.dataType for f in st.fields}
+    _, _, phys = _schemas(state["metadata"])
 
     live = []
     for add in state["files"].values():
@@ -192,19 +265,27 @@ def plan_delta(table_path: str, version: Optional[int] = None,
         stats = add.get("stats")
         stats = json.loads(stats) if isinstance(stats, str) and stats else \
             (stats or {})
-        if stats.get("numRecords") == 0:
+        n_rec = stats.get("numRecords")
+        if n_rec == 0:
             continue  # zero-row file: nothing to scan
+        dv = normalize_descriptor(add.get("deletionVector"))
+        if dv and n_rec is not None and dv.get("cardinality") == n_rec:
+            continue  # every row deleted
         mins = stats.get("minValues") or {}
         maxs = stats.get("maxValues") or {}
         for (col, op, val) in filters:
+            p = phys.get(col, col)
             if col in part_cols:
-                typed = _cast_part(pv.get(col), types.get(col,
-                                                          T.StringType()))
+                typed = _cast_part(pv.get(p), types.get(col,
+                                                        T.StringType()))
                 if not _identity_value_matches(typed, op, val):
                     keep = False
                     break
-            if col in mins or col in maxs:
-                if not _range_may_match(mins.get(col), maxs.get(col),
+            if p in mins or p in maxs:
+                # a DV'd file's bounds may be stale for surviving rows
+                # (tightBounds=false) — min/max stay CONSERVATIVE (they
+                # bound a superset), so pruning with them remains exact
+                if not _range_may_match(mins.get(p), maxs.get(p),
                                         op, val):
                     keep = False
                     break
@@ -215,42 +296,97 @@ def plan_delta(table_path: str, version: Optional[int] = None,
 
 def read_delta(spark: SparkSession, table_path: str,
                version: Optional[int] = None,
-               filters: Sequence[Tuple[str, str, Any]] = ()) -> DataFrame:
+               filters: Sequence[Tuple[str, str, Any]] = (),
+               with_position: bool = False) -> DataFrame:
     """Scan a Delta table (optionally time-travelled to ``version``).
-    Filters prune files, then are re-applied so results are exact."""
+    Filters prune files, then are re-applied so results are exact.
+    Column-mapped tables read their physical schema and project to
+    logical names; deletion vectors are applied as one broadcast LEFT
+    ANTI join on (_metadata.file_path, row_index) — data never shuffles.
+    ``with_position=True`` keeps ``__dl_file`` / ``__dl_pos`` (the row
+    handle ``delete_rows_delta`` addresses rows by)."""
+    from datacontract_cli_spark.sources.delta_dv import (
+        deleted_positions,
+        normalize_descriptor,
+    )
+
     state, live = plan_delta(table_path, version, filters)
     st = delta_schema(state["metadata"])
+    logical, physical, phys = _schemas(state["metadata"])
     part_cols = state["metadata"].get("partitionColumns") or []
     types = {f.name: f.dataType for f in st.fields}
-    data_schema = T.StructType(
-        [f for f in st.fields if f.name not in part_cols])
+    data_phys = T.StructType(
+        [pf for lf, pf in zip(logical.fields, physical.fields)
+         if lf.name not in part_cols])
     root = _strip_scheme(table_path)
 
+    # driver-side DV decode: (absolute file path -> deleted row indexes)
+    dv_pairs: List[Tuple[str, int]] = []
+    for a in live:
+        dv = normalize_descriptor(a.get("deletionVector"))
+        if dv:
+            full = os.path.abspath(os.path.join(root, a["path"]))
+            for p in deleted_positions(dv, root).tolist():
+                dv_pairs.append((full, int(p)))
+    with_pos = bool(dv_pairs) or with_position
+
+    def _scan(paths: List[str]) -> DataFrame:
+        g = spark.read.schema(data_phys).parquet(*paths)
+        if with_pos:
+            g = (g.withColumn("__dl_file", F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""))
+                 .withColumn("__dl_pos", F.col("_metadata.row_index")))
+        return g
+
+    helper = ["__dl_file", "__dl_pos"] if with_pos else []
+
     if not live:
-        df = spark.createDataFrame([], st)
+        df = spark.createDataFrame([], T.StructType(
+            list(st.fields)
+            + [T.StructField("__dl_file", T.StringType(), True),
+               T.StructField("__dl_pos", T.LongType(), True)]
+            if with_pos else list(st.fields)))
     elif not part_cols:
-        paths = [os.path.join(root, a["path"]) for a in live]
-        df = spark.read.schema(data_schema).parquet(*paths)
+        df = _scan([os.path.join(root, a["path"]) for a in live])
+        # project physical -> logical: positional struct cast renames
+        # nested fields too; top-level alias renames the column
+        df = df.select(*[
+            F.col(pf.name).cast(lf.dataType).alias(lf.name)
+            for lf, pf in zip(logical.fields, physical.fields)
+            if lf.name not in part_cols], *helper)
     else:
         # group by partition tuple; inject the log's authoritative
-        # partitionValues as typed literals (delta data files lack them)
+        # partitionValues as typed literals (delta data files lack them);
+        # partitionValues are keyed by PHYSICAL name in mapping mode
         groups: Dict[Tuple, List[str]] = {}
         for a in live:
             pv = _pv_dict(a.get("partitionValues"))
-            key = tuple(pv.get(c) for c in part_cols)
+            key = tuple(pv.get(phys.get(c, c)) for c in part_cols)
             groups.setdefault(key, []).append(
                 os.path.join(root, a["path"]))
         parts = []
         for key, paths in sorted(groups.items(),
                                  key=lambda kv: tuple(map(str, kv[0]))):
-            g = spark.read.schema(data_schema).parquet(*paths)
+            g = _scan(paths)
+            g = g.select(*[
+                F.col(pf.name).cast(lf.dataType).alias(lf.name)
+                for lf, pf in zip(logical.fields, physical.fields)
+                if lf.name not in part_cols], *helper)
             for c, raw in zip(part_cols, key):
                 g = g.withColumn(
                     c, F.lit(_cast_part(raw, types[c])).cast(types[c]))
-            parts.append(g.select(*[f.name for f in st.fields]))
+            parts.append(g.select(*[f.name for f in st.fields], *helper))
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+
+    if dv_pairs and live:
+        deleted = spark.createDataFrame(
+            dv_pairs, "__dl_file string, __dl_pos long")
+        df = df.join(F.broadcast(deleted), ["__dl_file", "__dl_pos"],
+                     "left_anti")
+    if with_pos and not with_position:
+        df = df.drop("__dl_file", "__dl_pos")
 
     for (col, op, val) in filters:
         c = F.col(col)
@@ -323,36 +459,102 @@ def _next_version(table_path: str) -> int:
         return 0
 
 
+def _mapped_schema_json(schema: T.StructType) -> Dict[str, Any]:
+    """schemaString JSON with column-mapping field metadata: each field
+    gets a stable id and a ``col-<uuid5(name)>`` physical name (the shape
+    delta-spark generates), nested fields included."""
+    import uuid as _uuid
+    next_id = [0]
+
+    def _walk(node: Dict[str, Any]) -> Dict[str, Any]:
+        if node.get("type") == "struct":
+            return {"type": "struct",
+                    "fields": [_field(f) for f in node["fields"]]}
+        if isinstance(node.get("type"), dict):
+            node = dict(node)
+            node["type"] = _walk(node["type"])
+        return node
+
+    def _field(f: Dict[str, Any]) -> Dict[str, Any]:
+        next_id[0] += 1
+        t = f["type"]
+        if isinstance(t, dict):
+            t = _walk(t)
+        return {"name": f["name"], "type": t,
+                "nullable": f.get("nullable", True),
+                "metadata": {
+                    "delta.columnMapping.id": next_id[0],
+                    "delta.columnMapping.physicalName":
+                        "col-" + str(_uuid.uuid5(_uuid.NAMESPACE_URL,
+                                                 f["name"]))}}
+
+    out = _walk(schema.jsonValue())
+    out["_max_id"] = next_id[0]
+    return out
+
+
 def write_delta_table(df: DataFrame, table_path: str,
                       partition_by: Optional[Sequence[str]] = None,
-                      mode: str = "create") -> int:
-    """Create (version 0) or append (next version) a protocol-1 Delta
-    table. Data files are Hive-style — partition columns live only in the
-    log's partitionValues. Returns the committed version. Fixture/test
-    scale: partition tuples enumerate driver-side, same caveat as the
-    Iceberg writer."""
+                      mode: str = "create",
+                      column_mapping: str = "none") -> int:
+    """Create (version 0) or append (next version) a Delta table. Data
+    files are Hive-style — partition columns live only in the log's
+    partitionValues. ``column_mapping='name'`` creates a protocol-2
+    column-mapped table: parquet files carry generated physical names and
+    the log's partitionValues/stats are keyed by them. Returns the
+    committed version. Fixture/test scale: partition tuples enumerate
+    driver-side, same caveat as the Iceberg writer."""
     import time
     import uuid as _uuid
 
     root = _strip_scheme(table_path)
     log = _log_dir(table_path)
     part_cols = list(partition_by or [])
+    min_reader, min_writer = 1, 2
+    metadata: Dict[str, Any]
     if mode == "append" and os.path.isdir(log):
         state = _replay(table_path)
-        part_cols = state["metadata"].get("partitionColumns") or []
+        metadata = state["metadata"]
+        part_cols = metadata.get("partitionColumns") or []
         version = _next_version(table_path)
         meta_action = None
     else:
         version = 0
+        if column_mapping == "name":
+            mapped = _mapped_schema_json(df.schema)
+            max_id = mapped.pop("_max_id")
+            schema_string = json.dumps(mapped)
+            config = {"delta.columnMapping.mode": "name",
+                      "delta.columnMapping.maxColumnId": str(max_id)}
+            min_reader, min_writer = 2, 5
+        else:
+            schema_string = json.dumps(df.schema.jsonValue())
+            config = {}
         meta_action = {
             "id": str(_uuid.uuid5(_uuid.NAMESPACE_URL,
                                   os.path.abspath(root))),
             "format": {"provider": "parquet", "options": {}},
-            "schemaString": json.dumps(df.schema.jsonValue()),
+            "schemaString": schema_string,
             "partitionColumns": part_cols,
-            "configuration": {},
+            "configuration": config,
             "createdTime": int(time.time() * 1000)}
+        metadata = meta_action
     os.makedirs(log, exist_ok=True)
+
+    # physical rename: data files of a column-mapped table carry the
+    # physical names; the frame comes in with logical names
+    _, physical, phys = _schemas(metadata)
+    logical_schema = delta_schema(metadata)
+    rename = {f.name: phys.get(f.name, f.name)
+              for f in logical_schema.fields}
+    if any(k != v for k, v in rename.items()):
+        df = df.select(*[
+            F.col(lf.name).cast(pf.dataType).alias(pf.name)
+            for lf, pf in zip(logical_schema.fields, physical.fields)])
+        part_cols_phys = [rename.get(c, c) for c in part_cols]
+    else:
+        part_cols_phys = part_cols
+    part_cols = part_cols_phys
 
     schema = df.schema
     data_schema = T.StructType(
@@ -401,8 +603,8 @@ def write_delta_table(df: DataFrame, table_path: str,
     with open(commit_path, "w") as f:
         if version == 0:
             f.write(json.dumps(
-                {"protocol": {"minReaderVersion": 1,
-                              "minWriterVersion": 2}}) + "\n")
+                {"protocol": {"minReaderVersion": min_reader,
+                              "minWriterVersion": min_writer}}) + "\n")
         if meta_action is not None:
             f.write(json.dumps({"metaData": meta_action}) + "\n")
         f.write(json.dumps({"commitInfo": {
@@ -425,12 +627,18 @@ def checkpoint_delta(table_path: str) -> int:
     # explicit arrow schema with MAP columns, matching real delta
     # checkpoints (and exercising the reader's map-tuple normalization)
     str_map = pa.map_(pa.string(), pa.string())
+    dv_t = pa.struct([("storageType", pa.string()),
+                      ("pathOrInlineDv", pa.string()),
+                      ("offset", pa.int32()),
+                      ("sizeInBytes", pa.int32()),
+                      ("cardinality", pa.int64())])
     add_t = pa.struct([("path", pa.string()),
                        ("partitionValues", str_map),
                        ("size", pa.int64()),
                        ("modificationTime", pa.int64()),
                        ("dataChange", pa.bool_()),
-                       ("stats", pa.string())])
+                       ("stats", pa.string()),
+                       ("deletionVector", dv_t)])
     meta_t = pa.struct([("id", pa.string()),
                         ("format", pa.struct([("provider", pa.string()),
                                               ("options", str_map)])),
@@ -439,18 +647,24 @@ def checkpoint_delta(table_path: str) -> int:
                         ("configuration", str_map),
                         ("createdTime", pa.int64())])
     proto_t = pa.struct([("minReaderVersion", pa.int32()),
-                         ("minWriterVersion", pa.int32())])
+                         ("minWriterVersion", pa.int32()),
+                         ("readerFeatures", pa.list_(pa.string())),
+                         ("writerFeatures", pa.list_(pa.string()))])
     schema = pa.schema([("add", add_t), ("metaData", meta_t),
                         ("protocol", proto_t)])
 
+    from datacontract_cli_spark.sources.delta_dv import normalize_descriptor
+
     def _add_row(add):
+        dv = normalize_descriptor(add.get("deletionVector"))
         return {"path": add["path"],
                 "partitionValues": list(
                     _pv_dict(add.get("partitionValues")).items()),
                 "size": add.get("size", 0),
                 "modificationTime": add.get("modificationTime", 0),
                 "dataChange": bool(add.get("dataChange", True)),
-                "stats": add.get("stats") or ""}
+                "stats": add.get("stats") or "",
+                "deletionVector": dv}
 
     md = dict(state["metadata"])
     md_row = {"id": md.get("id", ""),
@@ -471,10 +685,108 @@ def checkpoint_delta(table_path: str) -> int:
                  "protocol": {"minReaderVersion":
                               proto.get("minReaderVersion", 1),
                               "minWriterVersion":
-                              proto.get("minWriterVersion", 2)}})
+                              proto.get("minWriterVersion", 2),
+                              "readerFeatures":
+                              proto.get("readerFeatures"),
+                              "writerFeatures":
+                              proto.get("writerFeatures")}})
     tbl = pa.Table.from_pylist(rows, schema=schema)
     log = _log_dir(table_path)
     pq.write_table(tbl, os.path.join(log, f"{v:020d}.checkpoint.parquet"))
     with open(os.path.join(log, "_last_checkpoint"), "w") as f:
         json.dump({"version": v, "size": len(rows)}, f)
     return v
+
+
+def delete_rows_delta(spark: SparkSession, table_path: str,
+                      predicate: str) -> int:
+    """Merge-on-read DELETE: commit deletion vectors marking every
+    current row matching ``predicate`` — no data file rewritten (the
+    Delta twin of ``delete_rows_iceberg``).
+
+    Spark-first: matching (file, row_index) pairs come from the hidden
+    metadata columns of the live scan (existing DVs already applied, so
+    re-deleting is naturally idempotent and a second DELETE composes);
+    the per-file position sets group distributed and only the deleted
+    fraction reaches the driver, where each file's roaring bitmap is
+    serialized into ONE shared ``deletion_vector_<uuid>.bin``. The new
+    descriptors supersede the old adds under protocol 3 +
+    readerFeatures=[deletionVectors] (columnMapping is carried forward
+    when the table uses it). At delta-spark's own scale the bitmap
+    build runs inside a per-file task; the driver-side build here is
+    bounded by the delete fraction, same caveat as the fixture writers."""
+    import time
+    import uuid as _uuid
+
+    from datacontract_cli_spark.sources.delta_dv import (
+        build_dv_blob,
+        deleted_positions,
+        make_descriptor_u,
+        normalize_descriptor,
+        write_dv_file,
+    )
+
+    state = _replay(table_path)
+    root = _strip_scheme(table_path)
+    live = read_delta(spark, table_path, with_position=True)
+    hits = (live.filter(predicate)
+            .groupBy("__dl_file")
+            .agg(F.sort_array(F.collect_list("__dl_pos")).alias("pos"))
+            .collect())
+    version = _next_version(table_path)
+    if not hits:
+        return version - 1  # nothing matched: no commit
+
+    import numpy as np
+    by_rel: Dict[str, np.ndarray] = {}
+    for r in hits:
+        rel = os.path.relpath(r["__dl_file"], os.path.abspath(root))
+        by_rel[rel] = np.asarray(r["pos"], dtype=np.uint64)
+
+    uid = _uuid.uuid5(_uuid.NAMESPACE_URL,
+                      os.path.abspath(root) + f"#dv{version}")
+    rels = sorted(by_rel)
+    blobs, cards = [], []
+    for rel in rels:
+        add = state["files"][rel]
+        pos = by_rel[rel]
+        old = normalize_descriptor(add.get("deletionVector"))
+        if old:  # the new DV replaces the old one: union required
+            pos = np.union1d(pos, deleted_positions(old, root))
+        blobs.append(build_dv_blob(pos))
+        cards.append(int(pos.size))
+    from datacontract_cli_spark.sources.delta_dv import dv_file_name
+    spans = write_dv_file(os.path.join(root, dv_file_name(uid)), blobs)
+
+    proto = state.get("protocol") or {}
+    reader_feats = set(proto.get("readerFeatures") or [])
+    writer_feats = set(proto.get("writerFeatures") or [])
+    reader_feats.add("deletionVectors")
+    writer_feats.add("deletionVectors")
+    if _mapping_mode(state["metadata"]) != "none":
+        reader_feats.add("columnMapping")
+        writer_feats.add("columnMapping")
+
+    now_ms = int(time.time() * 1000)
+    lines = [json.dumps({"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": sorted(reader_feats),
+        "writerFeatures": sorted(writer_feats)}}),
+        json.dumps({"commitInfo": {"operation": "DELETE",
+                                   "timestamp": now_ms}})]
+    for rel, (offset, size), card in zip(rels, spans, cards):
+        add = dict(state["files"][rel])
+        pv = _pv_dict(add.get("partitionValues"))
+        lines.append(json.dumps({"remove": {
+            "path": rel, "deletionTimestamp": now_ms,
+            "dataChange": True, "partitionValues": pv,
+            "size": add.get("size", 0)}}))
+        add["partitionValues"] = pv
+        add["deletionVector"] = make_descriptor_u(uid, offset, size, card)
+        add["dataChange"] = True
+        lines.append(json.dumps({"add": add}))
+
+    with open(os.path.join(_log_dir(table_path),
+                           f"{version:020d}.json"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return version

@@ -94,13 +94,27 @@ def test_protocol_guard(spark, tmp_path):
     df = synthesize_transcripts(spark, n_convs=3, turns_per_conv=3)
     write_delta_table(df, root)
     log = os.path.join(root, "_delta_log")
+    # reader version 3 with an UNKNOWN feature refuses honestly
     with open(os.path.join(log, f"{1:020d}.json"), "w") as f:
-        f.write(json.dumps({"protocol": {"minReaderVersion": 3,
-                                         "minWriterVersion": 7}}) + "\n")
-    with pytest.raises(NotImplementedError, match="minReaderVersion 3"):
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["variantType-preview"]}}) + "\n")
+    with pytest.raises(NotImplementedError, match="variantType-preview"):
         read_delta(spark, root)
-    # older version is still readable
+    # reader version 4 is beyond the supported surface
+    with open(os.path.join(log, f"{2:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 4,
+                                         "minWriterVersion": 7}}) + "\n")
+    with pytest.raises(NotImplementedError, match="minReaderVersion 4"):
+        read_delta(spark, root)
+    # older version is still readable; v3 with only supported features too
     assert read_delta(spark, root, version=0).count() == df.count()
+    with open(os.path.join(log, f"{3:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors", "columnMapping"]}})
+            + "\n")
+    assert read_delta(spark, root, version=3).count() == df.count()
 
 
 def test_remove_action_drops_files(spark, tmp_path):

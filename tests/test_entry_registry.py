@@ -51,6 +51,9 @@ ROTATED = {
     # rotated late-r5 for iceberg_quarantine (green r01-r04; the
     # freshness/retention agg lane is untouched this round)
     "freshness_retention",
+    # rotated late-r5 for delta_deletion_vectors (green r01-r04; the
+    # percent-threshold agg lane is untouched this round)
+    "percent_failed",
 }
 
 
