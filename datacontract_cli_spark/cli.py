@@ -268,17 +268,24 @@ def build_parser() -> argparse.ArgumentParser:
 
     mt = sub.add_parser(
         "maintain",
-        help="Iceberg table maintenance: bin-pack compaction "
-             "(materializes pending deletes) and snapshot expiry")
-    mt.add_argument("table", help="Iceberg table directory")
+        help="Table maintenance: bin-pack compaction (materializes "
+             "pending deletes / deletion vectors), snapshot expiry "
+             "(iceberg), vacuum (delta)")
+    mt.add_argument("table", help="Iceberg or Delta table directory")
+    mt.add_argument("--format", choices=["iceberg", "delta"],
+                    default="iceberg")
     mt.add_argument("--compact", action="store_true",
                     help="rewrite data files bin-packed; applies pending "
-                         "merge-on-read delete files")
+                         "merge-on-read delete files / deletion vectors")
     mt.add_argument("--target-files", type=int, default=1,
-                    help="files per partition group after compaction")
+                    help="files per partition group after compaction "
+                         "(iceberg)")
     mt.add_argument("--expire-keep", type=int, default=None,
                     help="expire all but the newest N snapshots and "
-                         "delete unreferenced files")
+                         "delete unreferenced files (iceberg)")
+    mt.add_argument("--vacuum", action="store_true",
+                    help="delete files the current version does not "
+                         "reference (delta)")
     mt.add_argument("--master", default=None)
     return p
 
@@ -504,14 +511,10 @@ def main(argv: list[str] | None = None) -> int:
         import json as _json
         import os as _os
 
-        from datacontract_cli_spark.sources.iceberg_write import (
-            compact_iceberg,
-            expire_snapshots,
-        )
-
-        if not args.compact and args.expire_keep is None:
-            print("error: nothing to do (pass --compact and/or "
-                  "--expire-keep N)", file=sys.stderr)
+        if not args.compact and args.expire_keep is None \
+                and not getattr(args, "vacuum", False):
+            print("error: nothing to do (pass --compact, --expire-keep N "
+                  "and/or --vacuum)", file=sys.stderr)
             return 1
         out = {}
         try:
@@ -520,11 +523,38 @@ def main(argv: list[str] | None = None) -> int:
                 master = args.master or \
                     f"local[{_os.environ.get('SPARK_GRAFT_CPUS', '4')}]"
                 spark = get_spark("dcspark-maintain", master=master)
-                out["compacted_snapshot_id"] = compact_iceberg(
-                    spark, args.table, files_per_group=args.target_files)
+                if args.format == "delta":
+                    from datacontract_cli_spark.sources.delta_table import (
+                        compact_delta,
+                    )
+                    out["compacted_version"] = compact_delta(
+                        spark, args.table)
+                else:
+                    from datacontract_cli_spark.sources.iceberg_write import (
+                        compact_iceberg,
+                    )
+                    out["compacted_snapshot_id"] = compact_iceberg(
+                        spark, args.table,
+                        files_per_group=args.target_files)
             if args.expire_keep is not None:
+                if args.format == "delta":
+                    print("error: --expire-keep is iceberg-only; use "
+                          "--vacuum for delta", file=sys.stderr)
+                    return 1
+                from datacontract_cli_spark.sources.iceberg_write import (
+                    expire_snapshots,
+                )
                 out.update(expire_snapshots(args.table,
                                             keep_last=args.expire_keep))
+            if getattr(args, "vacuum", False):
+                if args.format != "delta":
+                    print("error: --vacuum is delta-only; use "
+                          "--expire-keep for iceberg", file=sys.stderr)
+                    return 1
+                from datacontract_cli_spark.sources.delta_table import (
+                    vacuum_delta,
+                )
+                out.update(vacuum_delta(args.table))
         except Exception as e:
             print(f"error: {e}", file=sys.stderr)
             return 1

@@ -790,3 +790,129 @@ def delete_rows_delta(spark: SparkSession, table_path: str,
                            f"{version:020d}.json"), "w") as f:
         f.write("\n".join(lines) + "\n")
     return version
+
+
+def compact_delta(spark: SparkSession, table_path: str) -> int:
+    """Bin-pack compaction (OPTIMIZE + DV materialization): read the
+    current table state — deletion vectors applied — rewrite it as clean
+    parquet, and commit one version that removes every old add and adds
+    the rewritten files with ``dataChange=false`` (the Delta convention:
+    compaction rearranges bytes, it does not change data). Post-compaction
+    scans carry no DVs, so the anti-join disappears from the plan. Prior
+    versions stay time-travelable until :func:`vacuum_delta` reclaims
+    their files — exactly Delta's OPTIMIZE/VACUUM split."""
+    import time
+
+    state = _replay(table_path)
+    root = _strip_scheme(table_path)
+    metadata = state["metadata"]
+    part_cols = metadata.get("partitionColumns") or []
+    logical, physical, phys = _schemas(metadata)
+    version = _next_version(table_path)
+
+    df = read_delta(spark, table_path)
+    # data files carry PHYSICAL names on mapped tables
+    if any(lf.name != pf.name for lf, pf in zip(logical.fields,
+                                                physical.fields)):
+        df = df.select(*[
+            F.col(lf.name).cast(pf.dataType).alias(pf.name)
+            for lf, pf in zip(logical.fields, physical.fields)])
+    part_phys = [phys.get(c, c) for c in part_cols]
+    data_schema = T.StructType(
+        [f for f in physical.fields if f.name not in part_phys])
+
+    groups: List[Tuple[Dict[str, Optional[str]], Any, str]] = []
+    if part_phys:
+        tuples = [r.asDict() for r in
+                  df.select(*part_phys).distinct().collect()]
+        tuples.sort(key=lambda d: tuple(str(d[c]) for c in part_phys))
+        for pv in tuples:
+            cond = None
+            for c in part_phys:
+                e = (F.col(c).isNull() if pv[c] is None
+                     else F.col(c) == F.lit(pv[c]))
+                cond = e if cond is None else (cond & e)
+            rel = "/".join(
+                f"{c}={'__HIVE_DEFAULT_PARTITION__' if pv[c] is None else pv[c]}"
+                for c in part_phys)
+            groups.append(({c: None if pv[c] is None else str(pv[c])
+                            for c in part_phys},
+                           df.filter(cond).drop(*part_phys), rel))
+    else:
+        groups.append(({}, df, ""))
+
+    now_ms = int(time.time() * 1000)
+    lines = [json.dumps({"commitInfo": {"operation": "OPTIMIZE",
+                                        "timestamp": now_ms}})]
+    for rel_path, add in state["files"].items():
+        lines.append(json.dumps({"remove": {
+            "path": rel_path, "deletionTimestamp": now_ms,
+            "dataChange": False,
+            "partitionValues": _pv_dict(add.get("partitionValues")),
+            "size": add.get("size", 0)}}))
+    for pv, sub, rel in groups:
+        outdir = os.path.join(root, rel, f"v{version}") if rel \
+            else os.path.join(root, f"v{version}")
+        sub.coalesce(1).write.mode("overwrite").parquet(outdir)
+        for name in sorted(os.listdir(outdir)):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(outdir, name)
+            stats = _file_stats_json(full, data_schema)
+            if json.loads(stats)["numRecords"] == 0:
+                os.remove(full)
+                continue
+            lines.append(json.dumps({"add": {
+                "path": os.path.relpath(full, root),
+                "partitionValues": pv,
+                "size": os.path.getsize(full),
+                "modificationTime": int(os.path.getmtime(full) * 1000),
+                "dataChange": False,
+                "stats": stats}}))
+
+    with open(os.path.join(_log_dir(table_path),
+                           f"{version:020d}.json"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return version
+
+
+def vacuum_delta(table_path: str) -> Dict[str, int]:
+    """Delete every data/DV file the CURRENT version does not reference
+    (retention 0 — the test/maintenance shape of Delta's VACUUM; older
+    versions stop being time-travelable, same trade real VACUUM makes).
+    Metadata-bound: one log replay, no data scan. Returns
+    ``{"deleted_files": n, "reclaimed_bytes": n}``."""
+    from datacontract_cli_spark.sources.delta_dv import (
+        dv_file_name,
+        normalize_descriptor,
+        z85_decode,
+    )
+    import uuid as _uuid
+
+    state = _replay(table_path)
+    root = os.path.abspath(_strip_scheme(table_path))
+    referenced = set()
+    for rel, add in state["files"].items():
+        referenced.add(os.path.abspath(os.path.join(root, rel)))
+        dv = normalize_descriptor(add.get("deletionVector"))
+        if dv and dv.get("storageType") == "u":
+            ref = dv["pathOrInlineDv"]
+            uid = _uuid.UUID(bytes=z85_decode(ref[-20:]))
+            referenced.add(os.path.abspath(
+                os.path.join(root, dv_file_name(uid, ref[:-20]))))
+        elif dv and dv.get("storageType") == "p":
+            referenced.add(os.path.abspath(dv["pathOrInlineDv"]))
+
+    deleted = reclaimed = 0
+    for dirpath, _dirs, names in os.walk(root):
+        if "_delta_log" in dirpath:
+            continue
+        for name in names:
+            if not (name.endswith(".parquet") or name.endswith(".bin")):
+                continue
+            full = os.path.abspath(os.path.join(dirpath, name))
+            if full not in referenced:
+                reclaimed += os.path.getsize(full)
+                os.remove(full)
+                deleted += 1
+    return {"deleted_files": deleted, "reclaimed_bytes": reclaimed}

@@ -248,3 +248,79 @@ def test_mapped_append_keeps_physical_names(spark, tmp_path):
     got = read_delta(spark, root)
     assert got.count() == 40
     assert got.filter("doc_id >= 1000").count() == 10
+
+
+# ---------------------------------------------------------------------------
+# lifecycle: compaction materializes DVs; vacuum reclaims
+# ---------------------------------------------------------------------------
+
+def test_compact_materializes_dvs(spark, tmp_path):
+    from datacontract_cli_spark.sources.delta_table import compact_delta
+
+    root = str(tmp_path / "t")
+    write_delta_table(_doc_df(spark), root, partition_by=["grp"])
+    delete_rows_delta(spark, root, "doc_id % 3 = 0")
+    before = sorted(r["doc_id"]
+                    for r in read_delta(spark, root).collect())
+    v = compact_delta(spark, root)
+    # row-identical, no DV left in planning, old version still readable
+    after = sorted(r["doc_id"] for r in read_delta(spark, root).collect())
+    assert after == before
+    _, live = plan_delta(root)
+    assert all(not a.get("deletionVector") for a in live)
+    assert read_delta(spark, root, version=0).count() == 200
+    assert read_delta(spark, root, version=v - 1).count() == len(before)
+
+
+def test_compact_mapped_table(spark, tmp_path):
+    from datacontract_cli_spark.sources.delta_table import compact_delta
+
+    root = str(tmp_path / "m")
+    write_delta_table(_doc_df(spark, 50), root, column_mapping="name")
+    delete_rows_delta(spark, root, "doc_id < 10")
+    compact_delta(spark, root)
+    got = read_delta(spark, root)
+    assert sorted(r["doc_id"] for r in got.collect()) == list(range(10, 50))
+    # rewritten files still carry physical names
+    import pyarrow.parquet as pq
+    state, live = plan_delta(root)
+    pfile = os.path.join(root, live[0]["path"])
+    assert all(n.startswith("col-") for n in pq.read_schema(pfile).names)
+
+
+def test_vacuum_reclaims_unreferenced(spark, tmp_path):
+    from datacontract_cli_spark.sources.delta_table import (
+        compact_delta,
+        vacuum_delta,
+    )
+
+    root = str(tmp_path / "t")
+    write_delta_table(_doc_df(spark), root)
+    delete_rows_delta(spark, root, "doc_id % 2 = 0")
+    compact_delta(spark, root)
+    expect = sorted(r["doc_id"] for r in read_delta(spark, root).collect())
+    out = vacuum_delta(root)
+    assert out["deleted_files"] > 0 and out["reclaimed_bytes"] > 0
+    # current version unaffected; DV bin removed with the old files
+    assert sorted(r["doc_id"]
+                  for r in read_delta(spark, root).collect()) == expect
+    assert not [f for f in os.listdir(root) if f.endswith(".bin")]
+
+
+def test_maintain_cli_delta(spark, tmp_path):
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    root = str(tmp_path / "t")
+    write_delta_table(_doc_df(spark, 60), root)
+    delete_rows_delta(spark, root, "doc_id < 6")
+    r = subprocess.run(
+        [_sys.executable, "-m", "datacontract_cli_spark.cli", "maintain",
+         root, "--format", "delta", "--compact", "--vacuum",
+         "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert "compacted_version" in out and out["deleted_files"] > 0
+    assert read_delta(spark, root).count() == 54
