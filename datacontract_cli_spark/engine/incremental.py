@@ -322,6 +322,19 @@ class IncrementalValidator:
         )
 
         state, live_adds = plan_delta(table_path, version)
+        for a in live_adds:
+            dv = a.get("deletionVector")
+            if dv and isinstance(dv, dict) and dv.get("storageType"):
+                # file-granular fingerprints assume immutable file
+                # CONTENTS; a deletion vector changes a file's live rows
+                # without changing its bytes, so per-file metrics would
+                # silently count deleted rows. Refuse honestly — the
+                # batch engine (read_delta applies DVs) or a compaction
+                # (materializes them) are the correct lanes.
+                raise NotImplementedError(
+                    "delta table has deletion vectors; file-incremental "
+                    "validation needs copy-on-write files — run "
+                    "compact_delta first or validate via the batch engine")
         root = _strip_scheme(table_path)
         listing = [
             (_norm_uri("file://" + os.path.join(root, a["path"])),
@@ -396,4 +409,40 @@ class SnapshotTailer:
             with open(tmp, "w") as f:
                 json.dump(state, f)
             os.replace(tmp, self._state_path(model))  # crash-safe per snap
+        return out
+
+    def poll_delta(self, table_path: str, specs: List[CheckSpec],
+                   model: str) -> List[Dict[str, Any]]:
+        """The Delta twin of :meth:`poll`: each unvalidated log VERSION
+        gets an in-order per-version verdict with cumulative fold + delta.
+        The commit log is the offset log; rewrites/compactions drop files
+        from the fold (their rows leave the cumulative counts, so a
+        version's delta can be negative — e.g. OPTIMIZE after a DV
+        delete). State file is shared-shape with the Iceberg tailer."""
+        from datacontract_cli_spark.sources.delta_table import (
+            delta_versions,
+        )
+
+        state = self._load_state(model)
+        seen = set(state["validated"])
+        pending = [v for v in delta_versions(table_path) if v not in seen]
+        out: List[Dict[str, Any]] = []
+        prev_fold = dict(state["last_fold"])
+        for ver in pending:  # version numbers are already append-ordered
+            r = self.iv.run_delta(table_path, specs, model, version=ver)
+            delta = {k: v - prev_fold.get(k, 0)
+                     for k, v in r["folded"].items()
+                     if isinstance(v, (int, float))}
+            out.append({"delta_version": ver, "folded": dict(r["folded"]),
+                        "delta": delta, "new_files": r["new_files"],
+                        "removed_files": r["removed_files"],
+                        "unevaluated": r["unevaluated"]})
+            prev_fold = dict(r["folded"])
+            state["validated"].append(ver)
+            state["last_fold"] = prev_fold
+            os.makedirs(self.checkpoint_dir, exist_ok=True)
+            tmp = self._state_path(model) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(state, f)
+            os.replace(tmp, self._state_path(model))
         return out

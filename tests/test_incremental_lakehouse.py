@@ -116,6 +116,75 @@ def test_delta_log_incremental(spark, tmp_path):
     assert r3["new_files"] == [] and r3["folded"] == r2["folded"]
 
 
+def test_delta_version_tailer(spark, tmp_path):
+    """poll_delta: per-version verdicts with exact deltas, resume across
+    a fresh tailer instance, idle poll empty — the Delta commit log is
+    the offset log (reference binds the same log via delta-spark)."""
+    from datacontract_cli_spark.engine.incremental import SnapshotTailer
+
+    root = str(tmp_path / "dtbl")
+    ckpt = str(tmp_path / "ckpt")
+    df1 = synthesize_transcripts(spark, n_convs=8, turns_per_conv=4,
+                                 defect_rate=0.2)
+    write_delta_table(df1, root, partition_by=["role"])
+
+    tailer = SnapshotTailer(spark, ckpt)
+    r = tailer.poll_delta(root, SPECS, "transcripts")
+    assert [x["delta_version"] for x in r] == [0]
+    exp1 = _expected(df1)
+    assert r[0]["delta"]["row_count"] == exp1["rows"]
+    assert r[0]["delta"]["invalid_role"] == exp1["invalid_role"]
+
+    # two more commits land before the next poll
+    df2 = synthesize_transcripts(spark, n_convs=3, turns_per_conv=4,
+                                 seed=5)
+    df3 = synthesize_transcripts(spark, n_convs=2, turns_per_conv=4,
+                                 defect_rate=0.5, seed=6)
+    write_delta_table(df2, root, mode="append")
+    write_delta_table(df3, root, mode="append")
+
+    # fresh instance resumes from the checkpoint dir
+    r2 = SnapshotTailer(spark, ckpt).poll_delta(root, SPECS, "transcripts")
+    assert [x["delta_version"] for x in r2] == [1, 2]
+    assert r2[0]["delta"]["row_count"] == df2.count()
+    assert r2[0]["delta"]["invalid_role"] == _expected(df2)["invalid_role"]
+    assert r2[1]["delta"]["row_count"] == df3.count()
+    assert r2[1]["delta"]["invalid_role"] == _expected(df3)["invalid_role"]
+    assert r2[1]["folded"]["row_count"] == (df1.count() + df2.count()
+                                            + df3.count())
+
+    # idle poll: nothing pending
+    assert SnapshotTailer(spark, ckpt).poll_delta(root, SPECS,
+                                                  "transcripts") == []
+
+
+def test_delta_incremental_refuses_deletion_vectors(spark, tmp_path):
+    """A DV changes a file's live rows without changing its bytes, so
+    file-granular fingerprints would silently count deleted rows — the
+    incremental lane must refuse; after compact_delta (DVs materialized
+    into copy-on-write files) it works and the fold excludes deletions."""
+    from datacontract_cli_spark.sources.delta_table import (
+        compact_delta,
+        delete_rows_delta,
+    )
+
+    root = str(tmp_path / "dtbl")
+    df = synthesize_transcripts(spark, n_convs=10, turns_per_conv=4,
+                                defect_rate=0.2)
+    write_delta_table(df, root)
+    delete_rows_delta(spark, root, "turn_idx % 2 = 0")
+
+    iv = IncrementalValidator(spark, str(tmp_path / "ckpt"))
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        iv.run_delta(root, SPECS, "transcripts")
+
+    compact_delta(spark, root)
+    r = iv.run_delta(root, SPECS, "transcripts")
+    exp_rows = df.filter(~(F.col("turn_idx") % 2 == 0)).count()
+    assert r["folded"]["row_count"] == exp_rows
+    assert r["unevaluated"] == []
+
+
 ICEBERG_INC_CONTRACT = """
 id: t
 version: 1.0.0
