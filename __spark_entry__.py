@@ -645,6 +645,32 @@ def _q_embedding_near_dups(spark, sf):
     ).select("n_exact", "n_found", (F.col("n_exact") - F.col("n_found")).alias("n_missed"))
 
 
+def _q_semantic_dedup(spark, sf):
+    """SemDeDup survivors over embeddings + planted duplicate groups.
+
+    The synthetic embeddings have no natural cosine-0.99 neighbors (max
+    pairwise ≈0.6), so the query plants them deterministically: every
+    vec_id%7 row gets a ×2-scaled copy at id −(vec_id+1) and every
+    vec_id%21 row additionally a ×0.5 copy at id vec_id+1000000 — positive
+    scaling keeps cosine exactly 1 AND the sign-LSH bucket identical, so
+    the blocked pair set provably equals the brute-force one. Groups of 2
+    and 3; the min-id representative is the NEGATIVE planted id, so the
+    keep policy is visible in the survivor list. The oracle replays the
+    planting + pairs + recursive-CTE components relationally."""
+    emb = _t(spark, sf, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"))
+    dup_neg = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (-(F.col("vec_id") + 1)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"))
+    dup_pos = emb.filter(F.col("vec_id") % 21 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"))
+    corpus = emb.unionByName(dup_neg).unionByName(dup_pos)
+    out = similarity.semantic_dedup(corpus, threshold=0.99)
+    return out.select("vec_id").orderBy("vec_id")
+
+
 def _q_json_validation(spark, sf):
     from pyspark.sql import types as T
     from datacontract_cli_spark.operators.jsonvalidate import json_validation_counts
@@ -1517,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_merge_on_read": _q_iceberg_mor,
         "iceberg_quarantine": _q_iceberg_quarantine,
         "delta_deletion_vectors": _q_delta_deletion_vectors,
+        "semantic_dedup": _q_semantic_dedup,
         # --- green in r03 but pushed past the cap in r04
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
@@ -1539,8 +1566,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_event_type": _q_chi2_event_type,
         # --- LLM-data-pipeline lanes
         "lm_quality_score": _q_lm_quality_score,
-        "benchmark_contamination": _q_benchmark_contamination,
         # ---------------- position 51+: multi-round driver-green, rotated out
+        # (benchmark_contamination rotated late-r5 for semantic_dedup:
+        # green r04, contamination.py untouched since)
+        "benchmark_contamination": _q_benchmark_contamination,
         # (minhash_near_dups/ngram_jaccard_dups rotated late-r5 for
         # agent_loops/error_followup, dedup_exact for ks_by_event_type:
         # green r03+r04 — r01-r04 for dedup_exact — and their dedup.py
@@ -2452,6 +2481,32 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1 ORDER BY 1"
         ),
         "dedup_clusters": _dedup_clusters_oracle(),
+        "semantic_dedup": (
+            # same planted duplicate groups, brute-force cosine pair set,
+            # recursive min-label components, survivors = NOT IN (losers)
+            "WITH RECURSIVE base AS ("
+            "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            "embedding::DOUBLE[] AS v FROM embeddings), "
+            "corpus AS MATERIALIZED ("
+            "SELECT vec_id, v FROM base "
+            "UNION ALL SELECT -(vec_id + 1), "
+            "list_transform(v, x -> x * 2.0) FROM base WHERE vec_id % 7 = 0 "
+            "UNION ALL SELECT vec_id + 1000000, "
+            "list_transform(v, x -> x * 0.5) FROM base WHERE vec_id % 21 = 0), "
+            "p AS MATERIALIZED (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.99), "
+            "edges AS MATERIALIZED ("
+            "SELECT id_a AS a, id_b AS b FROM p "
+            "UNION SELECT id_b, id_a FROM p), "
+            "cc(node, label) AS (SELECT a, a FROM edges "
+            "UNION SELECT e2.a, cc.label FROM edges e2 "
+            "JOIN cc ON cc.node = e2.b), "
+            "losers AS (SELECT node FROM cc GROUP BY node "
+            "HAVING node != min(label)) "
+            "SELECT vec_id FROM corpus "
+            "WHERE vec_id NOT IN (SELECT node FROM losers) ORDER BY vec_id"
+        ),
         "fd_violations": (
             "SELECT "
             "(SELECT CAST(coalesce(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) "

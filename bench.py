@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "agent_loops",
     "error_followup",
     "ks_by_event_type",
+    "semantic_dedup",
 ]
 
 TRANSCRIPT_CONVS = int(os.environ.get("BENCH_TRANSCRIPT_CONVS", "1000000"))

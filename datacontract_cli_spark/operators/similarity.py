@@ -264,6 +264,45 @@ def embedding_near_duplicates(
     return pairs.filter(F.col("cosine_sim") >= threshold)
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    **lsh_kwargs,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023): drop
+    every row whose embedding is cosine-≥-threshold close to another,
+    keeping ONE representative per duplicate group — the minimum id, a
+    deterministic stand-in for the paper's keep-farthest-from-centroid
+    policy (any fixed tie-break dedups equally; min-id is replayable by a
+    relational oracle).
+
+    Composition, each piece already scale-shaped:
+      pairs      — ``embedding_near_duplicates``: sign-LSH blocked, exact
+                   cosine only inside shared buckets, payload-free shuffle
+      groups     — ``connected_components``: min-label + pointer jumping,
+                   O(log diameter) rounds (duplicate groups are transitive:
+                   a~b, b~c puts a,c in one group even below threshold,
+                   same as the paper's within-cluster dedup)
+      survivors  — one LEFT ANTI join of df against the loser ids (nodes
+                   whose component min is another id); AQE picks the join
+                   strategy since the loser fraction is data-dependent
+                   (near-zero for a clean corpus, huge for a crawl).
+    """
+    from datacontract_cli_spark.operators.dedup import connected_components
+
+    pairs = embedding_near_duplicates(
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold, **lsh_kwargs
+    )
+    comps = connected_components(pairs)
+    losers = (
+        comps.filter(F.col("node") != F.col("cluster_id"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def centroid_drift(df: DataFrame, vec_col: str, group_col: str,
                    round_to: int = 5) -> DataFrame:
     """Per-group embedding centroid vs the global centroid (cosine).

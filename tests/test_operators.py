@@ -282,6 +282,24 @@ def test_embedding_near_duplicates(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
 
 
+def test_semantic_dedup_keeps_min_id_per_group(spark):
+    """Groups are transitive (1~2, 2~3 chains via scaling) and the min-id
+    representative survives; unrelated vectors pass through untouched."""
+    rng = np.random.default_rng(7)
+    a, b = rng.standard_normal(8), rng.standard_normal(8)
+    rows = [
+        (1, a.tolist()), (2, (a * 2.0).tolist()), (3, (a * 0.5).tolist()),
+        (10, b.tolist()), (11, (b * 3.0).tolist()),
+        (20, (-a).tolist()),          # anti-parallel: cosine -1, kept
+        (30, rng.standard_normal(8).tolist()),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(r["vec_id"] for r in
+                  similarity.semantic_dedup(df, threshold=0.99,
+                                            nbits=6).collect())
+    assert kept == [1, 10, 20, 30]
+
+
 # --- textstats --------------------------------------------------------------------
 
 def test_token_counts(spark):
