@@ -667,7 +667,12 @@ def _q_semantic_dedup(spark, sf):
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"))
     corpus = emb.unionByName(dup_neg).unionByName(dup_pos)
-    out = similarity.semantic_dedup(corpus, threshold=0.99)
+    # survivors are kernel-independent: identical-direction vectors
+    # co-bucket under both kernels (sign(v·p) is scale-invariant), and no
+    # natural pair reaches 0.99
+    import os
+    kernel = os.environ.get("DCSPARK_EMB_LSH_KERNEL", "expr")
+    out = similarity.semantic_dedup(corpus, threshold=0.99, kernel=kernel)
     return out.select("vec_id").orderBy("vec_id")
 
 

@@ -127,6 +127,9 @@ def main() -> None:
     os.environ.setdefault("DCSPARK_WINNOW_FAMILY", "arrow")
     # contamination: production joins on xxhash64(gram) longs, not strings
     os.environ.setdefault("DCSPARK_CONTAM_HASH_GRAMS", "1")
+    # numpy matmul bucket assignment: collapses the ~3k-node Catalyst
+    # bucket tree whose per-round re-analysis dominates semantic_dedup
+    os.environ.setdefault("DCSPARK_EMB_LSH_KERNEL", "arrow")
 
     import __spark_entry__ as entry_mod
     from datacontract_cli_spark.session import get_spark

@@ -266,6 +266,27 @@ def build_parser() -> argparse.ArgumentParser:
                         "via an equality-delete snapshot")
     q.add_argument("--master", default=None)
 
+    tl = sub.add_parser(
+        "tail",
+        help="CDC-style: validate each Iceberg snapshot / Delta version "
+             "that landed since the last poll; one JSON verdict line per "
+             "snapshot, thresholds applied to the snapshot's delta counts")
+    tl.add_argument("contract")
+    tl.add_argument("--table", required=True,
+                    help="Iceberg or Delta table directory")
+    tl.add_argument("--format", choices=["iceberg", "delta"],
+                    default="iceberg")
+    tl.add_argument("--schema-name", default=None,
+                    help="model to validate (default: first in contract)")
+    tl.add_argument("--checkpoint-dir", required=True,
+                    help="tailer state directory (resume point)")
+    tl.add_argument("--follow", action="store_true",
+                    help="keep polling every --interval seconds")
+    tl.add_argument("--interval", type=float, default=30.0)
+    tl.add_argument("--max-polls", type=int, default=None,
+                    help="stop --follow after N polls")
+    tl.add_argument("--master", default=None)
+
     mt = sub.add_parser(
         "maintain",
         help="Table maintenance: bin-pack compaction (materializes "
@@ -506,6 +527,55 @@ def main(argv: list[str] | None = None) -> int:
             "checks_applied": rep.checks_applied,
         }))
         return 0
+
+    if args.command == "tail":
+        import json as _json
+        import os as _os
+        import time as _time
+
+        from datacontract_cli_spark.engine.executor import SparkContractEngine
+        from datacontract_cli_spark.model.run import ResultEnum
+        from datacontract_cli_spark.session import get_spark
+
+        try:
+            contract = load_contract(args.contract)
+        except (OSError, ValueError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        model = args.schema_name or contract.schema_objects[0].name
+        master = args.master or \
+            f"local[{_os.environ.get('SPARK_GRAFT_CPUS', '4')}]"
+        spark = get_spark("dcspark-tail", master=master)
+        engine = SparkContractEngine(spark)
+        any_failed = False
+        polls = 0
+        while True:
+            try:
+                verdicts = engine.tail(contract, args.table, model,
+                                       args.checkpoint_dir,
+                                       table_format=args.format)
+            except Exception as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 1
+            for sid, run, result in verdicts:
+                if run.result is ResultEnum.failed:
+                    any_failed = True
+                print(_json.dumps({
+                    "snapshot_id" if args.format == "iceberg"
+                    else "version": sid,
+                    "result": run.result.value,
+                    "new_files": len(result["new_files"]),
+                    "checks": [{"key": c.key, "result":
+                                c.result.value if c.result else None,
+                                "value": (c.diagnostics or {}).get("value")}
+                               for c in run.checks],
+                }), flush=True)
+            polls += 1
+            if not args.follow or (args.max_polls is not None
+                                   and polls >= args.max_polls):
+                break
+            _time.sleep(args.interval)
+        return 1 if any_failed else 0
 
     if args.command == "maintain":
         import json as _json

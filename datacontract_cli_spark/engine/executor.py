@@ -345,6 +345,71 @@ class SparkContractEngine:
             run.checks.append(check)
         return run.finish(), result
 
+    def tail(
+        self,
+        contract: DataContract,
+        path: str,
+        model: str,
+        checkpoint_dir: str,
+        table_format: str = "iceberg",
+    ):
+        """CDC-style validation: every Iceberg snapshot / Delta commit
+        version not yet validated gets an in-order Run. Thresholds are
+        evaluated against that snapshot's DELTA counts — the verdict
+        gates the newly arrived rows, not the cumulative table (one
+        historical bad row would otherwise fail every future snapshot;
+        the cumulative fold stays visible in diagnostics). Returns a
+        list of (snapshot_id_or_version, Run, result). Count checks
+        only, same contract subset as :meth:`test_incremental`."""
+        from datacontract_cli_spark.engine.incremental import SnapshotTailer
+
+        specs = [s for s in compile_checks(contract, None) if s.model == model
+                 and s.metric in (MetricType.ROW_COUNT,
+                                  MetricType.MISSING_COUNT,
+                                  MetricType.INVALID_COUNT)]
+        tailer = SnapshotTailer(self.spark, checkpoint_dir)
+        if table_format == "delta":
+            polled = tailer.poll_delta(path, specs, model)
+        else:
+            polled = tailer.poll(path, specs, model)
+        out = []
+        for result in polled:
+            sid = result.get("snapshot_id", result.get("delta_version"))
+            run = Run(dataContractId=contract.id,
+                      dataContractVersion=contract.version)
+            unevaluated = set(result.get("unevaluated") or [])
+            for spec in specs:
+                check = Check(key=spec.key, category=spec.category,
+                              type=spec.type, name=spec.name,
+                              model=spec.model, field=spec.field,
+                              language="spark-sql", dimension=spec.dimension)
+                if spec.key in unevaluated:
+                    check.result = ResultEnum.error
+                    check.reason = (f"column '{spec.field}' not present in "
+                                    "the validated files")
+                    check.diagnostics = {"metric": spec.metric.value,
+                                         "value": None, "snapshot_id": sid}
+                    run.checks.append(check)
+                    continue
+                value = result["delta"].get(
+                    spec.key, result["delta"]["row_count"]
+                    if spec.metric is MetricType.ROW_COUNT else 0)
+                if spec.threshold is not None:
+                    check.result = (ResultEnum.passed
+                                    if spec.threshold.passes(value)
+                                    else _fail_result(spec))
+                check.diagnostics = {
+                    "metric": spec.metric.value, "value": value,
+                    "cumulative": result["folded"].get(
+                        spec.key, result["folded"]["row_count"]
+                        if spec.metric is MetricType.ROW_COUNT else 0),
+                    "snapshot_id": sid,
+                    "n_new_files": len(result["new_files"]),
+                }
+                run.checks.append(check)
+            out.append((sid, run.finish(), result))
+        return out
+
     # ------------------------------------------------------------------
     # filtering
     # ------------------------------------------------------------------

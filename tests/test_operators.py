@@ -282,9 +282,11 @@ def test_embedding_near_duplicates(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
 
 
-def test_semantic_dedup_keeps_min_id_per_group(spark):
+@pytest.mark.parametrize("kernel", ["expr", "arrow"])
+def test_semantic_dedup_keeps_min_id_per_group(spark, kernel):
     """Groups are transitive (1~2, 2~3 chains via scaling) and the min-id
-    representative survives; unrelated vectors pass through untouched."""
+    representative survives; unrelated vectors pass through untouched —
+    identically under the Catalyst-expression and numpy bucket kernels."""
     rng = np.random.default_rng(7)
     a, b = rng.standard_normal(8), rng.standard_normal(8)
     rows = [
@@ -295,8 +297,8 @@ def test_semantic_dedup_keeps_min_id_per_group(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     kept = sorted(r["vec_id"] for r in
-                  similarity.semantic_dedup(df, threshold=0.99,
-                                            nbits=6).collect())
+                  similarity.semantic_dedup(df, threshold=0.99, nbits=6,
+                                            kernel=kernel).collect())
     assert kept == [1, 10, 20, 30]
 
 

@@ -105,8 +105,10 @@ def test_connected_components_releases_caches(spark):
     out = dedup.connected_components(pairs)
     out.collect()
     after = len([r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
-    # only the final labels frame may stay cached
-    assert after - before <= 1
+    # the final labels frame may stay cached, plus the edges
+    # localCheckpoint blocks (lineage cut for expression-heavy pair
+    # producers; released by the context cleaner on GC, not on scope exit)
+    assert after - before <= 2
 
 
 # ---------------------------------------------------------------------------
