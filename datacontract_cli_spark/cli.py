@@ -560,7 +560,7 @@ def main(argv: list[str] | None = None) -> int:
             for sid, run, result in verdicts:
                 if run.result is ResultEnum.failed:
                     any_failed = True
-                print(_json.dumps({
+                line = {
                     "snapshot_id" if args.format == "iceberg"
                     else "version": sid,
                     "result": run.result.value,
@@ -569,7 +569,12 @@ def main(argv: list[str] | None = None) -> int:
                                 c.result.value if c.result else None,
                                 "value": (c.diagnostics or {}).get("value")}
                                for c in run.checks],
-                }), flush=True)
+                }
+                if result.get("error"):
+                    line["error"] = result["error"]
+                if result.get("data_change") is False:
+                    line["data_change"] = False
+                print(_json.dumps(line), flush=True)
             polls += 1
             if not args.follow or (args.max_polls is not None
                                    and polls >= args.max_polls):
@@ -585,6 +590,16 @@ def main(argv: list[str] | None = None) -> int:
                 and not getattr(args, "vacuum", False):
             print("error: nothing to do (pass --compact, --expire-keep N "
                   "and/or --vacuum)", file=sys.stderr)
+            return 1
+        # flag/format combinations are rejected BEFORE any work runs — a
+        # compaction must not commit and then exit 1 on a later bad flag
+        if args.expire_keep is not None and args.format == "delta":
+            print("error: --expire-keep is iceberg-only; use --vacuum "
+                  "for delta", file=sys.stderr)
+            return 1
+        if getattr(args, "vacuum", False) and args.format == "iceberg":
+            print("error: --vacuum is delta-only; use --expire-keep N "
+                  "for iceberg", file=sys.stderr)
             return 1
         out = {}
         try:
@@ -607,20 +622,12 @@ def main(argv: list[str] | None = None) -> int:
                         spark, args.table,
                         files_per_group=args.target_files)
             if args.expire_keep is not None:
-                if args.format == "delta":
-                    print("error: --expire-keep is iceberg-only; use "
-                          "--vacuum for delta", file=sys.stderr)
-                    return 1
                 from datacontract_cli_spark.sources.iceberg_write import (
                     expire_snapshots,
                 )
                 out.update(expire_snapshots(args.table,
                                             keep_last=args.expire_keep))
             if getattr(args, "vacuum", False):
-                if args.format != "delta":
-                    print("error: --vacuum is delta-only; use "
-                          "--expire-keep for iceberg", file=sys.stderr)
-                    return 1
                 from datacontract_cli_spark.sources.delta_table import (
                     vacuum_delta,
                 )

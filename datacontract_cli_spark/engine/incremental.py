@@ -322,6 +322,17 @@ class IncrementalValidator:
         )
 
         state, live_adds = plan_delta(table_path, version)
+        from datacontract_cli_spark.sources.delta_table import _mapping_mode
+        if _mapping_mode(state["metadata"]) != "none":
+            # the incremental lane reads raw parquet with the LOGICAL
+            # schema; a column-mapped table stores PHYSICAL
+            # (col-<uuid>) names, so every column would silently read
+            # as NULL — refuse, same honesty as the DV guard (the batch
+            # read_delta handles the mapping)
+            raise NotImplementedError(
+                "delta table uses column mapping; file-incremental "
+                "validation reads raw parquet by logical name — "
+                "validate via the batch engine")
         for a in live_adds:
             dv = a.get("deletionVector")
             if dv and isinstance(dv, dict) and dv.get("storageType"):
@@ -388,7 +399,9 @@ class SnapshotTailer:
 
         state = self._load_state(model)
         seen = set(state["validated"])
-        pending = [s["snapshot_id"] for s in snapshots(table_path)
+        snaps = snapshots(table_path)
+        ops = {s["snapshot_id"]: s.get("operation") for s in snaps}
+        pending = [s["snapshot_id"] for s in snaps
                    if s["snapshot_id"] not in seen]
         out: List[Dict[str, Any]] = []
         prev_fold = dict(state["last_fold"])
@@ -400,7 +413,11 @@ class SnapshotTailer:
                      if isinstance(v, (int, float))}
             out.append({"snapshot_id": sid, "folded": dict(r["folded"]),
                         "delta": delta, "new_files": r["new_files"],
-                        "unevaluated": r["unevaluated"]})
+                        "unevaluated": r["unevaluated"],
+                        "operation": ops.get(sid),
+                        # replace = compaction/rewrite: same rows, new
+                        # files — thresholds should not gate it
+                        "data_change": ops.get(sid) != "replace"})
             prev_fold = dict(r["folded"])
             state["validated"].append(sid)
             state["last_fold"] = prev_fold
@@ -420,6 +437,7 @@ class SnapshotTailer:
         version's delta can be negative — e.g. OPTIMIZE after a DV
         delete). State file is shared-shape with the Iceberg tailer."""
         from datacontract_cli_spark.sources.delta_table import (
+            commit_data_change,
             delta_versions,
         )
 
@@ -428,21 +446,50 @@ class SnapshotTailer:
         pending = [v for v in delta_versions(table_path) if v not in seen]
         out: List[Dict[str, Any]] = []
         prev_fold = dict(state["last_fold"])
+
+        def _save() -> None:
+            os.makedirs(self.checkpoint_dir, exist_ok=True)
+            tmp = self._state_path(model) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(state, f)
+            os.replace(tmp, self._state_path(model))
+
         for ver in pending:  # version numbers are already append-ordered
-            r = self.iv.run_delta(table_path, specs, model, version=ver)
+            try:
+                r = self.iv.run_delta(table_path, specs, model, version=ver)
+            except Exception as e:  # noqa: BLE001 — verdicts must surface
+                msg = str(e)
+                # permanent: vacuumed files never come back, and a DV /
+                # column-mapping refusal holds for that version forever
+                gone = (isinstance(e, (FileNotFoundError,
+                                       NotImplementedError))
+                        or "PATH_NOT_FOUND" in msg
+                        or "does not exist" in msg)
+                out.append({"delta_version": ver, "error": msg,
+                            "folded": dict(prev_fold), "delta": {},
+                            "new_files": [], "removed_files": [],
+                            "unevaluated": [], "data_change": False})
+                if gone:
+                    # vacuumed history: this version's files are gone
+                    # FOREVER — emit one error verdict, mark validated,
+                    # keep tailing (otherwise a fresh checkpoint dir on a
+                    # vacuumed table re-fails the same version every poll)
+                    state["validated"].append(ver)
+                    _save()
+                    continue
+                # transient failure: surface the verdicts already
+                # computed; this version retries on the next poll
+                break
             delta = {k: v - prev_fold.get(k, 0)
                      for k, v in r["folded"].items()
                      if isinstance(v, (int, float))}
             out.append({"delta_version": ver, "folded": dict(r["folded"]),
                         "delta": delta, "new_files": r["new_files"],
                         "removed_files": r["removed_files"],
-                        "unevaluated": r["unevaluated"]})
+                        "unevaluated": r["unevaluated"],
+                        "data_change": commit_data_change(table_path, ver)})
             prev_fold = dict(r["folded"])
             state["validated"].append(ver)
             state["last_fold"] = prev_fold
-            os.makedirs(self.checkpoint_dir, exist_ok=True)
-            tmp = self._state_path(model) + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(state, f)
-            os.replace(tmp, self._state_path(model))
+            _save()
         return out

@@ -830,13 +830,24 @@ def connected_components(
         .persist()
     )
 
+    # fixed-point detection: labels only ever DECREASE, so for NUMERIC ids
+    # an unchanged exact sum ⇔ convergence — one aggregate per round.
+    # decimal(38,0) cannot overflow for any realistic id space (a long sum
+    # could wrap). Non-numeric ids (string/binary doc keys are a public
+    # id_col choice) have no sum: casting would yield NULL == NULL and
+    # stop after one round, so they keep the type-agnostic
+    # changed-label join-count instead.
+    from pyspark.sql import types as T
+    numeric_labels = isinstance(
+        labels.schema["label"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.FloatType, T.DoubleType, T.DecimalType))
+
     def _label_sum(frame: DataFrame):
-        # decimal(38,0): an exact sum that cannot overflow for any
-        # realistic id space (long sum could wrap)
         return frame.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
 
-    prev_sum = _label_sum(labels)
+    prev_sum = _label_sum(labels) if numeric_labels else None
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["node"])
@@ -866,16 +877,22 @@ def connected_components(
                                        stepped["label"])).alias("label"))
             .persist()
         )
-        # labels only ever DECREASE, so an unchanged sum ⇔ a fixed
-        # point — one aggregate on the cached frame instead of a
-        # join-and-count per round
-        new_sum = _label_sum(new_labels)
+        if numeric_labels:
+            new_sum = _label_sum(new_labels)
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1).count() == 0
+            )
         if labels.is_cached:
             labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:
+        if converged:
             break
-        prev_sum = new_sum
     # same scoped-persist discipline as minhash_candidates: the caller
     # receives THE cached frame (their unpersist() actually releases
     # storage); the edges checkpoint blocks are dropped by the context

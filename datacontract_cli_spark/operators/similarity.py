@@ -261,6 +261,13 @@ def embedding_near_duplicates(
 
         def _assign(batches):
             for pdf in batches:
+                # null / wrong-length vectors get NO bucket row — the expr
+                # path maps them to a null bucket that never equi-joins,
+                # so dropping them here is behavior-identical (and a
+                # ragged batch would otherwise break the matmul)
+                ok = pdf[vec_col].map(
+                    lambda v: v is not None and len(v) == dim)
+                pdf = pdf[ok]
                 n = len(pdf)
                 if n == 0:
                     continue
@@ -347,7 +354,12 @@ def semantic_dedup(
     losers = (
         comps.filter(F.col("node") != F.col("cluster_id"))
         .select(F.col("node").alias(id_col))
+        # scoped persist: materialize the (small) loser ids, then release
+        # the cluster table connected_components cached for us — same
+        # leak class pipeline.curate_corpus guards against
+        .localCheckpoint(eager=True)
     )
+    comps.unpersist()
     return df.join(losers, id_col, "left_anti")
 
 

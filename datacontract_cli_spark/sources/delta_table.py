@@ -333,8 +333,16 @@ def read_delta(spark: SparkSession, table_path: str,
     def _scan(paths: List[str]) -> DataFrame:
         g = spark.read.schema(data_phys).parquet(*paths)
         if with_pos:
-            g = (g.withColumn("__dl_file", F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:(//)?", ""))
+            # _metadata.file_path is a URI: percent-encoded (space →
+            # %20), while the DV/descriptor side carries raw filesystem
+            # paths. url_decode after shielding literal '+' (form
+            # decoding would turn it into a space) makes the join key
+            # the raw path on both sides; URI encoding is injective, so
+            # decoding is correct even for names containing literal %XX.
+            g = (g.withColumn("__dl_file", F.url_decode(F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:(//)?", ""),
+                    r"\+", "%2B")))
                  .withColumn("__dl_pos", F.col("_metadata.row_index")))
         return g
 
@@ -405,6 +413,28 @@ def read_delta(spark: SparkSession, table_path: str,
         else:
             raise ValueError(f"unsupported filter op {op!r}")
     return df
+
+
+def commit_data_change(table_path: str, version: int) -> bool:
+    """Did this commit change table DATA? False for maintenance commits
+    whose add/remove actions all carry ``dataChange=false`` (OPTIMIZE /
+    compaction) and for metadata-only commits; True when any action
+    changes data, and True by default for versions whose commit JSON is
+    gone (checkpoint-compacted history — can't tell, assume data)."""
+    p = os.path.join(_log_dir(table_path), f"{version:020d}.json")
+    if not os.path.exists(p):
+        return True
+    changed = False
+    with open(p) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            a = json.loads(line)
+            for k in ("add", "remove"):
+                if k in a and a[k].get("dataChange", True):
+                    changed = True
+    return changed
 
 
 def delta_versions(table_path: str) -> List[int]:

@@ -58,7 +58,7 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -680,6 +680,17 @@ def plan_scan_with_deletes(table_path: str,
     return meta, data_entries, delete_entries
 
 
+def _decoded_file_path() -> Column:
+    """``_metadata.file_path`` as a RAW filesystem path: scheme stripped
+    and percent-decoding applied (the metadata column is a URI — space is
+    %20 — while manifests/delete files record raw paths; joining the two
+    must agree). Literal '+' is shielded first because url_decode does
+    form decoding ('+' → space)."""
+    return F.url_decode(F.regexp_replace(
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", ""),
+        r"\+", "%2B"))
+
+
 def _rebase_pathcol(df: DataFrame, col: str, location: str,
                     root: str) -> DataFrame:
     """Normalize a parquet-recorded file-path column: strip any file:
@@ -752,9 +763,7 @@ def _apply_mor_deletes(spark: SparkSession, meta: Dict[str, Any],
                  "fields": write_sch["fields"]})).parquet(*paths)
         if pk or keep_position:
             df = (df
-                  .withColumn("__icb_file",
-                              F.regexp_replace(F.col("_metadata.file_path"),
-                                               "^file:(//)?", ""))
+                  .withColumn("__icb_file", _decoded_file_path())
                   .withColumn("__icb_pos", F.col("_metadata.row_index")))
         if pk:
             dels = spark.read.parquet(*pk).select("file_path", "pos")
@@ -853,9 +862,7 @@ def read_iceberg(spark: SparkSession, table_path: str,
             part = spark.read.schema(schema_struct(meta, wsid)).parquet(*ps)
             if with_position:
                 part = (part
-                        .withColumn("__icb_file", F.regexp_replace(
-                            F.col("_metadata.file_path"),
-                            "^file:(//)?", ""))
+                        .withColumn("__icb_file", _decoded_file_path())
                         .withColumn("__icb_pos",
                                     F.col("_metadata.row_index")))
             if wsid != cur_sid:

@@ -295,6 +295,62 @@ def test_cli_tail_iceberg(spark, tmp_path, capsys):
     assert bad["value"] > 0
 
 
+def test_tail_delta_full_lifecycle(spark, tmp_path):
+    """The tailer survives the whole table lifecycle: a DV DELETE version
+    gets ONE error verdict then is skipped forever (file-incremental
+    can't validate it), a compaction commit (dataChange=false) passes
+    without threshold gating, and a vacuumed history yields error
+    verdicts instead of an eternally stuck poll."""
+    from datacontract_cli_spark.engine.executor import SparkContractEngine
+    from datacontract_cli_spark.engine.incremental import SnapshotTailer
+    from datacontract_cli_spark.model.contract import load_contract_str
+    from datacontract_cli_spark.model.run import ResultEnum
+    from datacontract_cli_spark.sources.delta_table import (
+        compact_delta,
+        delete_rows_delta,
+        vacuum_delta,
+    )
+
+    root = str(tmp_path / "dtbl")
+    df = synthesize_transcripts(spark, n_convs=8, turns_per_conv=4,
+                                defect_rate=0.0)
+    write_delta_table(df, root)                      # v0
+    delete_rows_delta(spark, root, "turn_idx = 0")   # v1 (DVs)
+    compact_delta(spark, root)                       # v2 (dataChange=false)
+
+    contract = load_contract_str(ICEBERG_INC_CONTRACT)
+    engine = SparkContractEngine(spark)
+    verdicts = engine.tail(contract, root, "transcripts",
+                           str(tmp_path / "ckpt"), table_format="delta")
+    assert [sid for sid, _, _ in verdicts] == [0, 1, 2]
+    assert verdicts[0][1].result is ResultEnum.passed
+    # v1 carries DVs: one honest error verdict, never a silent skip
+    assert verdicts[1][1].result is ResultEnum.error
+    assert "deletion vectors" in verdicts[1][1].checks[0].reason
+    # v2 is maintenance: passes even though its row delta is negative
+    run2 = verdicts[2][1]
+    assert run2.result is ResultEnum.passed
+    assert verdicts[2][2]["data_change"] is False
+    assert all("maintenance" in (c.reason or "") for c in run2.checks)
+
+    # nothing pending afterwards (the DV version is not retried)
+    assert engine.tail(contract, root, "transcripts",
+                       str(tmp_path / "ckpt"), table_format="delta") == []
+
+    # vacuum reclaims pre-compaction files; a FRESH tailer over the
+    # truncated history gets error verdicts for v0/v1 and a clean v2
+    vacuum_delta(root)
+    tailer = SnapshotTailer(spark, str(tmp_path / "ckpt2"))
+    out = tailer.poll_delta(root, SPECS, "transcripts")
+    assert [x["delta_version"] for x in out] == [0, 1, 2]
+    assert out[0].get("error") and out[1].get("error")
+    assert not out[2].get("error")
+    exp = df.filter(F.col("turn_idx") != 0).count()
+    assert out[2]["folded"]["row_count"] == exp
+    # and the stuck-poll regression: a second fresh poll has nothing
+    assert tailer.poll_delta(root, SPECS, "transcripts") == []
+
+
 def test_snapshot_tailer(spark, tmp_path):
     """Per-snapshot verdicts with exact deltas; resume skips validated
     snapshots even across a fresh tailer instance."""

@@ -99,6 +99,19 @@ def test_connected_components_long_chain(spark):
     assert len(got) == n + 1
 
 
+def test_connected_components_string_ids_long_chain(spark):
+    """Non-numeric node ids have no label sum — convergence must fall
+    back to the changed-label join, and a chain still fully collapses
+    (a premature fixed-point would stop after distance 2)."""
+    n = 12
+    pairs = spark.createDataFrame(
+        [(f"doc{i:04d}", f"doc{i + 1:04d}") for i in range(n)],
+        "id_a string, id_b string")
+    got = dedup.connected_components(pairs).collect()
+    assert {r["cluster_id"] for r in got} == {"doc0000"}
+    assert len(got) == n + 1
+
+
 def test_connected_components_releases_caches(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     before = len([r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
