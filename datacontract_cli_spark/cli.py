@@ -298,9 +298,14 @@ def build_parser() -> argparse.ArgumentParser:
     mt.add_argument("--compact", action="store_true",
                     help="rewrite data files bin-packed; applies pending "
                          "merge-on-read delete files / deletion vectors")
-    mt.add_argument("--target-files", type=int, default=1,
+    mt.add_argument("--target-files", type=int, default=None,
                     help="files per partition group after compaction "
-                         "(iceberg)")
+                         "(default 1, or 8 with --zorder-by)")
+    mt.add_argument("--zorder-by", default=None,
+                    help="comma-separated columns: cut the rewritten "
+                         "files along Morton-code ranges so stats "
+                         "pruning works on every listed column "
+                         "(OPTIMIZE ... ZORDER BY)")
     mt.add_argument("--expire-keep", type=int, default=None,
                     help="expire all but the newest N snapshots and "
                          "delete unreferenced files (iceberg)")
@@ -586,6 +591,10 @@ def main(argv: list[str] | None = None) -> int:
         import json as _json
         import os as _os
 
+        if args.zorder_by and not args.compact:
+            print("error: --zorder-by requires --compact",
+                  file=sys.stderr)
+            return 1
         if not args.compact and args.expire_keep is None \
                 and not getattr(args, "vacuum", False):
             print("error: nothing to do (pass --compact, --expire-keep N "
@@ -608,19 +617,24 @@ def main(argv: list[str] | None = None) -> int:
                 master = args.master or \
                     f"local[{_os.environ.get('SPARK_GRAFT_CPUS', '4')}]"
                 spark = get_spark("dcspark-maintain", master=master)
+                zcols = ([c.strip() for c in args.zorder_by.split(",")
+                          if c.strip()] if args.zorder_by else None)
+                n_files = args.target_files if args.target_files \
+                    is not None else (8 if zcols else 1)
                 if args.format == "delta":
                     from datacontract_cli_spark.sources.delta_table import (
                         compact_delta,
                     )
                     out["compacted_version"] = compact_delta(
-                        spark, args.table)
+                        spark, args.table, zorder_by=zcols,
+                        target_files=n_files)
                 else:
                     from datacontract_cli_spark.sources.iceberg_write import (
                         compact_iceberg,
                     )
                     out["compacted_snapshot_id"] = compact_iceberg(
-                        spark, args.table,
-                        files_per_group=args.target_files)
+                        spark, args.table, files_per_group=n_files,
+                        zorder_by=zcols)
             if args.expire_keep is not None:
                 from datacontract_cli_spark.sources.iceberg_write import (
                     expire_snapshots,

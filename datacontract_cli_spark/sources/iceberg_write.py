@@ -352,7 +352,9 @@ def _partition_expr(p: Dict[str, Any]):
 
 def _write_data_files(df: DataFrame, data_dir: str,
                       parts: List[Dict[str, Any]],
-                      files_per_group: int) -> List[Tuple[Dict, List[str]]]:
+                      files_per_group: int,
+                      zorder_by: Optional[Sequence[str]] = None
+                      ) -> List[Tuple[Dict, List[str]]]:
     """[(partition_values, parquet paths)] — full rows in every file
     (Iceberg keeps partition source columns in the data, unlike Hive).
     ``parts`` are parsed transform specs; grouping runs on derived
@@ -384,10 +386,22 @@ def _write_data_files(df: DataFrame, data_dir: str,
     else:
         groups.append(({}, df, data_dir))
 
+    z_bounds = None
+    if zorder_by:
+        from datacontract_cli_spark.sources.zorder import zorder_boundaries
+        z_bounds = zorder_boundaries(df, zorder_by)
+
     out: List[Tuple[Dict, List[str]]] = []
     for pv, sub, subdir in groups:
-        sub.repartition(files_per_group).write.mode("overwrite") \
-           .parquet(subdir)
+        if zorder_by:
+            from datacontract_cli_spark.sources.zorder import (
+                cluster_by_zorder,
+            )
+            sub = cluster_by_zorder(sub, zorder_by, files_per_group,
+                                    boundaries=z_bounds)
+        else:
+            sub = sub.repartition(files_per_group)
+        sub.write.mode("overwrite").parquet(subdir)
         files = sorted(
             os.path.join(subdir, f) for f in os.listdir(subdir)
             if f.endswith(".parquet"))
@@ -571,7 +585,8 @@ def evolve_schema_iceberg(table_path: str,
 
 
 def compact_iceberg(spark, table_path: str,
-                    files_per_group: int = 1) -> int:
+                    files_per_group: int = 1,
+                    zorder_by: Optional[Sequence[str]] = None) -> int:
     """Bin-pack compaction (rewrite_data_files + apply pending deletes):
     read the current table state — merge-on-read delete files applied —
     and commit it as a REPLACE snapshot whose manifest list references
@@ -589,7 +604,8 @@ def compact_iceberg(spark, table_path: str,
     df = read_iceberg(spark, table_path)
     return _commit(df, table_path, _spec_to_partition_by(meta),
                    files_per_group, dict(meta.get("properties") or {}),
-                   base_meta=meta, operation="replace", replace_prior=True)
+                   base_meta=meta, operation="replace", replace_prior=True,
+                   zorder_by=zorder_by)
 
 
 def expire_snapshots(table_path: str, keep_last: int = 1) -> Dict[str, int]:
@@ -912,7 +928,8 @@ def _commit(df: DataFrame, table_path: str, partition_by: Sequence[str],
             base_meta: Optional[Dict[str, Any]],
             extra_manifests: Optional[List[Dict[str, Any]]] = None,
             operation: str = "append",
-            replace_prior: bool = False) -> int:
+            replace_prior: bool = False,
+            zorder_by: Optional[Sequence[str]] = None) -> int:
     root = _strip_scheme(table_path)
     meta_dir = os.path.join(root, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
@@ -969,7 +986,8 @@ def _commit(df: DataFrame, table_path: str, partition_by: Sequence[str],
     data_dir = os.path.join(root, "data",
                             f"snap-{snapshot_id}") if base_meta is not None \
         else os.path.join(root, "data")
-    written = _write_data_files(df, data_dir, parts, files_per_group)
+    written = _write_data_files(df, data_dir, parts, files_per_group,
+                                zorder_by=zorder_by)
     entry_schema = _manifest_entry_schema(part_fields_avro)
     entries = []
     added_rows = 0
