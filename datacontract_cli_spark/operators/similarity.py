@@ -202,6 +202,159 @@ class IVFIndex:
                            "v", query, k, id_col="vec_id")
 
 
+class PQIndex:
+    """Product quantization (Jégou et al., TPAMI 2011 — the FAISS ``PQ``
+    index): each vector splits into ``m`` subvectors and every subspace is
+    k-means'd to ``2**nbits`` codewords, so a ``dim``-float vector
+    compresses to ``m`` bytes. Query scoring is Asymmetric Distance
+    Computation (ADC): one (m, 2^nbits) lookup table built from the
+    query on the driver, candidate score = sum of m table entries — the
+    scan reads CODES only, never the float vectors.
+
+    Scale shape: training is a bounded driver-side sample (same
+    TakeOrderedAndProject sampling as :class:`IVFIndex.fit`); encoding is
+    one Arrow matmul per batch; a 100 TB float corpus becomes a
+    ~dim*4/m× smaller code table (e.g. 64-dim float64 → 8 bytes: 64×),
+    and top-k is a broadcast-free scan + per-partition heap
+    (TakeOrderedAndProject). ``metric='cosine'`` normalizes at train,
+    encode, and query time so ascending ADC-L2 equals descending cosine.
+    Optional exact re-rank joins the float vectors back for the
+    shortlist only (two broadcast joins, the standard IVF-PQ refine)."""
+
+    def __init__(self, m: int = 8, nbits: int = 8, seed: int = 42,
+                 iters: int = 10, metric: str = "cosine"):
+        self.m = m
+        self.nbits = nbits
+        self.k_sub = 1 << nbits
+        self.seed = seed
+        self.iters = iters
+        self.metric = metric
+        self.codebooks: Optional[np.ndarray] = None  # (m, k_sub, dsub)
+        self.dim: Optional[int] = None
+
+    def _norm(self, x: "np.ndarray") -> "np.ndarray":
+        if self.metric != "cosine":
+            return x
+        n = np.linalg.norm(x, axis=-1, keepdims=True)
+        return x / np.where(n == 0, 1.0, n)
+
+    def fit(self, df: DataFrame, vec_col: str,
+            sample: int = 10_000) -> "PQIndex":
+        rows = (df.select(vec_col)
+                .orderBy(F.rand(self.seed))
+                .limit(sample)
+                .collect())
+        x = self._norm(np.asarray([r[0] for r in rows], dtype=np.float64))
+        self.dim = x.shape[1]
+        if self.dim % self.m:
+            raise ValueError(
+                f"dim {self.dim} not divisible by m={self.m}")
+        dsub = self.dim // self.m
+        rng = np.random.default_rng(self.seed)
+        books = np.empty((self.m, self.k_sub, dsub))
+        for j in range(self.m):  # independent Lloyd per subspace
+            sub = x[:, j * dsub:(j + 1) * dsub]
+            k = min(self.k_sub, len(sub))
+            cents = sub[rng.choice(len(sub), size=k, replace=False)]
+            for _ in range(self.iters):
+                d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                a = d.argmin(axis=1)
+                for c in range(k):
+                    members = sub[a == c]
+                    if len(members):
+                        cents[c] = members.mean(axis=0)
+            if k < self.k_sub:  # tiny sample: pad with repeats
+                cents = np.concatenate(
+                    [cents, np.repeat(cents[:1], self.k_sub - k, axis=0)])
+            books[j] = cents
+        self.codebooks = books
+        return self
+
+    def encode(self, df: DataFrame, vec_col: str,
+               id_col: str = "vec_id") -> DataFrame:
+        """(id, code binary) — per subspace nearest-codeword via one
+        matmul per Arrow batch; ``m`` bytes per vector."""
+        import pandas as pd
+
+        books, m, dim = self.codebooks, self.m, self.dim
+        dsub = dim // m
+        metric = self.metric
+        books_sq = (books ** 2).sum(axis=2)  # (m, k_sub)
+
+        def kernel(batches):
+            for pdf in batches:
+                x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+                if metric == "cosine":
+                    n = np.linalg.norm(x, axis=1, keepdims=True)
+                    x = x / np.where(n == 0, 1.0, n)
+                codes = np.empty((len(x), m), dtype=np.uint8)
+                for j in range(m):
+                    sub = x[:, j * dsub:(j + 1) * dsub]
+                    d = -2 * (sub @ books[j].T) + books_sq[j]
+                    codes[:, j] = d.argmin(axis=1)
+                yield pd.DataFrame({
+                    "id": pdf[id_col],
+                    "code": [c.tobytes() for c in codes],
+                })
+
+        return df.select(F.col(id_col),
+                         F.col(vec_col).cast("array<double>")
+                         .alias(vec_col)) \
+                 .mapInPandas(
+                     kernel,
+                     f"id {dict(df.dtypes)[id_col]}, code binary")
+
+    def adc_table(self, query: Sequence[float]) -> "np.ndarray":
+        """(m, k_sub) squared-L2 contributions of each codeword to the
+        query distance — the per-query lookup table ADC sums over."""
+        q = self._norm(np.asarray(query, dtype=np.float64))
+        dsub = self.dim // self.m
+        return np.stack([
+            ((self.codebooks[j] - q[j * dsub:(j + 1) * dsub]) ** 2)
+            .sum(axis=1)
+            for j in range(self.m)])
+
+    def topk(self, codes: DataFrame, query: Sequence[float],
+             k: int = 10, rerank: Optional[DataFrame] = None,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             shortlist: int = 4) -> DataFrame:
+        """Approximate top-k over the code table (ascending ADC distance
+        ⇔ descending cosine under metric='cosine'). With ``rerank`` (the
+        float-vector table) the ADC shortlist of ``shortlist*k`` is
+        re-scored exactly — the shortlist is tiny, so the join-back
+        broadcasts while the code scan stays vector-free."""
+        import pandas as pd
+
+        table = self.adc_table(query)
+        m = self.m
+
+        def score(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                c = np.frombuffer(
+                    b"".join(pdf["code"]), dtype=np.uint8
+                ).reshape(len(pdf), m)
+                s = table[np.arange(m), c].sum(axis=1)
+                yield pd.DataFrame({"id": pdf["id"], "adc_dist": s})
+
+        scored = codes.mapInPandas(
+            score, f"id {dict(codes.dtypes)['id']}, adc_dist double")
+        short = scored.orderBy(F.asc("adc_dist")) \
+                      .limit((shortlist * k) if rerank is not None else k)
+        if rerank is None:
+            return short
+        vecs = rerank.select(F.col(id_col).alias("id"),
+                             F.col(vec_col).cast("array<double>")
+                             .alias("__v"))
+        return (F.broadcast(short).join(vecs, "id")
+                .select(F.col("id").alias(id_col),
+                        cosine(F.col("__v"),
+                               _lit_array(list(map(float, query))))
+                        .alias("cosine_sim"))
+                .orderBy(F.desc("cosine_sim")).limit(k))
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str = "vec_id",
