@@ -1348,6 +1348,39 @@ def _q_delta_time_travel(spark, sf):
     )
 
 
+def _q_delta_zorder(spark, sf):
+    """OPTIMIZE ... ZORDER BY lifecycle: documents → Delta table →
+    z-order compaction on two DECORRELATED derived keys → filtered read
+    on the non-leading key. The read path prunes files by the rewritten
+    stats before re-applying the filter, so a wrong Morton layout, wrong
+    stats, or over-eager pruning all surface as a row mismatch against
+    the relational oracle (sources/zorder.py; Delta OPTIMIZE ZORDER BY
+    parity — the reference delegates this to delta-spark)."""
+    import os
+
+    from datacontract_cli_spark.sources.delta_table import (
+        compact_delta,
+        read_delta,
+        write_delta_table,
+    )
+
+    root = _table_fixture_root(sf, "deltaz")
+    marker = os.path.join(root, "_READY")
+    if not os.path.exists(marker):
+        docs = _t(spark, sf, "documents").select(
+            "doc_id", "n_chars",
+            (F.col("doc_id") % 50).alias("zx"),
+            ((F.col("doc_id") * 7919) % 50).alias("zy"))
+        write_delta_table(docs, root)
+        compact_delta(spark, root, zorder_by=["zx", "zy"],
+                      target_files=16)
+        open(marker, "w").close()
+    return (read_delta(spark, root, filters=[("zy", "<", 10)])
+            .select("doc_id", F.col("n_chars").cast("long")
+                    .alias("n_chars"))
+            .orderBy("doc_id"))
+
+
 def _q_delta_deletion_vectors(spark, sf):
     """Delta protocol-3 merge-on-read lifecycle over documents: a
     COLUMN-MAPPED table (parquet files carry generated physical names)
@@ -1549,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_quarantine": _q_iceberg_quarantine,
         "delta_deletion_vectors": _q_delta_deletion_vectors,
         "semantic_dedup": _q_semantic_dedup,
+        "delta_zorder": _q_delta_zorder,
         # --- green in r03 but pushed past the cap in r04
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
@@ -1568,12 +1602,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_samples": _q_violation_samples,
         "psi_event_type": _q_psi_event_type,
         "jsd_event_type": _q_jsd_event_type,
-        "chi2_event_type": _q_chi2_event_type,
         # --- LLM-data-pipeline lanes
+        # (lm_quality_score STAYS in-window: its fit was rewritten this
+        # round — the driver must re-verify it)
         "lm_quality_score": _q_lm_quality_score,
         # ---------------- position 51+: multi-round driver-green, rotated out
         # (benchmark_contamination rotated late-r5 for semantic_dedup:
-        # green r04, contamination.py untouched since)
+        # green r04, contamination.py untouched since;
+        # chi2_event_type rotated for delta_zorder: green r04, and the
+        # round's one drift.py change — _baseline_literal key rendering —
+        # is identically exercised by psi/jsd_event_type, which stay)
+        "chi2_event_type": _q_chi2_event_type,
         "benchmark_contamination": _q_benchmark_contamination,
         # (minhash_near_dups/ngram_jaccard_dups rotated late-r5 for
         # agent_loops/error_followup, dedup_exact for ks_by_event_type:
@@ -1661,6 +1700,13 @@ def oracle_sql() -> dict[str, str]:
             "AND text IS NOT NULL "
             "AND (n_chars IS NULL OR n_chars <= 500) "
             "GROUP BY lang ORDER BY lang"
+        ),
+        "delta_zorder": (
+            # same derived keys; any layout/stats/pruning defect in the
+            # z-ordered rewrite surfaces as a row mismatch
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(n_chars AS BIGINT) AS n_chars FROM documents "
+            "WHERE (doc_id * 7919) % 50 < 10 ORDER BY doc_id"
         ),
         "delta_deletion_vectors": (
             # surviving set after two DV DELETE commits on the

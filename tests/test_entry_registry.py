@@ -30,8 +30,9 @@ ROTATED = {
     # rotated r5 (green r03+r04; code paths untouched this round)
     "tpch_q1", "topk_parts", "json_validation", "cosine_topk",
     "embedding_near_dups", "simhash_near_dups",
-    # rotated late-r5 for semantic_dedup (green r04)
-    "benchmark_contamination",
+    # rotated late-r5 for semantic_dedup / delta_zorder (green r04;
+    # chi2's one touched lane, _baseline_literal, is covered by psi/jsd)
+    "benchmark_contamination", "chi2_event_type",
     # rotated late-r5 for line_dedup/contamination_fraction/
     # transition_drift (green r03+r04; profile.py, refintegrity.py and the
     # drift ks lane are untouched this round)
