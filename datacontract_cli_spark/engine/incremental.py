@@ -405,9 +405,39 @@ class SnapshotTailer:
                    if s["snapshot_id"] not in seen]
         out: List[Dict[str, Any]] = []
         prev_fold = dict(state["last_fold"])
+
+        def _save() -> None:
+            os.makedirs(self.checkpoint_dir, exist_ok=True)
+            tmp = self._state_path(model) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(state, f)
+            os.replace(tmp, self._state_path(model))
+
         for sid in pending:  # snapshot log is already append-ordered
-            r = self.iv.run_iceberg(table_path, specs, model,
-                                    snapshot_id=sid)
+            try:
+                r = self.iv.run_iceberg(table_path, specs, model,
+                                        snapshot_id=sid)
+            except Exception as e:  # noqa: BLE001 — verdicts must surface
+                # expire_snapshots drops expired snapshots from the
+                # metadata this poll reads, so unlike Delta the normal
+                # maintenance path never lands here — but manually
+                # deleted files / races still must not lose the batch's
+                # completed verdicts or wedge the tailer
+                msg = str(e)
+                gone = (isinstance(e, (FileNotFoundError,
+                                       NotImplementedError))
+                        or "PATH_NOT_FOUND" in msg
+                        or "does not exist" in msg)
+                out.append({"snapshot_id": sid, "error": msg,
+                            "folded": dict(prev_fold), "delta": {},
+                            "new_files": [], "unevaluated": [],
+                            "operation": ops.get(sid),
+                            "data_change": False})
+                if gone:
+                    state["validated"].append(sid)
+                    _save()
+                    continue
+                break
             delta = {k: v - prev_fold.get(k, 0)
                      for k, v in r["folded"].items()
                      if isinstance(v, (int, float))}
@@ -421,11 +451,7 @@ class SnapshotTailer:
             prev_fold = dict(r["folded"])
             state["validated"].append(sid)
             state["last_fold"] = prev_fold
-            os.makedirs(self.checkpoint_dir, exist_ok=True)
-            tmp = self._state_path(model) + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(state, f)
-            os.replace(tmp, self._state_path(model))  # crash-safe per snap
+            _save()  # crash-safe per snapshot
         return out
 
     def poll_delta(self, table_path: str, specs: List[CheckSpec],
