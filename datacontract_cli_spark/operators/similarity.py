@@ -271,15 +271,18 @@ class PQIndex:
         return self
 
     def encode(self, df: DataFrame, vec_col: str,
-               id_col: str = "vec_id") -> DataFrame:
-        """(id, code binary) — per subspace nearest-codeword via one
-        matmul per Arrow batch; ``m`` bytes per vector."""
+               id_col: str = "vec_id",
+               keep: Sequence[str] = ()) -> DataFrame:
+        """(id, code binary[, *keep]) — per subspace nearest-codeword via
+        one matmul per Arrow batch; ``m`` bytes per vector. ``keep``
+        passes extra columns through untouched (e.g. the IVF ``cell``)."""
         import pandas as pd
 
         books, m, dim = self.codebooks, self.m, self.dim
         dsub = dim // m
         metric = self.metric
         books_sq = (books ** 2).sum(axis=2)  # (m, k_sub)
+        keep = list(keep)
 
         def kernel(batches):
             for pdf in batches:
@@ -292,17 +295,19 @@ class PQIndex:
                     sub = x[:, j * dsub:(j + 1) * dsub]
                     d = -2 * (sub @ books[j].T) + books_sq[j]
                     codes[:, j] = d.argmin(axis=1)
-                yield pd.DataFrame({
-                    "id": pdf[id_col],
-                    "code": [c.tobytes() for c in codes],
-                })
+                out = {"id": pdf[id_col],
+                       "code": [c.tobytes() for c in codes]}
+                for c in keep:
+                    out[c] = pdf[c]
+                yield pd.DataFrame(out)
 
+        dtypes = dict(df.dtypes)
+        schema = f"id {dtypes[id_col]}, code binary" + "".join(
+            f", {c} {dtypes[c]}" for c in keep)
         return df.select(F.col(id_col),
                          F.col(vec_col).cast("array<double>")
-                         .alias(vec_col)) \
-                 .mapInPandas(
-                     kernel,
-                     f"id {dict(df.dtypes)[id_col]}, code binary")
+                         .alias(vec_col), *keep) \
+                 .mapInPandas(kernel, schema)
 
     def adc_table(self, query: Sequence[float]) -> "np.ndarray":
         """(m, k_sub) squared-L2 contributions of each codeword to the
@@ -353,6 +358,24 @@ class PQIndex:
                                _lit_array(list(map(float, query))))
                         .alias("cosine_sim"))
                 .orderBy(F.desc("cosine_sim")).limit(k))
+
+
+def ivfpq_topk(ivf: "IVFIndex", pq: "PQIndex", indexed: DataFrame,
+               query: Sequence[float], k: int = 10, nprobe: int = 2,
+               rerank: Optional[DataFrame] = None,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               shortlist: int = 4) -> DataFrame:
+    """The full FAISS ``IVFx,PQy`` composition: partition pruning by IVF
+    cell cuts the candidate set to the ``nprobe`` nearest cells, then ADC
+    over the survivors' m-byte codes ranks them — the scan touches codes
+    of probed cells only, never a float vector. ``indexed`` is
+    ``pq.encode(ivf.assign(df, vec_col), ...)`` shaped (id, code, cell) —
+    at scale, written partitioned by cell so the probe is partition
+    pruning on disk. Optional exact re-rank as in :meth:`PQIndex.topk`."""
+    cells = ivf.query_cells(query, nprobe)
+    cands = indexed.filter(F.col("cell").isin(cells)).select("id", "code")
+    return pq.topk(cands, query, k=k, rerank=rerank, vec_col=vec_col,
+                   id_col=id_col, shortlist=shortlist)
 
 
 def embedding_near_duplicates(

@@ -295,6 +295,44 @@ def test_cli_tail_iceberg(spark, tmp_path, capsys):
     assert bad["value"] > 0
 
 
+def test_tail_iceberg_maintenance_commit_passes(spark, tmp_path):
+    """An Iceberg compaction snapshot (operation=replace) is maintenance:
+    its delta is zero-or-negative by construction, so tail must pass it
+    ungated instead of failing a row-count contract on every OPTIMIZE."""
+    from datacontract_cli_spark.engine.executor import SparkContractEngine
+    from datacontract_cli_spark.model.contract import load_contract_str
+    from datacontract_cli_spark.model.run import ResultEnum
+    from datacontract_cli_spark.sources.iceberg_write import (
+        compact_iceberg,
+        delete_rows_iceberg,
+    )
+
+    root = str(tmp_path / "tbl")
+    df = synthesize_transcripts(spark, n_convs=6, turns_per_conv=4,
+                                defect_rate=0.0)
+    write_iceberg_table(df, root)                    # snap 1
+    delete_rows_iceberg(spark, root, "turn_idx = 0")  # snap 2 (delete)
+    compact_iceberg(spark, root)                     # snap 3 (replace)
+
+    contract = load_contract_str(ICEBERG_INC_CONTRACT)
+    engine = SparkContractEngine(spark)
+    verdicts = engine.tail(contract, root, "transcripts",
+                           str(tmp_path / "ckpt"))
+    assert [sid for sid, _, _ in verdicts] == [1, 2, 3]
+    assert verdicts[0][1].result is ResultEnum.passed
+    # the MoR delete snapshot carries delete manifests the file-granular
+    # planner honestly refuses (the Iceberg twin of the Delta DV guard):
+    # one error verdict, skipped thereafter, never silently wrong counts
+    assert verdicts[1][1].result is ResultEnum.error
+    assert "DELETE manifests" in verdicts[1][1].checks[0].reason
+    # the replace is maintenance — passes ungated with the reason
+    assert verdicts[2][2]["operation"] == "replace"
+    assert verdicts[2][2]["data_change"] is False
+    run3 = verdicts[2][1]
+    assert run3.result is ResultEnum.passed
+    assert all("maintenance" in (c.reason or "") for c in run3.checks)
+
+
 def test_tail_delta_full_lifecycle(spark, tmp_path):
     """The tailer survives the whole table lifecycle: a DV DELETE version
     gets ONE error verdict then is skipped forever (file-incremental

@@ -53,6 +53,28 @@ def test_pq_adc_topk_recalls_cluster(spark):
     assert len(same_cluster) >= 8  # >=80% of the ADC shortlist
 
 
+def test_ivfpq_composition(spark):
+    """IVF cell probing + ADC over the survivors' codes: the shortlist
+    reads codes of probed cells only, and with re-rank the top-1 equals
+    brute force."""
+    from datacontract_cli_spark.operators.similarity import (
+        IVFIndex,
+        ivfpq_topk,
+    )
+
+    df, rows = _clustered(spark)
+    ivf = IVFIndex(n_cells=8, seed=42).fit(df, "embedding")
+    pq = PQIndex(m=8, nbits=4, seed=42).fit(df, "embedding")
+    indexed = pq.encode(ivf.assign(df, "embedding"), "v", id_col="id",
+                        keep=("cell",))
+    assert set(indexed.columns) == {"id", "code", "cell"}
+    query = rows[7][1]
+    got = ivfpq_topk(ivf, pq, indexed, query, k=5, nprobe=2, rerank=df)
+    top = got.collect()
+    exact = cosine_topk(df, "embedding", query, k=1).collect()
+    assert top[0]["vec_id"] == exact[0]["vec_id"] == 7
+
+
 def test_pq_rerank_matches_exact_top1(spark):
     """With exact re-rank the top-1 equals brute-force cosine top-1, and
     scores are the EXACT cosine (not the quantized approximation)."""
