@@ -273,8 +273,9 @@ def build_parser() -> argparse.ArgumentParser:
              "snapshot, thresholds applied to the snapshot's delta counts")
     tl.add_argument("contract")
     tl.add_argument("--table", required=True,
-                    help="Iceberg or Delta table directory")
-    tl.add_argument("--format", choices=["iceberg", "delta"],
+                    help="Iceberg/Delta table directory, or a plain "
+                         "parquet landing directory with --format parquet")
+    tl.add_argument("--format", choices=["iceberg", "delta", "parquet"],
                     default="iceberg")
     tl.add_argument("--schema-name", default=None,
                     help="model to validate (default: first in contract)")
@@ -565,9 +566,10 @@ def main(argv: list[str] | None = None) -> int:
             for sid, run, result in verdicts:
                 if run.result is ResultEnum.failed:
                     any_failed = True
+                key = {"iceberg": "snapshot_id", "delta": "version",
+                       "parquet": "poll"}[args.format]
                 line = {
-                    "snapshot_id" if args.format == "iceberg"
-                    else "version": sid,
+                    key: sid,
                     "result": run.result.value,
                     "new_files": len(result["new_files"]),
                     "checks": [{"key": c.key, "result":

@@ -370,11 +370,15 @@ class SparkContractEngine:
         tailer = SnapshotTailer(self.spark, checkpoint_dir)
         if table_format == "delta":
             polled = tailer.poll_delta(path, specs, model)
+        elif table_format == "parquet":
+            polled = tailer.poll_dir(path, specs, model)
         else:
             polled = tailer.poll(path, specs, model)
         out = []
         for result in polled:
-            sid = result.get("snapshot_id", result.get("delta_version"))
+            sid = result.get("snapshot_id",
+                             result.get("delta_version",
+                                        result.get("poll")))
             run = Run(dataContractId=contract.id,
                       dataContractVersion=contract.version)
             if result.get("error"):

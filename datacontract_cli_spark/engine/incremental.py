@@ -454,6 +454,36 @@ class SnapshotTailer:
             _save()  # crash-safe per snapshot
         return out
 
+    def poll_dir(self, path: str, specs: List[CheckSpec],
+                 model: str) -> List[Dict[str, Any]]:
+        """Landing-zone tailer: plain parquet files arriving in a
+        directory (no table format, so no versions — each POLL batch that
+        found new/changed files is one verdict whose delta covers exactly
+        those files). The underlying file-incremental run scans only the
+        new files; the poll index is recorded so resumes line up."""
+        state = self._load_state(model)
+        prev_fold = dict(state["last_fold"])
+        r = self.iv.run(path, specs, model)
+        if not r["new_files"] and not r["removed_files"]:
+            return []
+        delta = {k: v - prev_fold.get(k, 0)
+                 for k, v in r["folded"].items()
+                 if isinstance(v, (int, float))}
+        poll_idx = len(state["validated"])
+        out = {"poll": poll_idx, "folded": dict(r["folded"]),
+               "delta": delta, "new_files": r["new_files"],
+               "removed_files": r["removed_files"],
+               "unevaluated": r["unevaluated"],
+               "data_change": True}
+        state["validated"].append(poll_idx)
+        state["last_fold"] = dict(r["folded"])
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        tmp = self._state_path(model) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self._state_path(model))
+        return [out]
+
     def poll_delta(self, table_path: str, specs: List[CheckSpec],
                    model: str) -> List[Dict[str, Any]]:
         """The Delta twin of :meth:`poll`: each unvalidated log VERSION

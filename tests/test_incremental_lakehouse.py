@@ -295,6 +295,58 @@ def test_cli_tail_iceberg(spark, tmp_path, capsys):
     assert bad["value"] > 0
 
 
+def test_poll_dir_landing_zone(spark, tmp_path):
+    """Plain-parquet landing zone: each poll batch with new files is one
+    verdict whose delta covers exactly those files; idle polls are empty;
+    resume works across tailer instances."""
+    from datacontract_cli_spark.engine.incremental import SnapshotTailer
+
+    root = str(tmp_path / "zone")
+    ckpt = str(tmp_path / "ckpt")
+    df1 = synthesize_transcripts(spark, n_convs=8, turns_per_conv=4,
+                                 defect_rate=0.2)
+    df1.write.parquet(root)
+
+    out = SnapshotTailer(spark, ckpt).poll_dir(root, SPECS, "transcripts")
+    assert [x["poll"] for x in out] == [0]
+    exp1 = _expected(df1)
+    assert out[0]["delta"]["row_count"] == exp1["rows"]
+    assert out[0]["delta"]["invalid_role"] == exp1["invalid_role"]
+
+    # idle poll: no new files, no verdict
+    assert SnapshotTailer(spark, ckpt).poll_dir(root, SPECS,
+                                                "transcripts") == []
+
+    # two files land; the next poll's ONE verdict covers exactly them
+    df2 = synthesize_transcripts(spark, n_convs=3, turns_per_conv=4,
+                                 defect_rate=0.0, seed=5)
+    df2.coalesce(2).write.mode("append").parquet(root)
+    out2 = SnapshotTailer(spark, ckpt).poll_dir(root, SPECS, "transcripts")
+    assert [x["poll"] for x in out2] == [1]
+    assert out2[0]["delta"]["row_count"] == df2.count()
+    assert out2[0]["delta"]["invalid_role"] == 0
+    assert out2[0]["folded"]["row_count"] == df1.count() + df2.count()
+    assert len(out2[0]["new_files"]) == 2
+
+
+def test_cli_tail_parquet_dir(spark, tmp_path, capsys):
+    import json as _json
+
+    from datacontract_cli_spark.cli import main
+
+    root = str(tmp_path / "zone")
+    synthesize_transcripts(spark, n_convs=5, turns_per_conv=4,
+                           defect_rate=0.0).write.parquet(root)
+    cpath = tmp_path / "contract.yaml"
+    cpath.write_text(ICEBERG_INC_CONTRACT)
+
+    assert main(["tail", str(cpath), "--table", root, "--format",
+                 "parquet", "--checkpoint-dir",
+                 str(tmp_path / "ck")]) == 0
+    v = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v["poll"] == 0 and v["result"] == "passed"
+
+
 def test_tail_iceberg_maintenance_commit_passes(spark, tmp_path):
     """An Iceberg compaction snapshot (operation=replace) is maintenance:
     its delta is zero-or-negative by construction, so tail must pass it
