@@ -463,20 +463,36 @@ class SnapshotTailer:
         new files; the poll index is recorded so resumes line up."""
         state = self._load_state(model)
         prev_fold = dict(state["last_fold"])
-        r = self.iv.run(path, specs, model)
-        if not r["new_files"] and not r["removed_files"]:
-            return []
-        delta = {k: v - prev_fold.get(k, 0)
-                 for k, v in r["folded"].items()
-                 if isinstance(v, (int, float))}
         poll_idx = len(state["validated"])
+        try:
+            r = self.iv.run(path, specs, model)
+        except Exception as e:  # noqa: BLE001 — same parity as poll()
+            # a corrupt/half-written file in the landing zone must emit
+            # an error verdict, not crash every subsequent --follow poll
+            return [{"poll": poll_idx, "error": str(e),
+                     "folded": dict(prev_fold), "delta": {},
+                     "new_files": [], "removed_files": [],
+                     "unevaluated": [], "data_change": False}]
+        numeric_fold = {k: v for k, v in r["folded"].items()
+                        if isinstance(v, (int, float))}
+        if not r["new_files"] and not r["removed_files"]:
+            # crash recovery: the file manifest advanced but the tailer
+            # state did not (died between iv.run's manifest append and
+            # our _save) — the fold mismatch re-emits the lost batch's
+            # verdict as a catch-up delta instead of dropping it
+            caught_up = all(prev_fold.get(k, 0) == v
+                            for k, v in numeric_fold.items())
+            if caught_up or not r["files"]:
+                return []
+        delta = {k: v - prev_fold.get(k, 0)
+                 for k, v in numeric_fold.items()}
         out = {"poll": poll_idx, "folded": dict(r["folded"]),
                "delta": delta, "new_files": r["new_files"],
                "removed_files": r["removed_files"],
                "unevaluated": r["unevaluated"],
                "data_change": True}
         state["validated"].append(poll_idx)
-        state["last_fold"] = dict(r["folded"])
+        state["last_fold"] = dict(numeric_fold)
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         tmp = self._state_path(model) + ".tmp"
         with open(tmp, "w") as f:

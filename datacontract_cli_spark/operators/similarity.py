@@ -156,7 +156,8 @@ class IVFIndex:
         rng = np.random.default_rng(self.seed)
         cents = x[rng.choice(len(x), size=min(self.n_cells, len(x)), replace=False)]
         for _ in range(self.iters):
-            d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            # matmul identity: O(n·k) memory, not an (n, k, dim) tensor
+            d = -2 * (x @ cents.T) + (cents ** 2).sum(axis=1)
             assign = d.argmin(axis=1)
             for c in range(len(cents)):
                 members = x[assign == c]
@@ -223,6 +224,10 @@ class PQIndex:
 
     def __init__(self, m: int = 8, nbits: int = 8, seed: int = 42,
                  iters: int = 10, metric: str = "cosine"):
+        if not 1 <= nbits <= 8:
+            # codes are stored one byte per subspace; a larger codebook
+            # would silently wrap codeword ids mod 256
+            raise ValueError("nbits must be in 1..8 (uint8 codes)")
         self.m = m
         self.nbits = nbits
         self.k_sub = 1 << nbits
@@ -257,7 +262,9 @@ class PQIndex:
             k = min(self.k_sub, len(sub))
             cents = sub[rng.choice(len(sub), size=k, replace=False)]
             for _ in range(self.iters):
-                d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                # matmul identity (same form encode uses): O(n·k) memory
+                # instead of the (n, k, dsub) broadcast tensor
+                d = -2 * (sub @ cents.T) + (cents ** 2).sum(axis=1)
                 a = d.argmin(axis=1)
                 for c in range(k):
                     members = sub[a == c]
@@ -286,6 +293,8 @@ class PQIndex:
 
         def kernel(batches):
             for pdf in batches:
+                if not len(pdf):
+                    continue
                 x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
                 if metric == "cosine":
                     n = np.linalg.norm(x, axis=1, keepdims=True)

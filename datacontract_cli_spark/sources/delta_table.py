@@ -871,8 +871,7 @@ def compact_delta(spark: SparkSession, table_path: str,
         # boundaries once, on the whole table (not per partition group):
         # global rank buckets cluster every group consistently and cost
         # one approxQuantile pass per column
-        z_bounds = zorder_boundaries(
-            df.select(*[F.col(p).alias(p) for p in z_phys]), z_phys)
+        z_bounds = zorder_boundaries(df, z_phys)
 
     groups: List[Tuple[Dict[str, Optional[str]], Any, str]] = []
     if part_phys:

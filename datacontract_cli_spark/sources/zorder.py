@@ -33,7 +33,12 @@ _NUMERICISH = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                T.TimestampType, T.TimestampNTZType)
 
 
-def _as_double(col: str) -> Column:
+def _as_double(df: DataFrame, col: str) -> Column:
+    # DATE has no direct double cast in Spark; go through timestamp
+    # (TIMESTAMP → DOUBLE is epoch seconds, order-preserving)
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.DateType):
+        return F.col(col).cast("timestamp").cast("double")
     return F.col(col).cast("double")
 
 
@@ -52,23 +57,24 @@ def zorder_boundaries(df: DataFrame, cols: Sequence[str],
             raise ValueError(
                 f"zorder column {c!r} has type {f.dataType.simpleString()};"
                 " only numeric/date/timestamp columns are supported")
-        qs = df.select(_as_double(c).alias(c)).na.drop() \
+        qs = df.select(_as_double(df, c).alias(c)).na.drop() \
                .approxQuantile(c, probs, 0.01)
         out[c] = qs
     return out
 
 
-def zvalue_column(boundaries: Dict[str, List[float]],
+def zvalue_column(df: DataFrame, boundaries: Dict[str, List[float]],
                   cols: Sequence[str], bits: int = 4) -> Column:
     """The Morton code: bucket each column by its boundaries (a sum of
     ``col > boundary`` indicators — monotone, null-safe: nulls land in
     bucket 0), then interleave bucket bits across columns so one long
-    orders the multi-dimensional key space."""
+    orders the multi-dimensional key space. ``df`` supplies the column
+    types so the comparison casts match the boundary computation."""
     buckets = []
     for c in cols:
         b = F.lit(0).cast("long")
         for edge in boundaries[c]:
-            b = b + F.when(_as_double(c) > F.lit(float(edge)),
+            b = b + F.when(_as_double(df, c) > F.lit(float(edge)),
                            F.lit(1)).otherwise(F.lit(0)).cast("long")
         buckets.append(b)
     ncols = len(cols)
@@ -90,7 +96,7 @@ def cluster_by_zorder(df: DataFrame, cols: Sequence[str],
     drop the helper column (projection preserves the row order)."""
     if boundaries is None:
         boundaries = zorder_boundaries(df, cols, bits)
-    z = zvalue_column(boundaries, cols, bits)
+    z = zvalue_column(df, boundaries, cols, bits)
     return (df.withColumn("__zv", z)
               .repartitionByRange(max(1, int(target_files)), F.col("__zv"))
               .sortWithinPartitions("__zv")

@@ -329,6 +329,51 @@ def test_poll_dir_landing_zone(spark, tmp_path):
     assert len(out2[0]["new_files"]) == 2
 
 
+def test_poll_dir_corrupt_file_and_crash_recovery(spark, tmp_path):
+    """A corrupt file yields one error verdict (no crash, no state
+    advance); the crash window between the file manifest append and the
+    tailer-state save re-emits the batch as a catch-up delta."""
+    import json as _json
+    import os
+
+    from datacontract_cli_spark.engine.incremental import SnapshotTailer
+
+    root = str(tmp_path / "zone")
+    ckpt = str(tmp_path / "ckpt")
+    df1 = synthesize_transcripts(spark, n_convs=6, turns_per_conv=4,
+                                 defect_rate=0.0)
+    df1.write.parquet(root)
+    tailer = SnapshotTailer(spark, ckpt)
+    assert [x["poll"] for x in tailer.poll_dir(root, SPECS,
+                                               "transcripts")] == [0]
+
+    # corrupt file lands: one error verdict, retried (not skipped) —
+    # landing zones usually REPLACE the partial file with a good one
+    bad = os.path.join(root, "part-junk.parquet")
+    with open(bad, "w") as f:
+        f.write("this is not parquet")
+    out = tailer.poll_dir(root, SPECS, "transcripts")
+    assert len(out) == 1 and out[0].get("error")
+    os.remove(bad)
+
+    # crash simulation: roll the tailer state back one poll while the
+    # file manifest already covers df2 (= died before _save)
+    df2 = synthesize_transcripts(spark, n_convs=2, turns_per_conv=4,
+                                 defect_rate=0.0, seed=7)
+    df2.coalesce(1).write.mode("append").parquet(root)
+    saved = _json.load(open(tailer._state_path("transcripts")))
+    assert tailer.poll_dir(root, SPECS, "transcripts")[0][
+        "delta"]["row_count"] == df2.count()
+    with open(tailer._state_path("transcripts"), "w") as f:
+        _json.dump(saved, f)  # roll back: manifest ahead of state
+    catch_up = tailer.poll_dir(root, SPECS, "transcripts")
+    assert len(catch_up) == 1
+    assert catch_up[0]["delta"]["row_count"] == df2.count()
+    assert catch_up[0]["new_files"] == []  # already scanned; fold-only
+    # and now truly idle
+    assert tailer.poll_dir(root, SPECS, "transcripts") == []
+
+
 def test_cli_tail_parquet_dir(spark, tmp_path, capsys):
     import json as _json
 

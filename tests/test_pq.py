@@ -41,6 +41,12 @@ def test_pq_rejects_indivisible_dim(spark):
         PQIndex(m=8).fit(df, "embedding")
 
 
+def test_pq_rejects_oversized_codebook():
+    # nbits > 8 would silently wrap codeword ids in the uint8 codes
+    with pytest.raises(ValueError, match="uint8"):
+        PQIndex(m=8, nbits=10)
+
+
 def test_pq_adc_topk_recalls_cluster(spark):
     """ADC-only top-k over codes: the query's own cluster dominates the
     shortlist even though no float vector is read at query time."""

@@ -48,7 +48,7 @@ def test_zvalue_orders_both_dimensions(spark):
         "x double, y double")
     b = {"x": [50.0, 100.0, 150.0], "y": [50.0, 100.0, 150.0]}
     vals = [r[0] for r in df.select(
-        zvalue_column(b, ["x", "y"], bits=2)).collect()]
+        zvalue_column(df, b, ["x", "y"], bits=2)).collect()]
     # (0,0) lowest, (max,max) highest, mixed corners strictly between
     assert vals[0] < vals[1] and vals[0] < vals[2]
     assert vals[3] > vals[1] and vals[3] > vals[2]
@@ -58,6 +58,22 @@ def test_zorder_rejects_string_columns(spark):
     df = spark.createDataFrame([("a", 1)], "s string, x long")
     with pytest.raises(ValueError, match="only numeric"):
         zorder_boundaries(df, ["s"])
+
+
+def test_zorder_date_column(spark, tmp_path):
+    """DATE has no direct double cast in Spark — the advertised
+    date support must route through timestamp and actually cluster."""
+    df = spark.range(2000).selectExpr(
+        "id", "date_add(date'2024-01-01', cast(id % 365 as int)) as d",
+        "(id * 7919) % 100 as y")
+    root = str(tmp_path / "dtbl")
+    write_delta_table(df, root)
+    compact_delta(spark, root, zorder_by=["d", "y"], target_files=8)
+    got = read_delta(spark, root).count()
+    assert got == 2000
+    _, live = plan_delta(root)
+    _, ld = plan_delta(root, filters=[("y", "<", 10)])
+    assert len(ld) < len(live)
 
 
 def test_cluster_by_zorder_file_count_and_rows(spark):
