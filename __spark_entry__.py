@@ -1348,6 +1348,79 @@ def _q_delta_time_travel(spark, sf):
     )
 
 
+def _q_iceberg_upsert(spark, sf):
+    """Single-snapshot MERGE upsert lifecycle: documents → Iceberg table,
+    then ONE upsert commit carrying updates (doc_id%5: n_chars+1000) and
+    inserts (doc_id%10 copied to doc_id+1000000) as an equality-delete
+    manifest + data manifest at the same sequence number. The oracle
+    replays the merge relationally; a wrong sequence-number scoping
+    (deletes eating their own inserts, or stale rows surviving) shows as
+    a row mismatch (sources/iceberg_write.py:upsert_iceberg; reference
+    binds MERGE INTO via its warehouse engines)."""
+    import os
+
+    from datacontract_cli_spark.sources.iceberg_table import read_iceberg
+    from datacontract_cli_spark.sources.iceberg_write import (
+        upsert_iceberg,
+        write_iceberg_table,
+    )
+
+    root = _table_fixture_root(sf, "icemerge")
+    marker = os.path.join(root, "_READY")
+    if not os.path.exists(marker):
+        docs = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "lang",
+            F.col("n_chars").cast("long").alias("n_chars"))
+        write_iceberg_table(docs, root)
+        batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id", "lang",
+            (F.col("n_chars") + 1000).alias("n_chars"),
+        ).unionByName(docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "lang",
+            "n_chars"))
+        upsert_iceberg(batch, root, key_cols=["doc_id"])
+        open(marker, "w").close()
+    return read_iceberg(spark, root).orderBy("doc_id")
+
+
+def _q_iceberg_evolution(spark, sf):
+    """Field-id schema evolution lifecycle: documents → Iceberg table
+    with an INT score column; promote score→long, rename lang→language,
+    add bonus double; append a post-evolution batch. Old files must
+    project by field id (renamed column surfaces under the new name,
+    promoted ints widen, added column backfills null) — the oracle
+    builds the same final state relationally
+    (sources/iceberg_write.py:evolve_schema_iceberg)."""
+    import os
+
+    from datacontract_cli_spark.sources.iceberg_table import read_iceberg
+    from datacontract_cli_spark.sources.iceberg_write import (
+        append_iceberg,
+        evolve_schema_iceberg,
+        write_iceberg_table,
+    )
+
+    root = _table_fixture_root(sf, "iceevo")
+    marker = os.path.join(root, "_READY")
+    if not os.path.exists(marker):
+        docs = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "lang",
+            (F.col("doc_id") % 100).cast("int").alias("score"))
+        write_iceberg_table(docs, root)
+        evolve_schema_iceberg(root, promote={"score": "long"},
+                              rename={"lang": "language"},
+                              add=[("bonus", "double")])
+        extra = _t(spark, sf, "documents") \
+            .filter(F.col("doc_id") % 25 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.col("lang").alias("language"),
+                (F.col("doc_id") % 100).cast("long").alias("score"),
+                (F.col("doc_id") % 7).cast("double").alias("bonus"))
+        append_iceberg(extra, root)
+        open(marker, "w").close()
+    return read_iceberg(spark, root).orderBy("doc_id")
+
+
 def _q_delta_zorder(spark, sf):
     """OPTIMIZE ... ZORDER BY lifecycle: documents → Delta table →
     z-order compaction on two DECORRELATED derived keys → filtered read
@@ -1583,6 +1656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_deletion_vectors": _q_delta_deletion_vectors,
         "semantic_dedup": _q_semantic_dedup,
         "delta_zorder": _q_delta_zorder,
+        "iceberg_upsert": _q_iceberg_upsert,
+        "iceberg_evolution": _q_iceberg_evolution,
         # --- green in r03 but pushed past the cap in r04
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
@@ -1598,8 +1673,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched r5)
         # (percent_failed rotated late-r5 for delta_deletion_vectors:
         # green r01-r04, threshold lane untouched r5)
-        "row_filter": _q_row_filter,
-        "violation_samples": _q_violation_samples,
         "psi_event_type": _q_psi_event_type,
         "jsd_event_type": _q_jsd_event_type,
         # --- LLM-data-pipeline lanes
@@ -1614,6 +1687,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is identically exercised by psi/jsd_event_type, which stay)
         "chi2_event_type": _q_chi2_event_type,
         "benchmark_contamination": _q_benchmark_contamination,
+        # (row_filter / violation_samples rotated late-r5 for
+        # iceberg_upsert / iceberg_evolution: green r01-r04, and this
+        # round's executor.py change — the tail() method — is off their
+        # code path)
+        "row_filter": _q_row_filter,
+        "violation_samples": _q_violation_samples,
         # (minhash_near_dups/ngram_jaccard_dups rotated late-r5 for
         # agent_loops/error_followup, dedup_exact for ks_by_event_type:
         # green r03+r04 — r01-r04 for dedup_exact — and their dedup.py
@@ -1700,6 +1779,32 @@ def oracle_sql() -> dict[str, str]:
             "AND text IS NOT NULL "
             "AND (n_chars IS NULL OR n_chars <= 500) "
             "GROUP BY lang ORDER BY lang"
+        ),
+        "iceberg_upsert": (
+            # relational replay of the MERGE: updated keys take the new
+            # row, inserts append, untouched rows survive
+            "WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents), "
+            "up AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars "
+            "FROM base WHERE doc_id % 5 = 0 "
+            "UNION ALL SELECT doc_id + 1000000, lang, n_chars "
+            "FROM base WHERE doc_id % 10 = 0) "
+            "SELECT doc_id, lang, n_chars FROM ("
+            "SELECT * FROM base WHERE doc_id NOT IN "
+            "(SELECT doc_id FROM up) UNION ALL SELECT * FROM up) "
+            "ORDER BY doc_id"
+        ),
+        "iceberg_evolution": (
+            # final state after promote+rename+add and one new-schema
+            # append: old rows widen/rename/backfill-null by field id
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "lang AS language, CAST(doc_id % 100 AS BIGINT) AS score, "
+            "CAST(NULL AS DOUBLE) AS bonus FROM documents "
+            "UNION ALL "
+            "SELECT CAST(doc_id + 1000000 AS BIGINT), lang, "
+            "CAST(doc_id % 100 AS BIGINT), CAST(doc_id % 7 AS DOUBLE) "
+            "FROM documents WHERE doc_id % 25 = 0 "
+            "ORDER BY doc_id"
         ),
         "delta_zorder": (
             # same derived keys; any layout/stats/pruning defect in the

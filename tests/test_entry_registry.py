@@ -33,6 +33,9 @@ ROTATED = {
     # rotated late-r5 for semantic_dedup / delta_zorder (green r04;
     # chi2's one touched lane, _baseline_literal, is covered by psi/jsd)
     "benchmark_contamination", "chi2_event_type",
+    # rotated late-r5 for iceberg_upsert / iceberg_evolution (green
+    # r01-r04; the round's executor change is off their path)
+    "row_filter", "violation_samples",
     # rotated late-r5 for line_dedup/contamination_fraction/
     # transition_drift (green r03+r04; profile.py, refintegrity.py and the
     # drift ks lane are untouched this round)
