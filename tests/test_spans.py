@@ -1,0 +1,76 @@
+"""ExactSubstr-style duplicate-span extraction and removal
+(operators/spans.py; Lee et al., ACL 2022)."""
+
+import numpy as np
+
+from datacontract_cli_spark.operators.spans import (
+    duplicate_spans,
+    remove_duplicate_spans,
+)
+
+PASSAGE = ("this exact boilerplate passage is repeated verbatim across "
+           "several documents in the corpus and must be cut once ")
+
+
+def _docs(spark):
+    rng = np.random.default_rng(4)
+
+    def noise(n):
+        return " ".join("w%04d" % v for v in rng.integers(0, 9999, n))
+
+    rows = [
+        (1, noise(40) + " " + PASSAGE + noise(40)),   # first: survives
+        (5, noise(30) + " " + PASSAGE + noise(50)),   # later: cut
+        (9, PASSAGE + noise(60)),                     # later: cut (at 0)
+        (20, noise(80)),                              # unrelated
+        (30, noise(75)),                              # unrelated
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_exact_offsets(spark):
+    df = _docs(spark)
+    spans = duplicate_spans(df, min_len=len(PASSAGE) - 10).collect()
+    got = {(r["id_a"], r["id_b"]) for r in spans}
+    assert got == {(1, 5), (1, 9), (5, 9)}
+    for r in spans:
+        a_txt = df.filter(f"doc_id = {r['id_a']}").first()["text"]
+        b_txt = df.filter(f"doc_id = {r['id_b']}").first()["text"]
+        frag = a_txt[r["start_a"]:r["start_a"] + r["length"]]
+        assert frag == b_txt[r["start_b"]:r["start_b"] + r["length"]]
+        assert PASSAGE in frag or frag in PASSAGE
+
+
+def test_remove_duplicate_spans_keep_first(spark):
+    df = _docs(spark)
+    spans = duplicate_spans(df, min_len=len(PASSAGE) - 10)
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(df, spans).collect()}
+    orig = {r["doc_id"]: r["text"] for r in df.collect()}
+
+    # the lowest-id occurrence survives verbatim
+    assert out[1]["text"] == orig[1]
+    assert out[1]["n_removed_chars"] == 0
+    # later docs lose the passage (and only it, modulo boundary slack)
+    for d in (5, 9):
+        assert PASSAGE not in out[d]["text"]
+        assert out[d]["n_removed_chars"] >= len(PASSAGE) - 10
+        assert len(out[d]["text"]) \
+            == len(orig[d]) - out[d]["n_removed_chars"]
+    # unrelated docs untouched
+    for d in (20, 30):
+        assert out[d]["text"] == orig[d]
+        assert out[d]["n_removed_chars"] == 0
+
+
+def test_overlapping_cuts_merge(spark):
+    # two pairs cut overlapping regions of doc 9; the rewrite must merge
+    # the intervals instead of double-cutting
+    df = _docs(spark)
+    spans = duplicate_spans(df, min_len=40)
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(df, spans).collect()}
+    d9 = out[9]
+    assert d9["n_removed_chars"] <= len(df.filter("doc_id = 9")
+                                        .first()["text"])
+    assert PASSAGE not in d9["text"]
