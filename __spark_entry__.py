@@ -1348,6 +1348,39 @@ def _q_delta_time_travel(spark, sf):
     )
 
 
+def _q_collapse_lines(spark, sf):
+    """Within-doc consecutive-duplicate-line collapse over planted
+    repetition (each doc's 40-char head repeated 3×, then a tail): the
+    oracle replays the build and the collapse with DuckDB's indexed
+    list lambda, so line-boundary or off-by-one bugs in the indexed
+    higher-order filter surface as count/length mismatches
+    (operators/lines.py:collapse_repeated_lines)."""
+    from datacontract_cli_spark.operators.lines import (
+        collapse_repeated_lines,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.substring("text", 1, 40).alias("L"),
+        F.substring("text", 41, 80).alias("R"))
+    nl = F.lit("\n")
+    built = docs.select(
+        "doc_id",
+        # F.concat (not concat_ws): null text must stay null on both
+        # sides (DuckDB || is null-propagating, concat_ws skips nulls)
+        F.concat(F.col("L"), nl, F.col("L"), nl, F.col("L"), nl,
+                 F.col("R")).alias("text"))
+    before = built.select(
+        "doc_id", "text",
+        F.size(F.split("text", "\n")).cast("long").alias("lines_before"))
+    out = collapse_repeated_lines(before)
+    return (out.select(
+        "doc_id", "lines_before",
+        F.size(F.split("text", "\n")).cast("long").alias("lines_after"),
+        F.length("text").cast("long").alias("n_chars"))
+        .orderBy("doc_id"))
+
+
 def _q_iceberg_upsert(spark, sf):
     """Single-snapshot MERGE upsert lifecycle: documents → Iceberg table,
     then ONE upsert commit carrying updates (doc_id%5: n_chars+1000) and
@@ -1658,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_zorder": _q_delta_zorder,
         "iceberg_upsert": _q_iceberg_upsert,
         "iceberg_evolution": _q_iceberg_evolution,
+        "collapse_lines": _q_collapse_lines,
         # --- green in r03 but pushed past the cap in r04
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
@@ -1674,7 +1708,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (percent_failed rotated late-r5 for delta_deletion_vectors:
         # green r01-r04, threshold lane untouched r5)
         "psi_event_type": _q_psi_event_type,
-        "jsd_event_type": _q_jsd_event_type,
         # --- LLM-data-pipeline lanes
         # (lm_quality_score STAYS in-window: its fit was rewritten this
         # round — the driver must re-verify it)
@@ -1685,6 +1718,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chi2_event_type rotated for delta_zorder: green r04, and the
         # round's one drift.py change — _baseline_literal key rendering —
         # is identically exercised by psi/jsd_event_type, which stay)
+        # (jsd_event_type rotated late-r5 for collapse_lines: green r04;
+        # the _baseline_literal change stays covered by in-window psi)
+        "jsd_event_type": _q_jsd_event_type,
         "chi2_event_type": _q_chi2_event_type,
         "benchmark_contamination": _q_benchmark_contamination,
         # (row_filter / violation_samples rotated late-r5 for
@@ -1779,6 +1815,23 @@ def oracle_sql() -> dict[str, str]:
             "AND text IS NOT NULL "
             "AND (n_chars IS NULL OR n_chars <= 500) "
             "GROUP BY lang ORDER BY lang"
+        ),
+        "collapse_lines": (
+            "WITH t AS (SELECT doc_id, substring(text, 1, 40) AS L, "
+            "substring(text, 41, 80) AS R FROM documents), "
+            "built AS (SELECT doc_id, "
+            "L || chr(10) || L || chr(10) || L || chr(10) || R AS txt "
+            "FROM t), "
+            "parts AS (SELECT doc_id, string_split(txt, chr(10)) AS p "
+            "FROM built), "
+            "coll AS (SELECT doc_id, p, "
+            "list_filter(p, (x, i) -> i = 1 OR x != p[i-1]) AS c "
+            "FROM parts) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(len(p) AS BIGINT) AS lines_before, "
+            "CAST(len(c) AS BIGINT) AS lines_after, "
+            "CAST(length(array_to_string(c, chr(10))) AS BIGINT) "
+            "AS n_chars FROM coll ORDER BY doc_id"
         ),
         "iceberg_upsert": (
             # relational replay of the MERGE: updated keys take the new

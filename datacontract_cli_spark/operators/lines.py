@@ -97,3 +97,21 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
     cols = ["n_lines", "n_kept", "n_dropped"] + (
         ["text_clean"] if rebuild else [])
     return out.select(F.col("id").alias(id_col), *cols)
+
+
+def collapse_repeated_lines(df: DataFrame, text_col: str = "text",
+                            sep: str = "\n") -> DataFrame:
+    """``text_col`` with CONSECUTIVE duplicate lines collapsed to one —
+    the classic crawl-artifact cleaner (navigation chrome, repeated
+    headers/footers, cursor spam in agent logs). Pure Column math: one
+    split, an indexed higher-order filter against the previous element
+    (F.get is 0-based and null-safe out of bounds, so no ANSI index
+    traps), one array_join — zero shuffle, whole-stage codegen.
+
+    Cross-document repeats are :func:`line_dedup`'s job (keep-first
+    corpus-wide); this one is within-document and order-preserving."""
+    arr = F.split(F.col(text_col), _literal_regex(sep))
+    collapsed = F.filter(
+        arr, lambda x, i: (i == F.lit(0))
+        | ~x.eqNullSafe(F.get(arr, i - 1)))
+    return df.withColumn(text_col, F.array_join(collapsed, sep))

@@ -63,6 +63,25 @@ def test_remove_duplicate_spans_keep_first(spark):
         assert out[d]["n_removed_chars"] == 0
 
 
+def test_collapse_repeated_lines(spark):
+    """Within-doc consecutive duplicates collapse; non-adjacent repeats,
+    empty lines and single-line docs are preserved."""
+    from datacontract_cli_spark.operators.lines import (
+        collapse_repeated_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a\na\na\nb\nb\na"), (2, "only one line"),
+         (3, "x\n\n\nx"), (4, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text"]
+           for r in collapse_repeated_lines(df).collect()}
+    assert got[1] == "a\nb\na"        # non-adjacent repeat survives
+    assert got[2] == "only one line"
+    assert got[3] == "x\n\nx"         # empty lines collapse too
+    assert got[4] is None
+
+
 def test_overlapping_cuts_merge(spark):
     # two pairs cut overlapping regions of doc 9; the rewrite must merge
     # the intervals instead of double-cutting
