@@ -8,8 +8,11 @@ Spark-native replacements for the reference's DuckDB view layer
 - csv      → ``spark.read.csv(header=True)`` with the contract schema when
   available, plus a permissive raw read for presence checks
 - json     → ``spark.read.json`` (multiLine for array-shaped files)
-- delta    → ``spark.read.format("delta")`` (needs the delta jar — gated)
-- iceberg  → ``spark.read.table`` through a configured catalog (gated)
+- delta    → ``spark.read.format("delta")`` when the jar is present, else
+  the pure-Python log-replay reader (sources/delta_table.py — protocols
+  1-3 incl. deletion vectors and column mapping)
+- iceberg  → catalog identifier via ``spark.read.table`` when configured,
+  else the pure-Python manifest-planning reader (sources/iceberg_table.py)
 - kafka    → batch read to latest offsets + from_json (needs the kafka jar —
   gated; the reference drains the topic in Python: connections/kafka.py)
 
@@ -149,8 +152,8 @@ def bind_server_with_raw(
                     reader = reader.option("versionAsOf", int(ver))
                 df = reader.load(path)
             except Exception:
-                # pure-Python log replay fallback (protocol-1 tables);
-                # optional time travel via options.versionAsOf
+                # pure-Python log replay fallback (protocols 1-3: DVs,
+                # column mapping); time travel via options.versionAsOf
                 from datacontract_cli_spark.sources.delta_table import read_delta
                 df = read_delta(spark, path,
                                 version=None if ver is None else int(ver))
@@ -249,7 +252,13 @@ def _read_file(spark: SparkSession, path: str, fmt: str, obj: SchemaObject) -> D
         # requires the spark-avro module jar on the classpath
         return spark.read.format("avro").load(path)
     if fmt == "delta":
-        return spark.read.format("delta").load(path)
+        try:
+            return spark.read.format("delta").load(path)
+        except Exception:
+            # pure-Python log replay (protocols 1-3: stats pruning,
+            # deletion vectors, column mapping) when the jar is absent
+            from datacontract_cli_spark.sources.delta_table import read_delta
+            return read_delta(spark, path)
     raise ValueError(f"unsupported format: {fmt}")
 
 
