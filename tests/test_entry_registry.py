@@ -36,9 +36,9 @@ ROTATED = {
     # rotated late-r5 for iceberg_upsert / iceberg_evolution (green
     # r01-r04; the round's executor change is off their path)
     "row_filter", "violation_samples",
-    # rotated late-r5 for collapse_lines (green r04; _baseline_literal
-    # stays covered by in-window psi_event_type)
-    "jsd_event_type",
+    # rotated late-r5 for collapse_lines / gopher_repetition (green
+    # r03+r04; the drift-lane fix is locally gate-verified at 3 SFs)
+    "jsd_event_type", "psi_event_type",
     # rotated late-r5 for line_dedup/contamination_fraction/
     # transition_drift (green r03+r04; profile.py, refintegrity.py and the
     # drift ks lane are untouched this round)

@@ -2,6 +2,7 @@
 (operators/spans.py; Lee et al., ACL 2022)."""
 
 import numpy as np
+import pytest
 
 from datacontract_cli_spark.operators.spans import (
     duplicate_spans,
@@ -93,3 +94,25 @@ def test_overlapping_cuts_merge(spark):
     assert d9["n_removed_chars"] <= len(df.filter("doc_id = 9")
                                         .first()["text"])
     assert PASSAGE not in d9["text"]
+
+
+def test_gopher_repetition_hand_computed(spark):
+    from datacontract_cli_spark.operators.textstats import gopher_repetition
+
+    rows = [
+        (1, "a b\na b\nc d"),    # 2/3 dup lines; "a b" x2 of 5 bigrams
+        (2, "unique one\nother"),
+        (3, ""),
+        (4, "x y x y x y"),      # "x y" x3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_repetition(df).collect()}
+    assert got[1]["dup_line_frac"] == pytest.approx(2 / 3)
+    assert got[1]["dup_line_char_frac"] == pytest.approx(6 / 9)
+    assert got[1]["top_bigram_char_frac"] == pytest.approx(6 / 11)
+    assert got[2]["dup_line_frac"] == 0.0
+    # count tie -> lexicographically greatest gram ("unique one", 10ch)
+    assert got[2]["top_bigram_char_frac"] == pytest.approx(10 / 16)
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[3]["top_bigram_char_frac"] == 0.0
+    assert got[4]["top_bigram_char_frac"] == pytest.approx(9 / 11)
