@@ -230,6 +230,13 @@ def build_parser() -> argparse.ArgumentParser:
                      help="C4-style corpus line dedup: drop repeated "
                           "lines of at least this many chars (keep-first)")
     cur.add_argument("--max-repetition", type=float, default=0.5)
+    cur.add_argument("--collapse-lines", action="store_true",
+                     help="collapse within-doc consecutive duplicate "
+                          "lines before corpus line-dedup")
+    cur.add_argument("--dedup-spans-min-len", type=int, default=None,
+                     help="cut duplicated passages of at least this many "
+                          "chars from all but the first doc "
+                          "(ExactSubstr-style)")
     cur.add_argument("--near-dup-threshold", type=float, default=0.85)
     cur.add_argument("--classifier-threshold", type=float, default=None)
     cur.add_argument("--no-pii-scrub", action="store_true")
@@ -470,6 +477,8 @@ def main(argv: list[str] | None = None) -> int:
                 max_perplexity=args.max_perplexity,
                 min_tokens=args.min_tokens,
                 line_dedup_min_len=args.line_dedup_min_len,
+                collapse_lines=args.collapse_lines,
+                dedup_spans_min_len=args.dedup_spans_min_len,
                 max_repetition=args.max_repetition,
                 near_dup_threshold=args.near_dup_threshold,
                 classifier_threshold=args.classifier_threshold,

@@ -62,7 +62,9 @@ def curate_corpus(
     max_perplexity: Optional[float] = None,
     min_tokens: int = 5,
     max_repetition: float = 0.5,
+    collapse_lines: bool = False,
     line_dedup_min_len: Optional[int] = None,
+    dedup_spans_min_len: Optional[int] = None,
     near_dup_threshold: float = 0.85,
     contamination_ngram: int = 5,
     classifier_threshold: Optional[float] = None,
@@ -107,7 +109,9 @@ def curate_corpus(
     if checkpoint_dir:
         params = dict(
             id_col=id_col, text_col=text_col, min_tokens=min_tokens,
+            collapse_lines=collapse_lines,
             line_dedup_min_len=line_dedup_min_len,
+            dedup_spans_min_len=dedup_spans_min_len,
             max_repetition=max_repetition,
             near_dup_threshold=near_dup_threshold,
             contamination_ngram=contamination_ngram,
@@ -179,6 +183,17 @@ def curate_corpus(
     out = _ckpt("exact_dedup", out)
     _tick("exact_dedup", out)
 
+    # 1a. within-doc consecutive-duplicate-line collapse (crawl chrome,
+    # cursor spam) — a pure narrow rewrite, zero shuffle, so it needs no
+    # checkpoint; runs before the corpus line-dedup so repeated chrome
+    # counts once per doc there
+    if collapse_lines:
+        from datacontract_cli_spark.operators.lines import (
+            collapse_repeated_lines,
+        )
+        out = collapse_repeated_lines(out, text_col)
+        _tick("collapse_lines", out)
+
     # 1b. corpus line-dedup (C4/CCNet boilerplate removal) — REWRITES the
     # text, so it runs BEFORE the near-dup signatures (shared boilerplate
     # would otherwise glue unrelated docs into LSH clusters) and after
@@ -221,6 +236,25 @@ def curate_corpus(
         out = out.join(losers, id_col, "left_anti")
         out = _ckpt("near_dedup", out)
     _tick("near_dedup", out)
+
+    # 2b. ExactSubstr duplicate-SPAN removal (Lee et al. 2022): survivors
+    # of doc-level dedup can still share long verbatim passages below the
+    # doc-similarity threshold — cut them from the higher-id doc.
+    # EAGER-ish (winnowing candidate join) — resume skips the build.
+    if dedup_spans_min_len is not None:
+        if _has_ckpt("dedup_spans"):
+            out = _read_ckpt("dedup_spans")
+        else:
+            from datacontract_cli_spark.operators.spans import (
+                duplicate_spans,
+                remove_duplicate_spans,
+            )
+            spans = duplicate_spans(out, id_col, text_col,
+                                    min_len=dedup_spans_min_len)
+            out = remove_duplicate_spans(out, spans, id_col, text_col) \
+                .drop("n_removed_chars")
+            out = _ckpt("dedup_spans", out)
+        _tick("dedup_spans", out)
 
     # 3. benchmark decontamination (broadcast semi-join on shared n-grams)
     if benchmark is not None:

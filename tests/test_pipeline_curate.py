@@ -280,3 +280,39 @@ def test_curate_corpus_line_dedup_checkpoint_resume(spark, tmp_path):
     texts = {r["doc_id"]: r["text"] for r in a}
     assert texts[0].startswith(boiler)
     assert all(boiler not in texts[i] for i in range(1, 6))
+
+
+def test_curate_corpus_collapse_and_span_stages(spark):
+    """collapse_lines squashes within-doc repeated lines; dedup_spans
+    cuts a shared verbatim passage from all but the first doc — both
+    ride the chain and record their report rows."""
+    passage = ("a long shared verbatim passage repeated across docs "
+               "that the span stage must cut exactly once per survivor")
+    rows = [
+        (1, "nav nav bar\nnav nav bar\n" + passage
+            + "\nunique technical body about join strategies and "
+              "partition pruning in distributed engines"),
+        (2, passage + "\ncompletely different content on replication "
+                      "protocols and consensus with plenty of words"),
+        (3, "standalone article with sufficient tokens to clear the "
+            "quality gates and no duplication anywhere at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    report = CurationReport()
+    out = curate_corpus(docs, min_tokens=3, scrub_pii=False,
+                        collapse_lines=True,
+                        dedup_spans_min_len=len(passage) - 10,
+                        near_dup_threshold=0.95,
+                        report=report).collect()
+    by_id = {r["doc_id"]: r["text"] for r in out}
+    assert sorted(by_id) == [1, 2, 3]
+    # within-doc repeated nav line collapsed to one
+    assert by_id[1].count("nav nav bar") == 1
+    # doc 1 (lowest id) keeps the passage; doc 2 loses it
+    assert passage in by_id[1]
+    assert passage not in by_id[2]
+    assert "completely different content" in by_id[2]
+    assert by_id[3] == rows[2][1]
+    stages = {s["stage"]: s["rows"] for s in report.to_rows()}
+    assert stages["collapse_lines"] == 3
+    assert stages["dedup_spans"] == 3
