@@ -7,7 +7,13 @@ we report validated-turns/sec at both plus scaling efficiency
 (throughput_32 / throughput_8) / 4. Each level runs in its own subprocess
 (fresh JVM); per level: one warm-up validation + N timed, best taken.
 
-Usage: python tools/scaling_bench.py [n_convs] [turns_per_conv] [--iceberg]
+Usage: python tools/scaling_bench.py [n_convs] [turns_per_conv]
+       [--iceberg] [--submit]
+
+``--submit`` runs each level through a REAL ``spark-submit --py-files
+dist/dcspark.zip`` from a cwd outside the repo — the north rule's
+literal run mode (the engine arrives as a zip, nothing resolves from
+the source tree).
 
 With ``--iceberg`` the same transcripts are committed as a pure-Python
 Iceberg v2 table (sources/iceberg_write.py) and each level binds through
@@ -108,10 +114,49 @@ def materialize_iceberg(n_convs: int, turns: int) -> tuple[str, int]:
     return path, n
 
 
-def run_level(cpus: int, path: str, n_turns: int) -> dict:
+def run_level(cpus: int, path: str, n_turns: int,
+              submit: bool = False) -> dict:
     env = dict(os.environ, SPARK_DRIVER_MEMORY=os.environ.get('SPARK_DRIVER_MEMORY', '16g'))
+    child_src = CHILD.format(repo=REPO)
+    if submit:
+        # the north rule's literal run mode: the engine arrives as a
+        # --py-files zip through a real spark-submit, from a cwd outside
+        # the repo so nothing resolves from the source tree by accident
+        import shutil as _shutil
+        import tempfile
+
+        from tools.package import build
+
+        spark_submit = _shutil.which("spark-submit")
+        if spark_submit is None:
+            raise RuntimeError("--submit needs spark-submit on PATH")
+        zip_path = build()
+        child_src = child_src.replace(
+            f"sys.path.insert(0, {REPO!r})",
+            "pass  # package arrives via --py-files")
+        child_py = os.path.join(tempfile.gettempdir(),
+                                "dcspark_scale_child.py")
+        with open(child_py, "w") as f:
+            f.write(child_src)
+        env.pop("PYSPARK_DRIVER_PYTHON", None)
+        out = subprocess.run(
+            [spark_submit, "--master", f"local[{cpus}]",
+             "--conf", "spark.ui.enabled=false",
+             "--conf", f"spark.driver.memory={env['SPARK_DRIVER_MEMORY']}",
+             "--py-files", zip_path,
+             child_py, str(cpus), path, str(n_turns)],
+            capture_output=True, text=True, timeout=1800, env=env,
+            cwd=tempfile.mkdtemp(),
+        )
+        lines = [l for l in out.stdout.strip().splitlines()
+                 if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(
+                f"submit child failed:\n{out.stdout[-2000:]}\n"
+                f"{out.stderr[-2000:]}")
+        return json.loads(lines[-1])
     out = subprocess.run(
-        [sys.executable, "-c", CHILD.format(repo=REPO), str(cpus), path, str(n_turns)],
+        [sys.executable, "-c", child_src, str(cpus), path, str(n_turns)],
         capture_output=True, text=True, timeout=1800, env=env,
     )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
@@ -174,8 +219,10 @@ Reproduce: `python tools/scaling_bench.py {n_convs} {turns} --iceberg`
 
 def main() -> None:
     sys.path.insert(0, REPO)
-    argv = [a for a in sys.argv[1:] if a != "--iceberg"]
+    argv = [a for a in sys.argv[1:]
+            if a not in ("--iceberg", "--submit")]
     iceberg = "--iceberg" in sys.argv[1:]
+    submit = "--submit" in sys.argv[1:]
     n_convs = int(argv[0]) if len(argv) > 0 else 2_000_000
     turns = int(argv[1]) if len(argv) > 1 else 8
     if iceberg:
@@ -183,11 +230,11 @@ def main() -> None:
     else:
         path, n_turns = materialize(n_convs, turns)
 
-    r8 = run_level(8, path, n_turns)
-    r32 = run_level(32, path, n_turns)
+    r8 = run_level(8, path, n_turns, submit=submit)
+    r32 = run_level(32, path, n_turns, submit=submit)
     eff_best = round((r32["turns_per_sec_best"] / r8["turns_per_sec_best"]) / 4.0, 3)
     eff_med = round((r32["turns_per_sec_median"] / r8["turns_per_sec_median"]) / 4.0, 3)
-    summary = {"n_turns": n_turns, "iceberg": iceberg,
+    summary = {"n_turns": n_turns, "iceberg": iceberg, "submit": submit,
                "local8": r8, "local32": r32,
                "scaling_efficiency_best": eff_best,
                "scaling_efficiency_median": eff_med}
