@@ -170,7 +170,8 @@ ICEBERG_HEADER = "## North-rule job over an Iceberg transcripts table"
 
 def write_iceberg_section(n_convs: int, turns: int, n_turns: int,
                           r8: dict, r32: dict,
-                          eff_best: float, eff_med: float) -> None:
+                          eff_best: float, eff_med: float,
+                          submit: bool = False) -> None:
     """Insert/replace the Iceberg-scaling section, leaving the parquet
     headline section and everything else intact."""
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
@@ -204,7 +205,13 @@ lane's scaling behavior.
 All runs: local[8] {r8['all_times']}, local[32] {r32['all_times']}
 (first run per level is warm-up).
 
-Reproduce: `python tools/scaling_bench.py {n_convs} {turns} --iceberg`
+{"Run mode: REAL `spark-submit --py-files dist/dcspark.zip` per level, "
+ "cwd outside the repo — the north rule's literal deployment path."
+ if submit else
+ "Run mode: fresh in-process JVM per level (add --submit for the "
+ "spark-submit --py-files deployment path; same numbers, slower spin-up)."}
+
+Reproduce: `python tools/scaling_bench.py {n_convs} {turns} --iceberg{" --submit" if submit else ""}`
 
 """
     marker = "## Single-node comparison"
@@ -243,7 +250,7 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     if iceberg:
         write_iceberg_section(n_convs, turns, n_turns, r8, r32,
-                              eff_best, eff_med)
+                              eff_best, eff_med, submit=submit)
         return
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     tail = ""
