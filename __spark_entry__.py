@@ -1385,14 +1385,20 @@ def _q_gopher_repetition(spark, sf):
     """Gopher §A1.3 repetition metrics over planted lined text (each
     doc's normalized 30-char head twice + a tail line): dup-line
     fraction, dup-line char fraction, top-bigram char coverage. Text is
-    whitespace-normalized with an EXPLICIT class first (Java \\s and RE2
-    \\s disagree on \\x0B), so both engines tokenize identically; the
-    count-tie rule (greatest gram) is fixed, so the metric doubles match
-    bit-for-bit (operators/textstats.py:gopher_repetition)."""
+    whitespace-normalized with an explicit class INCLUDING \\x0B first
+    (Java \\s and RE2 \\s disagree on vertical tab; scrubbing it here
+    means the operator's internal Java \\s+ and the oracle's class see
+    identical whitespace), and null text is filtered on both sides
+    (Spark's explode_outer keeps a null-text doc as a zeros row, the
+    oracle's unnest drops it); the count-tie rule (greatest gram) is
+    fixed, so the metric doubles match bit-for-bit
+    (operators/textstats.py:gopher_repetition)."""
     from datacontract_cli_spark.operators.textstats import gopher_repetition
 
-    norm = F.trim(F.regexp_replace(F.col("text"), "[ \t\n\r\f]+", " "))
-    docs = _t(spark, sf, "documents").select(
+    norm = F.trim(F.regexp_replace(F.col("text"),
+                                   "[ \t\n\r\f\x0b]+", " "))
+    docs = _t(spark, sf, "documents").filter(
+        F.col("text").isNotNull()).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.trim(F.substring(norm, 1, 30)).alias("L"),
         F.trim(F.substring(norm, 31, 60)).alias("R"))
@@ -1843,8 +1849,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gopher_repetition": (
             "WITH norm AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
-            "trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')) AS n "
-            "FROM documents), "
+            "trim(regexp_replace(text, '[ \t\n\r\f\\x0B]+', ' ', 'g')) "
+            "AS n FROM documents WHERE text IS NOT NULL), "
             "built AS (SELECT doc_id, "
             "trim(substring(n, 1, 30)) || chr(10) || "
             "trim(substring(n, 1, 30)) || chr(10) || "

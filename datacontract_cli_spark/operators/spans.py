@@ -39,7 +39,11 @@ def duplicate_spans(
     text_col: str = "text",
     k: int = 8,
     window: int = 4,
-    min_shared: int = 2,
+    # 1, NOT winnow_shared_pairs' default 2: an internally periodic
+    # duplicated passage ('='*48, repeated-token boilerplate) can yield a
+    # SINGLE distinct fingerprint, and requiring two shared prints would
+    # silently skip its pair — breaking the superset guarantee above
+    min_shared: int = 1,
     min_len: int = 30,
     max_doc_freq: Optional[int] = None,
     hash_family: str = "md5",

@@ -293,10 +293,13 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
 
     words = F.split(F.trim(F.regexp_replace(F.col(text_col),
                                             r"\s+", " ")), " ")
-    grams = F.expr(
-        "transform(slice({w}, 1, greatest(size({w}) - 1, 0)), "
-        "(x, i) -> concat(x, ' ', element_at({w}, i + 2)))".format(
-            w=f"split(trim(regexp_replace({text_col}, '\\\\s+', ' ')), ' ')"))
+    # Column API (not an F.expr string — arbitrary column names survive,
+    # and Catalyst CSE shares the one split subtree): bigram i = word i
+    # + ' ' + word i+1, built by an indexed transform over the first
+    # size-1 words with an outer 0-based F.get back-reference
+    grams = F.transform(
+        F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda x, i: F.concat(x, F.lit(" "), F.get(words, i + 1)))
     bi = df.select(F.col(id_col),
                    F.length(F.array_join(words, " ")).alias("word_chars"),
                    F.explode_outer(grams).alias("__g"))

@@ -77,7 +77,8 @@ def curate_corpus(
     pack_budget: Optional[int] = None,
     checkpoint_dir: Optional[str] = None,
     checkpoint_stages: Sequence[str] = ("line_dedup", "near_dedup",
-                                        "decontaminated", "lm_quality"),
+                                        "dedup_spans", "decontaminated",
+                                        "lm_quality"),
     report: Optional[CurationReport] = None,
 ) -> DataFrame:
     """Run the full curation chain; returns the curated frame (with a

@@ -151,7 +151,9 @@ def bind_server_with_raw(
                 if ver is not None:
                     reader = reader.option("versionAsOf", int(ver))
                 df = reader.load(path)
-            except Exception:
+            except Exception as e:
+                if not _jar_absent(e):
+                    raise  # jar present: its failure is the real story
                 # pure-Python log replay fallback (protocols 1-3: DVs,
                 # column mapping); time travel via options.versionAsOf
                 from datacontract_cli_spark.sources.delta_table import read_delta
@@ -254,12 +256,25 @@ def _read_file(spark: SparkSession, path: str, fmt: str, obj: SchemaObject) -> D
     if fmt == "delta":
         try:
             return spark.read.format("delta").load(path)
-        except Exception:
+        except Exception as e:
+            if not _jar_absent(e):
+                raise  # the jar IS present: surface ITS failure, don't
+                # mask a corrupt log / unsupported feature with a
+                # fallback that may have different semantics
             # pure-Python log replay (protocols 1-3: stats pruning,
             # deletion vectors, column mapping) when the jar is absent
             from datacontract_cli_spark.sources.delta_table import read_delta
             return read_delta(spark, path)
     raise ValueError(f"unsupported format: {fmt}")
+
+
+def _jar_absent(e: Exception) -> bool:
+    """Does this failure mean the datasource jar is MISSING (fallback
+    territory) rather than a genuine read error from a present jar?"""
+    msg = str(e)
+    return any(m in msg for m in (
+        "DATA_SOURCE_NOT_FOUND", "Failed to find data source",
+        "Failed to find the data source", "ClassNotFoundException"))
 
 
 def read_json_lines_df(spark: SparkSession, path: str, fmt: str) -> DataFrame:

@@ -96,6 +96,24 @@ def test_overlapping_cuts_merge(spark):
     assert PASSAGE not in d9["text"]
 
 
+def test_duplicate_spans_periodic_passage(spark):
+    """An internally periodic duplicated passage yields ONE distinct
+    winnowing fingerprint — the default min_shared must still examine
+    its pair (the superset guarantee)."""
+    rng = np.random.default_rng(9)
+
+    def noise(n):
+        return " ".join("q%04d" % v for v in rng.integers(0, 9999, n))
+
+    periodic = "=" * 48
+    df = spark.createDataFrame(
+        [(1, noise(30) + " " + periodic + " " + noise(30)),
+         (2, periodic + " " + noise(50))],
+        "doc_id long, text string")
+    spans = duplicate_spans(df, min_len=40).collect()
+    assert {(r["id_a"], r["id_b"]) for r in spans} == {(1, 2)}
+
+
 def test_gopher_repetition_hand_computed(spark):
     from datacontract_cli_spark.operators.textstats import gopher_repetition
 

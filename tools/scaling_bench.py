@@ -114,6 +114,25 @@ def materialize_iceberg(n_convs: int, turns: int) -> tuple[str, int]:
     return path, n
 
 
+_SUBMIT_ASSETS: dict = {}
+
+
+def _submit_assets() -> dict:
+    """Build the --py-files zip, child-script path, and scratch cwd ONCE
+    per process — run_level is called per level, and re-zipping the
+    package / leaking a mkdtemp per call is pure waste."""
+    if not _SUBMIT_ASSETS:
+        import tempfile
+
+        from tools.package import build
+
+        _SUBMIT_ASSETS["zip"] = build()
+        _SUBMIT_ASSETS["child"] = os.path.join(
+            tempfile.gettempdir(), "dcspark_scale_child.py")
+        _SUBMIT_ASSETS["cwd"] = tempfile.mkdtemp(prefix="dcspark_scale_")
+    return _SUBMIT_ASSETS
+
+
 def run_level(cpus: int, path: str, n_turns: int,
               submit: bool = False) -> dict:
     env = dict(os.environ, SPARK_DRIVER_MEMORY=os.environ.get('SPARK_DRIVER_MEMORY', '16g'))
@@ -125,20 +144,21 @@ def run_level(cpus: int, path: str, n_turns: int,
         import shutil as _shutil
         import tempfile
 
-        from tools.package import build
-
         spark_submit = _shutil.which("spark-submit")
         if spark_submit is None:
             raise RuntimeError("--submit needs spark-submit on PATH")
-        zip_path = build()
+        zip_path = _submit_assets()["zip"]
         child_src = child_src.replace(
             f"sys.path.insert(0, {REPO!r})",
             "pass  # package arrives via --py-files")
-        child_py = os.path.join(tempfile.gettempdir(),
-                                "dcspark_scale_child.py")
+        child_py = _submit_assets()["child"]
         with open(child_py, "w") as f:
             f.write(child_src)
         env.pop("PYSPARK_DRIVER_PYTHON", None)
+        # pin the SAME interpreter the in-process mode uses, or the
+        # two modes' efficiency numbers compare different pythons (and
+        # a PATH python without pandas/numpy crashes the Arrow kernels)
+        env.setdefault("PYSPARK_PYTHON", sys.executable)
         out = subprocess.run(
             [spark_submit, "--master", f"local[{cpus}]",
              "--conf", "spark.ui.enabled=false",
@@ -146,7 +166,7 @@ def run_level(cpus: int, path: str, n_turns: int,
              "--py-files", zip_path,
              child_py, str(cpus), path, str(n_turns)],
             capture_output=True, text=True, timeout=1800, env=env,
-            cwd=tempfile.mkdtemp(),
+            cwd=_submit_assets()["cwd"],
         )
         lines = [l for l in out.stdout.strip().splitlines()
                  if l.startswith("{")]
