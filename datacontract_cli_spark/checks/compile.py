@@ -26,6 +26,17 @@ logger = logging.getLogger(__name__)
 # Default quality dimension per built-in check type (reference:
 # datacontract/engines/checks/dimensions.py:18-53). Author-declared
 # quality.dimension always wins.
+def _as_col_list(v: Any) -> Optional[List[str]]:
+    """Column-list arguments accept a YAML list OR a single scalar
+    string — ``list("turn_idx")`` would otherwise iterate the string
+    into single-character 'columns'."""
+    if v is None:
+        return None
+    if isinstance(v, str):
+        return [v]
+    return [str(c) for c in v]
+
+
 DEFAULT_DIMENSIONS: Dict[str, str] = {
     "field_required": "completeness",
     "field_primary_key_required": "completeness",
@@ -107,12 +118,16 @@ def prepare_query(
     # substitute any remaining bare {schema} with the model name.
     text = re.sub(r'["\']?\$?\{schema}["\']?\s*\.\s*(?=["\']?\$?\{(model|table|object)})',
                   "", text)
+    # callable replacements: a model/field name containing a backslash
+    # must substitute literally, not be parsed as a regex escape
+    _model = lambda m: model  # noqa: E731
     for token in ("model", "table", "object"):
-        text = re.sub(r'["\']?\$?\{%s}["\']?' % token, model, text)
-    text = re.sub(r'["\']?\$?\{schema}["\']?', model, text)
+        text = re.sub(r'["\']?\$?\{%s}["\']?' % token, _model, text)
+    text = re.sub(r'["\']?\$?\{schema}["\']?', _model, text)
     if field is not None:
+        _field = lambda m: field  # noqa: E731
         for token in ("field", "column", "property"):
-            text = re.sub(r'["\']?\$?\{%s}["\']?' % token, field, text)
+            text = re.sub(r'["\']?\$?\{%s}["\']?' % token, _field, text)
     return text
 
 
@@ -281,8 +296,15 @@ def _library_metric(model: str, field: Optional[str], q: QualityRule,
 
     if metric == "duplicateValues":
         if field is None:
-            cols = (q.arguments or {}).get("properties")
-            joined = ", ".join(cols or [])
+            cols = _as_col_list((q.arguments or {}).get("properties"))
+            if not cols:
+                # sibling missing-argument branches warn-and-skip at
+                # compile time; reaching the executor with columns=None
+                # only to error there helps nobody
+                logger.warning("model-level duplicateValues on %s needs "
+                               "arguments.properties; skipping", model)
+                return []
+            joined = ", ".join(cols)
             return [
                 CheckSpec(
                     key=f"{model}__model_duplicate_values",
@@ -392,6 +414,15 @@ def _library_metric(model: str, field: Optional[str], q: QualityRule,
             logger.warning("toolArgsValid on field %s needs arguments.toolColumn "
                            "and a non-empty arguments.schemas map; skipping", field)
             return []
+        bad = [t for t, s in schemas.items() if not isinstance(s, dict)]
+        if bad:
+            # a boolean JSON Schema (true/false) is legal JSON Schema but
+            # not compilable here — and letting it through would crash
+            # predicate construction (schema.get on a bool) OUTSIDE the
+            # executor's per-check error scope, killing the whole run
+            logger.warning("toolArgsValid on field %s: non-dict schemas "
+                           "for %s; skipping", field, bad)
+            return []
         from datacontract_cli_spark.operators.jsonschema import _needs_arrow
         arrow_tools = [t for t, s in schemas.items()
                        if isinstance(s, dict) and _needs_arrow(s)]
@@ -430,8 +461,8 @@ def _library_metric(model: str, field: Optional[str], q: QualityRule,
             logger.warning("Quality metric maxRunLength is only supported at field level")
             return []
         args = q.arguments or {}
-        order_cols = args.get("orderBy")
-        action_cols = args.get("actionColumns")
+        order_cols = _as_col_list(args.get("orderBy"))
+        action_cols = _as_col_list(args.get("actionColumns"))
         if not order_cols or not action_cols:
             logger.warning("maxRunLength on field %s needs arguments.orderBy "
                            "and arguments.actionColumns lists; skipping", field)
@@ -867,11 +898,35 @@ def _sla_checks(contract: DataContract) -> List[CheckSpec]:
 # entry point
 # ---------------------------------------------------------------------------
 
+def _dedupe_keys(checks: List[CheckSpec]) -> List[CheckSpec]:
+    """Distinct checks must carry DISTINCT keys: the executor
+    pre-registers one stub Check per spec and Run.set_result writes to
+    the FIRST key match, so two specs sharing a key would both write
+    onto one stub — a later PASS silently overwriting an earlier FAIL
+    (exclusiveMinimum+exclusiveMaximum both emitting field_not_equal,
+    two same-metric quality rules on one field, freshness SLAs on two
+    elements, …). First occurrence keeps its historical key; repeats
+    get a stable _2/_3 suffix."""
+    seen: Dict[str, int] = {}
+    for spec in checks:
+        n = seen.get(spec.key, 0) + 1
+        seen[spec.key] = n
+        if n > 1:
+            spec.key = f"{spec.key}_{n}"
+    return checks
+
+
 def compile_checks(contract: DataContract, server: Optional[Server] = None,
                    schema_name: str = "all") -> List[CheckSpec]:
     checks: List[CheckSpec] = []
+    want = schema_name.lower()
     for obj in contract.schema_objects:
-        if schema_name != "all" and obj.name != schema_name:
+        # match like DataContract.schema_object does everywhere else:
+        # name OR physicalName, case-insensitively — an exact-case
+        # name-only filter silently compiled ZERO checks for callers
+        # passing the physical/table name
+        if schema_name != "all" and obj.name.lower() != want \
+                and (obj.physical_name or "").lower() != want:
             continue
         if obj.logical_type == "blob":
             logger.warning("blob schema objects are not supported by the Spark engine; skipping %s", obj.name)
@@ -879,4 +934,4 @@ def compile_checks(contract: DataContract, server: Optional[Server] = None,
         checks.extend(_schema_object_checks(obj.table, obj, server))
     if schema_name == "all":
         checks.extend(_sla_checks(contract))
-    return checks
+    return _dedupe_keys(checks)

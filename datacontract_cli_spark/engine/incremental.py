@@ -54,7 +54,10 @@ LANE_VERSION = 3
 # what the counts MEAN, so fingerprint-unchanged files must revalidate.
 _PARAM_FIELDS = ("metric", "field", "missing_values", "valid_values",
                  "invalid_values", "valid_regex", "valid_min", "valid_max",
-                 "valid_min_length", "valid_max_length", "uses_raw_view")
+                 "valid_min_length", "valid_max_length", "uses_raw_view",
+                 # toolArgsValid inputs: editing a tool's JSON Schema must
+                 # revalidate fingerprint-unchanged files like any rule edit
+                 "tool_col", "tool_schemas")
 
 
 def spec_param_fingerprint(spec: CheckSpec) -> str:

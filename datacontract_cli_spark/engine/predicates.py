@@ -30,11 +30,13 @@ def missing_condition(df: DataFrame, column: str, spec: CheckSpec) -> Column:
     return cond
 
 
-def _length_operand(df: DataFrame, column: str) -> Column:
+def _length_operand(df: DataFrame, column: str,
+                    dtype_map: Optional[dict] = None) -> Column:
     """LENGTH(col), casting to string only when the column isn't one already
     (reference skips the redundant cast: ibis_check_execute.py:485-497)."""
     col = F.col(_q(column))
-    dtype = dict(df.dtypes).get(column, "")
+    dtype = (dtype_map if dtype_map is not None
+             else dict(df.dtypes)).get(column, "")
     if dtype != "string":
         col = col.cast("string")
     return F.length(col)
@@ -43,20 +45,26 @@ def _length_operand(df: DataFrame, column: str) -> Column:
 def valid_condition(df: DataFrame, column: str, spec: CheckSpec) -> Optional[Column]:
     col = F.col(_q(column))
     conds = []
+    # one schema walk per call, not one py4j round-trip per branch —
+    # this runs in the per-spec loop while building the batched aggregate
+    dtype_map = dict(df.dtypes)
     if spec.valid_values is not None:
         conds.append(col.isin(*spec.valid_values))
     if spec.valid_regex is not None:
         # unanchored match, like re_search / RLIKE
-        str_col = col if dict(df.dtypes).get(column) == "string" else col.cast("string")
+        str_col = col if dtype_map.get(column) == "string" \
+            else col.cast("string")
         conds.append(str_col.rlike(spec.valid_regex))
     if spec.valid_min is not None:
         conds.append(col >= F.lit(spec.valid_min))
     if spec.valid_max is not None:
         conds.append(col <= F.lit(spec.valid_max))
     if spec.valid_min_length is not None:
-        conds.append(_length_operand(df, column) >= F.lit(spec.valid_min_length))
+        conds.append(_length_operand(df, column, dtype_map)
+                     >= F.lit(spec.valid_min_length))
     if spec.valid_max_length is not None:
-        conds.append(_length_operand(df, column) <= F.lit(spec.valid_max_length))
+        conds.append(_length_operand(df, column, dtype_map)
+                     <= F.lit(spec.valid_max_length))
     if spec.tool_schemas is not None and spec.tool_col is not None:
         # per-tool JSON-Schema validity: invalid when the row's tool has a
         # schema and the compiled keyword predicates report errors; tools

@@ -1,0 +1,137 @@
+"""Regression tests for the core-compile review findings: duplicate
+check keys masking failures, scalar-string column args, physical-name
+model filtering, and toolArgsValid boolean-schema handling."""
+
+import pytest
+
+from datacontract_cli_spark.checks.compile import compile_checks
+from datacontract_cli_spark.engine.executor import SparkContractEngine
+from datacontract_cli_spark.model.contract import load_contract_str
+from datacontract_cli_spark.model.run import ResultEnum
+
+
+EXCL_CONTRACT = """
+id: t
+version: 1.0.0
+schema:
+  - name: m
+    properties:
+      - name: v
+        logicalType: number
+        logicalTypeOptions:
+          exclusiveMinimum: 0
+          exclusiveMaximum: 100
+"""
+
+
+def test_exclusive_bounds_get_distinct_keys_and_both_evaluate(spark):
+    """exclusiveMinimum and exclusiveMaximum both compiled to ONE key
+    (field_not_equal): the later PASS overwrote the earlier FAIL on the
+    shared stub. Distinct keys make both verdicts visible."""
+    contract = load_contract_str(EXCL_CONTRACT)
+    specs = [s for s in compile_checks(contract, None)
+             if "not_equal" in s.key]
+    assert len({s.key for s in specs}) == len(specs) == 2
+
+    df = spark.createDataFrame([(0.0,), (50.0,)], "v double")
+    run = SparkContractEngine(spark).test(contract, tables={"m": df})
+    ne = [c for c in run.checks if "not_equal" in c.key]
+    assert len(ne) == 2
+    results = sorted(c.result.value for c in ne)
+    # the 0.0 row violates exclusiveMinimum; exclusiveMaximum passes
+    assert results == ["failed", "passed"]
+    assert run.result is ResultEnum.failed
+
+
+TWO_RULES_CONTRACT = """
+id: t
+version: 1.0.0
+schema:
+  - name: m
+    properties:
+      - name: v
+        logicalType: string
+        quality:
+          - metric: nullValues
+            mustBeLessThan: 100
+          - metric: nullValues
+            mustBe: 0
+"""
+
+
+def test_same_metric_twice_on_one_field_both_evaluate(spark):
+    contract = load_contract_str(TWO_RULES_CONTRACT)
+    df = spark.createDataFrame([("a",), (None,)], "v string")
+    run = SparkContractEngine(spark).test(contract, tables={"m": df})
+    nv = [c for c in run.checks if "null_values" in c.key]
+    assert len(nv) == 2
+    assert len({c.key for c in nv}) == 2
+    results = sorted(c.result.value for c in nv)
+    # lenient rule passes, strict mustBe 0 fails — previously the pass
+    # masked the fail on the shared key
+    assert results == ["failed", "passed"]
+    assert run.result is ResultEnum.failed
+
+
+SCALAR_ARGS_CONTRACT = """
+id: t
+version: 1.0.0
+schema:
+  - name: m
+    physicalName: m_v2
+    properties:
+      - name: conv_id
+        logicalType: string
+      - name: turn_idx
+        logicalType: integer
+      - name: tool
+        logicalType: string
+    quality:
+      - metric: duplicateValues
+        arguments:
+          properties: conv_id
+        mustBe: 0
+"""
+
+
+def test_scalar_string_column_args_and_physical_name_filter(spark):
+    contract = load_contract_str(SCALAR_ARGS_CONTRACT)
+    # scalar YAML string wraps to a one-column list, not characters
+    spec = next(s for s in compile_checks(contract, None)
+                if s.type == "model_duplicate_values")
+    assert spec.columns == ["conv_id"]
+    # filtering by the PHYSICAL name compiles the same checks as by name
+    assert {s.key for s in compile_checks(contract, None, "m_v2")} \
+        == {s.key for s in compile_checks(contract, None, "m")} != set()
+
+
+BOOL_SCHEMA_CONTRACT = """
+id: t
+version: 1.0.0
+schema:
+  - name: m
+    properties:
+      - name: args
+        logicalType: string
+        quality:
+          - metric: toolArgsValid
+            arguments:
+              toolColumn: tool
+              schemas:
+                get_weather: true
+            mustBe: 0
+"""
+
+
+def test_tool_args_boolean_schema_skips_instead_of_crashing(spark):
+    """A boolean JSON Schema is legal JSON Schema but not compilable
+    here — it must warn-and-skip at compile, never AttributeError the
+    whole run at predicate-construction time."""
+    contract = load_contract_str(BOOL_SCHEMA_CONTRACT)
+    specs = [s for s in compile_checks(contract, None)
+             if s.type == "tool_args_valid"]
+    assert specs == []
+    df = spark.createDataFrame([("{}", "get_weather")],
+                               "args string, tool string")
+    run = SparkContractEngine(spark).test(contract, tables={"m": df})
+    assert run.result is not None  # the run completes
