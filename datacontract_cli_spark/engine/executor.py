@@ -45,6 +45,7 @@ from datacontract_cli_spark.checks.types import (
     spark_type_to_property,
 )
 from datacontract_cli_spark.engine.predicates import (
+    _q,
     count_if,
     describe_condition,
     invalid_condition,
@@ -149,9 +150,15 @@ class SparkContractEngine:
         lowered_raw = {k.lower(): v for k, v in (raw_tables or tables).items()}
         objects = {o.table.lower(): o for o in contract.schema_objects}
 
-        # register temp views once for custom SQL / referential integrity
+        # register temp views once for custom SQL / referential integrity;
+        # a model name Spark rejects as a view identifier must not kill
+        # the whole run — only the checks that NEED the view (custom
+        # SQL/RI) will error, every other check still executes
         for name, df in tables.items():
-            df.createOrReplaceTempView(name)
+            try:
+                df.createOrReplaceTempView(name)
+            except Exception as e:
+                logger.warning("cannot register temp view %r: %s", name, e)
 
         by_model: Dict[str, List[CheckSpec]] = {}
         for spec in specs:
@@ -243,12 +250,34 @@ class SparkContractEngine:
         runnable = [s for s in specs if s.metric in
                     (MetricType.ROW_COUNT, MetricType.MISSING_COUNT,
                      MetricType.INVALID_COUNT, MetricType.DUPLICATE_COUNT)]
+        # per-bucket duplicate-group counts only SUM correctly when rows
+        # sharing the duplicate key land in one bucket — i.e. the
+        # partition key is part of the duplicate key. Anything else would
+        # silently under-count (two equal emails in different conv_id
+        # buckets each count zero), so it is an error here, not a pass.
+        unroutable = [
+            s for s in runnable if s.metric is MetricType.DUPLICATE_COUNT
+            and partition_key not in (s.columns or
+                                      ([s.field] if s.field else []))]
+        runnable = [s for s in runnable if s not in unroutable]
         pv = PartitionedValidator(self.spark, checkpoint_dir=checkpoint_dir,
                                   partition_key=partition_key, n_buckets=n_buckets)
         verdicts = pv.run(df, runnable, model, source_path=source_path)
         folded = PartitionedValidator.fold(verdicts)
 
         run = Run(dataContractId=contract.id, dataContractVersion=contract.version)
+        for spec in unroutable:
+            check = Check(key=spec.key, category=spec.category,
+                          type=spec.type, name=spec.name, model=spec.model,
+                          field=spec.field, language="spark-sql",
+                          dimension=spec.dimension)
+            check.result = ResultEnum.error
+            check.reason = (
+                f"uniqueness on {spec.columns or [spec.field]} cannot be "
+                f"folded per-bucket when the partition key "
+                f"{partition_key!r} is not part of the duplicate key — "
+                "run it through test() (the batched lane is exact)")
+            run.checks.append(check)
         for spec in runnable:
             check = Check(key=spec.key, category=spec.category, type=spec.type,
                           name=spec.name, model=spec.model, field=spec.field,
@@ -258,8 +287,22 @@ class SparkContractEngine:
             value = folded["metrics"].get(
                 spec.key, folded["metrics"].get("row_count")
                 if spec.metric is MetricType.ROW_COUNT else None)
+            if value is None:
+                # the spec never evaluated in any bucket (absent column):
+                # an honest error, same as the incremental lane — not a
+                # fail with a misleading '0 of N partitions' reason
+                check.result = ResultEnum.error
+                check.reason = (f"{spec.metric.value}({spec.field}) was "
+                                "not evaluated in any partition (column "
+                                "absent?)")
+                check.diagnostics = {"metric": spec.metric.value,
+                                     "value": None}
+                run.checks.append(check)
+                continue
             if spec.threshold is not None:
-                check.result = (ResultEnum.passed if spec.threshold.passes(value)
+                ok, _ = self._passes_with_percent(
+                    spec, value, folded["metrics"].get("row_count"))
+                check.result = (ResultEnum.passed if ok
                                 else _fail_result(spec))
             check.diagnostics = {
                 "metric": spec.metric.value,
@@ -333,8 +376,9 @@ class SparkContractEngine:
                 spec.key, result["folded"]["row_count"]
                 if spec.metric is MetricType.ROW_COUNT else 0)
             if spec.threshold is not None:
-                check.result = (ResultEnum.passed
-                                if spec.threshold.passes(value)
+                ok, _ = self._passes_with_percent(
+                    spec, value, result["folded"].get("row_count"))
+                check.result = (ResultEnum.passed if ok
                                 else _fail_result(spec))
             check.diagnostics = {
                 "metric": spec.metric.value, "value": value,
@@ -422,8 +466,9 @@ class SparkContractEngine:
                     check.reason = ("maintenance commit (no data "
                                     "change); thresholds not applied")
                 elif spec.threshold is not None:
-                    check.result = (ResultEnum.passed
-                                    if spec.threshold.passes(value)
+                    ok, _ = self._passes_with_percent(
+                        spec, value, result["delta"].get("row_count"))
+                    check.result = (ResultEnum.passed if ok
                                     else _fail_result(spec))
                 check.diagnostics = {
                     "metric": spec.metric.value, "value": value,
@@ -486,6 +531,12 @@ class SparkContractEngine:
                                 run.set_result(spec.key, ResultEnum.error,
                                                f"Invalid expression for derived "
                                                f"column '{prop.column}': {e}")
+                        # drop the affected specs NOW — letting them fall
+                        # through to the scan would overwrite this error
+                        # (and its root-cause reason) with a generic
+                        # 'Column not found' failure
+                        specs = [s for s in specs
+                                 if s.field != prop.column]
 
         # preset (unsupported) checks
         runnable: List[CheckSpec] = []
@@ -606,19 +657,19 @@ class SparkContractEngine:
                     evaluators.append((spec, alias))
                     sample_conds[spec.key] = (column, cond)
             elif spec.metric is MetricType.FRESHNESS:
-                _add(F.max(F.col(column)).alias(alias), alias)
+                _add(F.max(F.col(_q(column))).alias(alias), alias)
                 evaluators.append((spec, alias))
             elif spec.metric is MetricType.RETENTION:
-                _add(F.min(F.col(column)).alias(alias), alias)
+                _add(F.min(F.col(_q(column))).alias(alias), alias)
                 evaluators.append((spec, alias))
             elif spec.metric is MetricType.QUANTILE:
                 q = float(spec.quantile if spec.quantile is not None else 0.5)
                 # approx (t-digest-style sketch, fixed memory) is the 100 TB
                 # default; arguments.exact=true opts into the exact
                 # interpolated percentile (buffers the column per group)
-                expr = (F.percentile(F.col(column), F.lit(q))
+                expr = (F.percentile(F.col(_q(column)), F.lit(q))
                         if spec.quantile_exact
-                        else F.percentile_approx(F.col(column), q, 10000))
+                        else F.percentile_approx(F.col(_q(column)), q, 10000))
                 _add(expr.alias(alias), alias)
                 evaluators.append((spec, alias))
         return exprs, expr_by_alias, evaluators, constant_zero, sample_conds
@@ -664,7 +715,7 @@ class SparkContractEngine:
         sample_keys = (self._drop_sensitive(resolved, obj)
                        if self.include_failed_samples else [])
         try:
-            grouped = df.groupBy(*[F.col(c) for c in resolved]).agg(*exprs)
+            grouped = df.groupBy(*[F.col(_q(c)) for c in resolved]).agg(*exprs)
             # an EMPTY table leaves the final fold with NULL sums (unlike a
             # plain count aggregate) — coalesce the count-style refolds to 0
             finals = [
@@ -817,7 +868,11 @@ class SparkContractEngine:
                                "isolating per-check", e)
         for spec in failed_sample_keys:
             column, cond = sample_conds[spec.key]
-            self._collect_samples(run, spec, df, cond, column, obj)
+            try:
+                self._collect_samples(run, spec, df, cond, column, obj)
+            except Exception as e:  # noqa: BLE001 — diagnostics only
+                logger.warning("sample collection failed for %s: %s",
+                               spec.key, e)
 
     def _collect_samples_batch(self, run: Run,
                                specs_conds: List[Tuple[CheckSpec, Any]],
@@ -892,18 +947,30 @@ class SparkContractEngine:
         # collisions can never inflate the count. When data is mostly
         # duplicate-free (the expected case for a uniqueness check), phase 2
         # touches almost nothing.
-        value = self._duplicate_group_count(df, resolved)
+        try:
+            value = self._duplicate_group_count(df, resolved)
+        except Exception as e:
+            # per-check error isolation, same as the agg batch / custom
+            # SQL: one failing Spark job must not abort the whole run
+            run.set_result(spec.key, ResultEnum.error, str(e))
+            return
         self._evaluate(run, spec, int(value), None)
         check = run.check(spec.key)
         if (self.include_failed_samples and check is not None
                 and check.result in (ResultEnum.failed, ResultEnum.warning)):
-            self._collect_duplicate_samples(run, spec, df, resolved, obj)
+            try:
+                self._collect_duplicate_samples(run, spec, df, resolved, obj)
+            except Exception as e:
+                # samples are diagnostics — their failure never changes
+                # the verdict
+                logger.warning("duplicate-sample collection failed for "
+                               "%s: %s", spec.key, e)
 
     def _collect_duplicate_samples(self, run: Run, spec: CheckSpec,
                                    df: DataFrame, resolved: List[str],
                                    obj: Optional[SchemaObject]) -> None:
         sample_df = (
-            df.groupBy(*[F.col(c) for c in resolved])
+            df.groupBy(*[F.col(_q(c)) for c in resolved])
             .agg(F.count(F.lit(1)).alias("duplicate_count"))
             .filter(F.col("duplicate_count") > 1)
             .orderBy(*[F.col(c) for c in resolved])
@@ -925,22 +992,31 @@ class SparkContractEngine:
             .filter(F.col("__dc_n__") > 1)
             .select("__dc_h__")
         )
-        cand_n = cand.count()
-        if cand_n == 0:
-            return 0
-        if cand_n > max_candidate_groups:
-            # too many collided groups to broadcast — exact direct grouping
+        # persist scoped to this method: without it the broadcast join
+        # RECOMPUTES the candidate aggregation after count() already
+        # materialized it — a third full table scan on every uniqueness
+        # check that found at least one duplicate
+        cand = cand.persist()
+        try:
+            cand_n = cand.count()
+            if cand_n == 0:
+                return 0
+            if cand_n > max_candidate_groups:
+                # too many collided groups to broadcast — exact direct
+                # grouping
+                return (
+                    df.groupBy(*[F.col(_q(c)) for c in cols]).count()
+                    .filter(F.col("count") > 1).count()
+                )
             return (
-                df.groupBy(*[F.col(c) for c in cols]).count()
-                .filter(F.col("count") > 1).count()
+                df.withColumn("__dc_h__", h)
+                .join(F.broadcast(cand), "__dc_h__")
+                .groupBy(*[F.col(_q(c)) for c in cols]).count()
+                .filter(F.col("count") > 1)
+                .count()
             )
-        return (
-            df.withColumn("__dc_h__", h)
-            .join(F.broadcast(cand), "__dc_h__")
-            .groupBy(*[F.col(c) for c in cols]).count()
-            .filter(F.col("count") > 1)
-            .count()
-        )
+        finally:
+            cand.unpersist()
 
     def _check_custom_sql(self, run: Run, spec: CheckSpec) -> None:
         from datacontract_cli_spark.checks.dialect import to_spark_sql
@@ -971,7 +1047,11 @@ class SparkContractEngine:
             run.set_result(spec.key, _fail_result(spec), "Referenced column not found")
             return
         from datacontract_cli_spark.operators.refintegrity import orphan_count
-        value = orphan_count(df, child_col, parent, parent_col)
+        try:
+            value = orphan_count(df, child_col, parent, parent_col)
+        except Exception as e:
+            run.set_result(spec.key, ResultEnum.error, str(e))
+            return
         self._evaluate(run, spec, int(value), None, metric_label="orphan_count")
 
     def _check_drift(self, run: Run, spec: CheckSpec, df: DataFrame) -> None:
@@ -1028,8 +1108,9 @@ class SparkContractEngine:
     # ------------------------------------------------------------------
     def _check_present(self, run: Run, spec: CheckSpec, raw_df: DataFrame) -> None:
         present = resolve_column(raw_df, spec.field) is not None
-        run.set_diagnostics(run.check(spec.key).key if run.check(spec.key) else spec.key,
-                            {"metric": "field_present", "field": spec.field, "value": present})
+        run.set_diagnostics(spec.key, {"metric": "field_present",
+                                       "field": spec.field,
+                                       "value": present})
         if present:
             run.set_result(spec.key, ResultEnum.passed, None)
         else:
@@ -1102,6 +1183,22 @@ class SparkContractEngine:
     # ------------------------------------------------------------------
     # evaluation + diagnostics (reference ibis_check_execute.py:943-989)
     # ------------------------------------------------------------------
+    @staticmethod
+    def _passes_with_percent(spec: CheckSpec, value: Any,
+                             row_count: Optional[int]):
+        """(ok, compare_value): threshold evaluation honoring percent
+        thresholds EXACTLY like the batch lane's _evaluate — the
+        incremental/tail/partitioned lanes fold raw counts, and
+        comparing a raw count against a percent bound gives wrong
+        verdicts in both directions."""
+        is_percent = bool(spec.threshold_is_percent) and spec.metric in (
+            MetricType.MISSING_COUNT, MetricType.INVALID_COUNT)
+        compare = value
+        if is_percent and value is not None:
+            compare = (round(value / row_count * 100, 6)
+                       if row_count else 0.0)
+        return spec.threshold.passes(compare), compare
+
     def _evaluate(self, run: Run, spec: CheckSpec, value: Any,
                   row_count: Optional[int], metric_label: Optional[str] = None) -> None:
         is_bad_row = spec.metric in (MetricType.MISSING_COUNT, MetricType.INVALID_COUNT)
@@ -1232,7 +1329,8 @@ class SparkContractEngine:
             return
         # deterministic sample order (north rule: stable ordering)
         order = ids if ids else [column]
-        sample_df = df.filter(cond).select(*cols).orderBy(*order).limit(self.sample_limit)
+        sample_df = df.filter(cond).select(*[F.col(_q(c)) for c in cols]) \
+            .orderBy(*[F.col(_q(c)) for c in order]).limit(self.sample_limit)
         check = run.check(spec.key)
         if check is not None:
             check.failedSamples = [self._json_safe(r.asDict()) for r in sample_df.collect()]

@@ -135,3 +135,52 @@ def test_tool_args_boolean_schema_skips_instead_of_crashing(spark):
                                "args string, tool string")
     run = SparkContractEngine(spark).test(contract, tables={"m": df})
     assert run.result is not None  # the run completes
+
+
+PERCENT_CONTRACT = """
+id: t
+version: 1.0.0
+schema:
+  - name: transcripts
+    properties:
+      - name: conv_id
+        logicalType: string
+      - name: tool
+        logicalType: string
+        quality:
+          - metric: nullValues
+            mustBeLessThan: 60
+            unit: percent
+"""
+
+
+def test_incremental_lane_honors_percent_thresholds(spark, tmp_path):
+    """The incremental/tail lanes folded raw counts and compared them
+    against percent bounds directly: 300 missing of 1000 rows (30%)
+    failed a '< 60%' threshold because 300 > 60."""
+    from datacontract_cli_spark.checks.compile import compile_checks as cc
+    from datacontract_cli_spark.model.contract import load_contract_str as lc
+
+    contract = lc(PERCENT_CONTRACT)
+    spec = next(s for s in cc(contract, None) if "null_values" in s.key)
+    assert spec.threshold_is_percent
+
+    import pyspark.sql.functions as F
+    df = spark.range(1000).select(
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        F.when(F.col("id") % 10 < 3, None)
+         .otherwise(F.lit("search")).alias("tool"))
+    root = str(tmp_path / "zone")
+    df.write.parquet(root)
+    engine = SparkContractEngine(spark)
+    run, result = engine.test_incremental(
+        contract, root, "transcripts", str(tmp_path / "ckpt"))
+    chk = next(c for c in run.checks if "null_values" in c.key)
+    assert chk.diagnostics["value"] == 300
+    assert chk.result is ResultEnum.passed  # 30% < 60%
+
+    # and the batch lane agrees (it always did)
+    run2 = SparkContractEngine(spark).test(contract,
+                                           tables={"transcripts": df})
+    chk2 = next(c for c in run2.checks if "null_values" in c.key)
+    assert chk2.result is ResultEnum.passed
