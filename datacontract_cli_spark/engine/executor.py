@@ -263,7 +263,7 @@ class SparkContractEngine:
         pv = PartitionedValidator(self.spark, checkpoint_dir=checkpoint_dir,
                                   partition_key=partition_key, n_buckets=n_buckets)
         verdicts = pv.run(df, runnable, model, source_path=source_path)
-        folded = PartitionedValidator.fold(verdicts)
+        folded = PartitionedValidator.fold(verdicts, specs=runnable)
 
         run = Run(dataContractId=contract.id, dataContractVersion=contract.version)
         for spec in unroutable:
@@ -1190,14 +1190,9 @@ class SparkContractEngine:
         thresholds EXACTLY like the batch lane's _evaluate — the
         incremental/tail/partitioned lanes fold raw counts, and
         comparing a raw count against a percent bound gives wrong
-        verdicts in both directions."""
-        is_percent = bool(spec.threshold_is_percent) and spec.metric in (
-            MetricType.MISSING_COUNT, MetricType.INVALID_COUNT)
-        compare = value
-        if is_percent and value is not None:
-            compare = (round(value / row_count * 100, 6)
-                       if row_count else 0.0)
-        return spec.threshold.passes(compare), compare
+        verdicts in both directions. Shared rule: checks/spec.py."""
+        from datacontract_cli_spark.checks.spec import passes_with_percent
+        return passes_with_percent(spec, value, row_count)
 
     def _evaluate(self, run: Run, spec: CheckSpec, value: Any,
                   row_count: Optional[int], metric_label: Optional[str] = None) -> None:

@@ -27,16 +27,21 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 from datetime import datetime, timezone
 from typing import Any, Dict, List, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datacontract_cli_spark.checks.spec import CheckSpec, MetricType
+from datacontract_cli_spark.checks.spec import (
+    CheckSpec,
+    MetricType,
+    passes_with_percent,
+)
 from datacontract_cli_spark.engine.executor import _ROW_COUNT_ALIAS, _fail_result
 from datacontract_cli_spark.engine.predicates import (
+    _q as _qc,
     count_if,
     invalid_condition,
     missing_condition,
@@ -117,6 +122,21 @@ class PartitionedValidator:
         approx-distinct WITHOUT rescanning — the resume-safe way to keep
         table-wide distinct counts while validating incrementally."""
         done = self.completed_buckets(model)
+        # a checkpoint built under a DIFFERENT bucketing cannot be merged:
+        # changing n_buckets re-hashes rows into other buckets (double
+        # counting on grow, stale verdicts on shrink) and a different
+        # partition key changes what a bucket even means
+        for v in done.values():
+            lin = v.lineage or {}
+            if (lin.get("n_buckets") not in (None, self.n_buckets)
+                    or lin.get("partition_key")
+                    not in (None, self.partition_key)):
+                raise ValueError(
+                    f"checkpoint at {self.checkpoint_dir!r} was built with "
+                    f"partition_key={lin.get('partition_key')!r} / "
+                    f"n_buckets={lin.get('n_buckets')}, current run uses "
+                    f"{self.partition_key!r}/{self.n_buckets} — use a new "
+                    "checkpoint dir (mixing bucketings double-counts)")
         key_col = resolve_column(df, self.partition_key)
         if key_col is None:
             raise ValueError(f"partition key '{self.partition_key}' not in {df.columns}")
@@ -155,7 +175,8 @@ class PartitionedValidator:
             if rc is not None:
                 exprs.append(F.hll_sketch_agg(F.col(rc)).alias(f"__hll_{c}__"))
 
-        rows = work.groupBy(_BUCKET).agg(*exprs).collect()
+        gdf = work.groupBy(_BUCKET).agg(*exprs)
+        rows = gdf.collect()
 
         # buckets with NO rows produce no group — they are still VALIDATED
         # (zero rows, all counts 0): record them so resume never rescans an
@@ -164,8 +185,7 @@ class PartitionedValidator:
         todo = (set(range(self.n_buckets)) - set(done)) - seen_buckets
         if todo:
             from pyspark.sql import Row as _Row
-            field_names = [f.name for f in
-                           work.groupBy(_BUCKET).agg(*exprs).schema.fields]
+            field_names = [f.name for f in gdf.schema.fields]
             rows = list(rows) + [
                 _Row(**{n: (b if n == _BUCKET
                             else 0 if n == _ROW_COUNT_ALIAS else None)
@@ -173,16 +193,34 @@ class PartitionedValidator:
                 for b in sorted(todo)
             ]
 
-        # bucket-local duplicate counts (one job per distinct key tuple)
+        # bucket-local duplicate counts (one job per distinct key tuple).
+        # Only computable when the duplicate key CONTAINS the partition
+        # key (per-bucket group counts sum exactly then); everything else
+        # is an honest error, never a silent zero-pass
         dup_specs = [s for s in specs if s.metric is MetricType.DUPLICATE_COUNT]
         dup_values: Dict[str, Dict[int, int]] = {}
+        dup_errors: Dict[str, str] = {}
         for spec in dup_specs:
             cols = spec.columns or ([spec.field] if spec.field else [])
+            if not cols:
+                dup_errors[spec.key] = "duplicate check has no columns"
+                continue
+            if self.partition_key not in cols:
+                dup_errors[spec.key] = (
+                    f"uniqueness on {cols} cannot be folded per-bucket "
+                    f"when the partition key {self.partition_key!r} is "
+                    "not part of the duplicate key — two equal keys in "
+                    "different buckets would each count zero; run it "
+                    "through the batch engine")
+                continue
             resolved = [resolve_column(df, c) for c in cols]
             if any(c is None for c in resolved):
+                missing = [c for c, r in zip(cols, resolved) if r is None]
+                dup_errors[spec.key] = (
+                    f"column(s) {missing} not found in model {model}")
                 continue
             grouped = (
-                work.groupBy(_BUCKET, *[F.col(c) for c in resolved])
+                work.groupBy(_BUCKET, *[F.col(_qc(c)) for c in resolved])
                 .count().filter(F.col("count") > 1)
                 .groupBy(_BUCKET).agg(F.count(F.lit(1)).alias("dups"))
             )
@@ -206,10 +244,16 @@ class PartitionedValidator:
                 value = int(value) if value is not None else 0
                 metrics[spec.key] = value
                 if spec.threshold is not None:
+                    # percent thresholds evaluate against the BUCKET's
+                    # own rate, not the raw count
+                    ok, _ = passes_with_percent(spec, value, row_count)
                     results[spec.key] = (
-                        "passed" if spec.threshold.passes(value) else _fail_result(spec).value
+                        "passed" if ok else _fail_result(spec).value
                     )
             for spec in dup_specs:
+                if spec.key in dup_errors:
+                    results[spec.key] = "error"
+                    continue
                 value = dup_values.get(spec.key, {}).get(bucket, 0)
                 metrics[spec.key] = value
                 if spec.threshold is not None:
@@ -228,11 +272,21 @@ class PartitionedValidator:
 
     # -- folding ---------------------------------------------------------------
     @staticmethod
-    def fold(verdicts: Dict[int, BucketVerdict]) -> Dict[str, Any]:
-        """Global metrics + worst-case results across buckets."""
+    def fold(verdicts: Dict[int, BucketVerdict],
+             specs: Optional[List[CheckSpec]] = None) -> Dict[str, Any]:
+        """Global metrics across buckets, plus global results.
+
+        With ``specs``, global results are RE-EVALUATED: each threshold
+        against its FOLDED metric (percent over the folded row_count).
+        That is the correct global verdict — the worst-case-of-buckets
+        fallback (no specs) compares bucket-LOCAL counts against GLOBAL
+        thresholds, which false-passes absolute budgets split across
+        buckets ('missing_count <= 10' with 1 per bucket × 64) and
+        false-fails lower bounds ('row_count >= 1000' in 64 slices).
+        Error verdicts always carry through either way."""
         totals: Dict[str, Any] = {}
         results: Dict[str, str] = {}
-        severity = {"failed": 0, "warning": 1, "passed": 2}
+        severity = {"failed": 0, "error": 1, "warning": 2, "passed": 3}
         for v in verdicts.values():
             for k, val in v.metrics.items():
                 if k.startswith("hll_sketch::"):
@@ -242,6 +296,17 @@ class PartitionedValidator:
                 cur = results.get(k)
                 if cur is None or severity.get(res, 3) < severity.get(cur, 3):
                     results[k] = res
+        if specs is not None:
+            row_count = totals.get("row_count")
+            for spec in specs:
+                if results.get(spec.key) == "error":
+                    continue  # never upgrade an error
+                if spec.threshold is None or spec.key not in totals:
+                    continue
+                ok, _ = passes_with_percent(spec, totals[spec.key],
+                                            row_count)
+                results[spec.key] = ("passed" if ok
+                                     else _fail_result(spec).value)
         return {"metrics": totals, "results": results,
                 "n_buckets_validated": len(verdicts)}
 
@@ -276,11 +341,20 @@ def per_file_verdicts(df: DataFrame, specs: List[CheckSpec]) -> DataFrame:
     map-side combinable; output one row per file with per-check violation
     counts."""
     exprs = [F.count(F.lit(1)).alias("row_count")]
-    for i, spec in enumerate(specs):
+    for spec in specs:
+        if spec.metric not in (MetricType.MISSING_COUNT,
+                               MetricType.INVALID_COUNT):
+            continue
         col = resolve_column(df, spec.field) if spec.field else None
-        if spec.metric is MetricType.MISSING_COUNT and col:
+        if col is None:
+            # a NULL column, not a silently absent one: a consumer
+            # quarantining files by violation counts must SEE that the
+            # check never evaluated (schema drift dropped the column)
+            exprs.append(F.max(F.lit(None).cast("long")).alias(spec.key))
+            continue
+        if spec.metric is MetricType.MISSING_COUNT:
             exprs.append(count_if(missing_condition(df, col, spec), spec.key))
-        elif spec.metric is MetricType.INVALID_COUNT and col:
+        else:
             cond = invalid_condition(df, col, spec)
             if cond is not None:
                 exprs.append(count_if(cond, spec.key))

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from datacontract_cli_spark.checks.compile import compile_checks
 from datacontract_cli_spark.checks.spec import CheckSpec, MetricType, Op, Threshold
 from datacontract_cli_spark.engine.predicates import (
+    _q,
     count_if,
     invalid_condition,
     missing_condition,
@@ -156,8 +157,9 @@ def sliced_validation(df: DataFrame, contract: DataContract, model: str,
             for j, k in enumerate(baseline):
                 # native-typed comparison (no string rendering — the
                 # bool 'True' vs 'true' hazard); None is its own category
-                cond = (F.col(column).isNull() if k is None
-                        else F.col(column).eqNullSafe(F.lit(k)))
+                qcol = F.col(_q(column))
+                cond = (qcol.isNull() if k is None
+                        else qcol.eqNullSafe(F.lit(k)))
                 exprs.append(count_if(cond, f"{alias}k{j}"))
             verdicts.append(
                 (spec, F.round(_psi_value(alias, baseline, F.col("__n__")),
@@ -167,10 +169,10 @@ def sliced_validation(df: DataFrame, contract: DataContract, model: str,
             points = (spec.baseline or {}).get("cdf")
             if not points:      # t-digest 'quantiles' baselines are not
                 continue        # agg-able — run the engine for those
-            exprs.append(F.count(F.col(column)).alias(f"{alias}n"))
+            exprs.append(F.count(F.col(_q(column))).alias(f"{alias}n"))
             for j, (x, _p) in enumerate(points):
                 exprs.append(F.sum(
-                    F.when(F.col(column) <= F.lit(float(x)), 1)
+                    F.when(F.col(_q(column)) <= F.lit(float(x)), 1)
                      .otherwise(0)).alias(f"{alias}le{j}"))
             verdicts.append(
                 (spec, F.round(_ks_value(alias, points, F.col(f"{alias}n")),
@@ -184,9 +186,9 @@ def sliced_validation(df: DataFrame, contract: DataContract, model: str,
                     else F.lit(0).cast("bigint").alias(alias))
         else:  # QUANTILE
             q = float(spec.quantile if spec.quantile is not None else 0.5)
-            expr = (F.percentile(F.col(column), F.lit(q))
+            expr = (F.percentile(F.col(_q(column)), F.lit(q))
                     if spec.quantile_exact
-                    else F.percentile_approx(F.col(column), q, 10000)
+                    else F.percentile_approx(F.col(_q(column)), q, 10000)
                     ).alias(alias)
         exprs.append(expr)
         verdicts.append((spec, alias))
@@ -206,7 +208,17 @@ def sliced_validation(df: DataFrame, contract: DataContract, model: str,
             continue
         value = (alias if isinstance(alias, Column)
                  else F.col(alias)).cast("double")
-        cond = _threshold_condition(spec.threshold, value)
+        compare = value
+        if (spec.threshold_is_percent
+                and spec.metric in (MetricType.MISSING_COUNT,
+                                    MetricType.INVALID_COUNT)):
+            # percent thresholds gate the slice's RATE (value/rows*100),
+            # exactly like the batch lane's _evaluate; the raw count
+            # stays in metric_value
+            compare = F.when(
+                F.col("__n__") > 0,
+                F.round(value / F.col("__n__") * 100, 6)).otherwise(0.0)
+        cond = _threshold_condition(spec.threshold, compare)
         if cond is None:
             continue
         rows.append(F.struct(

@@ -184,3 +184,124 @@ def test_incremental_lane_honors_percent_thresholds(spark, tmp_path):
                                            tables={"transcripts": df})
     chk2 = next(c for c in run2.checks if "null_values" in c.key)
     assert chk2.result is ResultEnum.passed
+
+
+def test_sliced_and_partitioned_honor_percent_thresholds(spark, tmp_path):
+    """Percent thresholds gate RATES in the sliced and partitioned lanes
+    too (raw-count comparison failed healthy slices/buckets)."""
+    from datacontract_cli_spark.engine.partitioned import (
+        PartitionedValidator,
+    )
+    from datacontract_cli_spark.engine.sliced import sliced_validation
+
+    import pyspark.sql.functions as F
+    contract = load_contract_str(PERCENT_CONTRACT)
+    df = spark.range(1000).select(
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+        F.when(F.col("id") % 10 < 3, None)
+         .otherwise(F.lit("search")).alias("tool"))
+
+    out = sliced_validation(df, contract, "transcripts",
+                            ["grp"]).collect()
+    nv = [r for r in out if r["check_key"] and "null_values" in r["check_key"]]
+    assert len(nv) == 4
+    assert all(r["passed"] for r in nv)       # every slice is ~30% < 60%
+    assert sum(r["metric_value"] for r in nv) == 300.0  # raw counts stay
+
+    from datacontract_cli_spark.checks.compile import compile_checks as cc
+    specs = [s for s in cc(contract, None) if s.model == "transcripts"
+             and s.metric.value in ("missing_count", "row_count")]
+    pv = PartitionedValidator(spark, checkpoint_dir=str(tmp_path / "ck"),
+                              partition_key="conv_id", n_buckets=8)
+    verdicts = pv.run(df, specs, "transcripts")
+    key = next(s.key for s in specs if "null_values" in s.key)
+    assert all(v.results[key] == "passed" for v in verdicts.values())
+    folded = PartitionedValidator.fold(verdicts, specs=specs)
+    assert folded["results"][key] == "passed"
+    assert folded["metrics"][key] == 300
+
+
+def test_partitioned_fold_reevaluates_absolute_budgets(spark, tmp_path):
+    """An absolute 'missing_count <= 10' budget split across buckets must
+    FAIL globally even though every bucket is under 10 locally."""
+    from datacontract_cli_spark.checks.spec import (
+        CheckSpec,
+        MetricType,
+        Op,
+        Threshold,
+    )
+    from datacontract_cli_spark.engine.partitioned import (
+        PartitionedValidator,
+    )
+
+    import pyspark.sql.functions as F
+    df = spark.range(640).select(
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        F.when(F.col("id") % 10 == 0, None)
+         .otherwise(F.lit("x")).alias("tool"))  # 64 missing total
+    spec = CheckSpec(key="m", category="quality", type="t", name="m",
+                     model="m", field="tool",
+                     metric=MetricType.MISSING_COUNT,
+                     threshold=Threshold(Op.LE, 10))
+    pv = PartitionedValidator(spark, checkpoint_dir=str(tmp_path / "ck"),
+                              partition_key="conv_id", n_buckets=16)
+    verdicts = pv.run(df, [spec], "m")
+    # bucket-local counts are all <= 10 -> worst-case fold says passed
+    assert PartitionedValidator.fold(verdicts)["results"]["m"] == "passed"
+    # spec-aware fold evaluates the TOTAL: 64 > 10 -> failed
+    assert PartitionedValidator.fold(
+        verdicts, specs=[spec])["results"]["m"] == "failed"
+
+
+def test_partitioned_dup_without_partition_key_errors(spark, tmp_path):
+    from datacontract_cli_spark.checks.spec import (
+        CheckSpec,
+        MetricType,
+        Op,
+        Threshold,
+    )
+    from datacontract_cli_spark.engine.partitioned import (
+        PartitionedValidator,
+    )
+
+    import pyspark.sql.functions as F
+    df = spark.range(100).select(
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        F.lit("same@example.com").alias("email"))  # all duplicates!
+    spec = CheckSpec(key="u", category="quality", type="t", name="u",
+                     model="m", field="email",
+                     metric=MetricType.DUPLICATE_COUNT,
+                     threshold=Threshold(Op.EQ, 0))
+    pv = PartitionedValidator(spark, checkpoint_dir=str(tmp_path / "ck"),
+                              partition_key="conv_id", n_buckets=8)
+    verdicts = pv.run(df, [spec], "m")
+    # previously: every bucket counted ~0 local dup groups -> silent PASS
+    assert all(v.results["u"] == "error" for v in verdicts.values())
+    assert PartitionedValidator.fold(
+        verdicts, specs=[spec])["results"]["u"] == "error"
+
+
+def test_partitioned_resume_rejects_changed_bucketing(spark, tmp_path):
+    from datacontract_cli_spark.checks.spec import (
+        CheckSpec,
+        MetricType,
+        Op,
+        Threshold,
+    )
+    from datacontract_cli_spark.engine.partitioned import (
+        PartitionedValidator,
+    )
+
+    import pyspark.sql.functions as F
+    df = spark.range(50).select(
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"))
+    spec = CheckSpec(key="rows", category="schema", type="t", name="r",
+                     model="m", field=None, metric=MetricType.ROW_COUNT,
+                     threshold=Threshold(Op.GE, 0))
+    ck = str(tmp_path / "ck")
+    PartitionedValidator(spark, checkpoint_dir=ck, n_buckets=4).run(
+        df, [spec], "m")
+    with pytest.raises(ValueError, match="n_buckets"):
+        PartitionedValidator(spark, checkpoint_dir=ck, n_buckets=8).run(
+            df, [spec], "m")

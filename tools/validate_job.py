@@ -76,7 +76,7 @@ def main() -> int:
                                   partition_key=args.partition_key,
                                   n_buckets=args.n_buckets)
         verdicts = pv.run(df, specs, args.model, source_path=args.data)
-        folded = PartitionedValidator.fold(verdicts)
+        folded = PartitionedValidator.fold(verdicts, specs=specs)
         print(json.dumps(folded, default=str))
         return 1 if "failed" in folded["results"].values() else 0
 
