@@ -80,6 +80,12 @@ def _baseline_literal(df: DataFrame, baseline: Dict[Any, float]) -> DataFrame:
     from a literal array of structs — no driver data shipping, and unlike
     ``create_map`` it tolerates a None key and mixed-type keys (stringified
     the same way the observed side is cast)."""
+    if not baseline:
+        # F.explode(F.array()) of zero structs is a NullType that cannot
+        # star-expand — surface a clear error instead of Spark's obscure
+        # 'Can only star expand struct data types' (the scalar psi() lane
+        # tolerates {}; the declarative lanes need at least one category)
+        raise ValueError("baseline must contain at least one category")
     def _key_lit(k):
         if k is None:
             return F.lit(None).cast("string")
@@ -181,7 +187,11 @@ def chi2_df(df: DataFrame, column: str, baseline: Dict[Any, float],
     joined = (base.join(freq, base["k"].eqNullSafe(freq["k"]), "left")
                   .crossJoin(F.broadcast(total)))
     observed = F.coalesce(F.col("n"), F.lit(0)).cast("double")
-    expected = F.col("q") * F.col("t")
+    # eps floor: a baseline category with q=0.0 ('must not appear') would
+    # otherwise divide by zero (ANSI crash / silently dropped term) — the
+    # floor makes observed occurrences of a forbidden category contribute
+    # a huge chi2 term, which is exactly the intended signal
+    expected = F.greatest(F.col("q"), F.lit(1e-12)) * F.col("t")
     term = (observed - expected) ** 2 / expected
     return joined.agg(
         F.round(F.sum(term), digits).alias("chi2"),
@@ -201,7 +211,10 @@ def ks_df(df: DataFrame, column: str, points: List[List[float]],
         aggs.append(F.sum(F.when(col <= F.lit(x), 1).otherwise(0))
                     .alias(f"__le_{i}__"))
     row = df.agg(*aggs)
-    terms = [F.abs(F.col(f"__le_{i}__") / F.col("__n__") - F.lit(float(p)))
+    # try_divide, like ks_by_group: an empty/all-null column (n=0) must
+    # yield ks NULL, not an ANSI divide-by-zero error
+    terms = [F.abs(F.try_divide(F.col(f"__le_{i}__"), F.col("__n__"))
+                   - F.lit(float(p)))
              for i, (_x, p) in enumerate(points)]
     ks = terms[0] if len(terms) == 1 else F.greatest(*terms)
     return row.select(F.round(ks, digits).alias("ks"))
@@ -244,6 +257,11 @@ def ks_statistic(df: DataFrame, column: str, baseline: Dict[str, Any]) -> float:
         from datacontract_cli_spark.operators.tdigest import sketch_column
 
         digest = sketch_column(df, column)
+        if digest.means.size == 0:
+            # empty/all-null column: NaN (threshold.passes(None/NaN) is
+            # False, so the gate FAILS honestly), matching the exact-CDF
+            # lane — max(0.0, nan) would have reported zero drift
+            return float("nan")
         worst = 0.0
         for q_str, x in baseline["quantiles"].items():
             p = float(q_str)
@@ -278,6 +296,8 @@ def ks_two_sample(df1: DataFrame, col1: str, df2: DataFrame, col2: str,
 
     d1 = sketch_column(df1, col1, compression)
     d2 = sketch_column(df2, col2, compression)
+    if d1.means.size == 0 or d2.means.size == 0:
+        return float("nan")  # an empty side is not 'identical'
     xs = sorted(set(d1.means.tolist()) | set(d2.means.tolist()))
     worst = 0.0
     for x in xs:
@@ -292,6 +312,10 @@ def chi2_pvalue(chi2: float, df_degrees: int) -> float:
     :func:`chi2_df`'s output directly thresholdable by alpha."""
     if chi2 <= 0:
         return 1.0
+    if df_degrees <= 0:
+        # a single-category baseline gives df=0: the statistic carries no
+        # information — NaN, not a lgamma(0) domain error
+        return float("nan")
     a, x = df_degrees / 2.0, chi2 / 2.0
     gln = math.lgamma(a)
     if x < a + 1:

@@ -48,12 +48,6 @@ class TDigest:
     def total_weight(self) -> float:
         return float(self.weights.sum()) if self.weights.size else 0.0
 
-    # -- scale function k1 (asin) ------------------------------------------
-    def _k_limit(self, q: float) -> float:
-        # inverse of k(q) = (δ/2π)·asin(2q−1): the q where the next centroid
-        # must close, given the current k
-        return q
-
     def _compress(self) -> "TDigest":
         if self.means.size == 0:
             return self
@@ -135,10 +129,14 @@ class TDigest:
     def cdf(self, x: float) -> float:
         if self.means.size == 0:
             return float("nan")
-        if x <= self._min:
-            return 0.0
+        # x >= max FIRST: for a degenerate single-value digest
+        # (_min == _max == v), F(v) is 1 (all mass is <= v) — checking
+        # x <= _min first returned 0 and flagged full drift against an
+        # identical constant baseline
         if x >= self._max:
             return 1.0
+        if x <= self._min:
+            return 0.0
         total = self.total_weight
         cum = np.cumsum(self.weights) - self.weights / 2.0
         idx = np.searchsorted(self.means, x)

@@ -305,3 +305,47 @@ def test_partitioned_resume_rejects_changed_bucketing(spark, tmp_path):
     with pytest.raises(ValueError, match="n_buckets"):
         PartitionedValidator(spark, checkpoint_dir=ck, n_buckets=8).run(
             df, [spec], "m")
+
+
+def test_drift_empty_and_degenerate_inputs(spark):
+    """Empty/all-null columns must read as UNKNOWN drift (NaN fails the
+    gate), never as 'zero drift'; constant columns against an identical
+    quantile baseline must read as zero drift, not full drift."""
+    import math
+
+    from datacontract_cli_spark.operators import drift
+    from datacontract_cli_spark.operators.tdigest import TDigest
+
+    empty = spark.createDataFrame([], "v double")
+    # quantiles lane: nan, not max(0.0, nan) == 0.0
+    ks = drift.ks_statistic(empty, "v", {"quantiles": {"0.5": 10.0}})
+    assert math.isnan(ks)
+    # declarative ks_df: NULL, not ANSI divide-by-zero
+    row = drift.ks_df(empty, "v", [[10.0, 0.5]]).first()
+    assert row["ks"] is None
+    # two-sample with one empty side: nan, not 'identical'
+    full = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    assert math.isnan(drift.ks_two_sample(full, "v", empty, "v"))
+
+    # degenerate single-value digest: F(v) = 1 at its only value
+    import numpy as np
+    d = TDigest.of(np.array([5.0, 5.0, 5.0]))
+    assert d.cdf(5.0) == 1.0
+    const = spark.createDataFrame([(5.0,)] * 10, "v double")
+    assert drift.ks_statistic(const, "v",
+                              {"quantiles": {"1.0": 5.0}}) == 0.0
+
+    # chi2 with a forbidden category (q=0): observed occurrences produce
+    # a HUGE statistic instead of a dropped term / ANSI crash
+    obs = spark.createDataFrame([("a",)] * 9 + [("forbidden",)],
+                                "v string")
+    row = drift.chi2_df(obs, "v", {"a": 1.0, "forbidden": 0.0}).first()
+    assert row["chi2"] > 1e6
+
+    # chi2_pvalue on df=0: nan, not a lgamma domain error
+    assert math.isnan(drift.chi2_pvalue(3.2, 0))
+
+    # empty declarative baseline: clear ValueError
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least one category"):
+        drift.psi_df(full, "v", {})
