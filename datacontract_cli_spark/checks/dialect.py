@@ -25,6 +25,39 @@ import re
 from typing import Optional
 
 
+def _mask_literals(query: str):
+    """(masked, literals): every '...' string literal (with '' escapes)
+    becomes a \x00L<n>\x00 placeholder so NO rewrite ever fires inside a
+    quoted value — regexes and paren/comma/minus scanners alike were
+    blind to literals, splitting '2024-06-01' at its hyphens and
+    rewriting now()/LEN( inside compared strings."""
+    lits, out, i, n = [], [], 0, len(query)
+    while i < n:
+        if query[i] == "'":
+            j = i + 1
+            while j < n:
+                if query[j] == "'":
+                    if j + 1 < n and query[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            end = min(j + 1, n)
+            out.append(f"\x00L{len(lits)}\x00")
+            lits.append(query[i:end])
+            i = end
+        else:
+            out.append(query[i])
+            i += 1
+    return "".join(out), lits
+
+
+def _unmask_literals(text: str, lits) -> str:
+    for k, lit in enumerate(lits):
+        text = text.replace(f"\x00L{k}\x00", lit)
+    return text
+
+
 def _matched_paren(text: str, open_idx: int) -> int:
     """Index of the ')' matching the '(' at open_idx (-1 if unbalanced)."""
     depth = 0
@@ -95,13 +128,55 @@ _PG_TYPE = (r"(?:double\s+precision|character\s+varying|"
 
 
 def _rewrite_pg_casts(query: str) -> str:
-    return re.sub(rf"([A-Za-z_][\w.]*|\))\s*::\s*({_PG_TYPE})",
-                  r"CAST(\1 AS \2)", query)
+    """x::type — including ')::type' where the expression is a whole
+    parenthesized group or function call: the old regex captured ONLY the
+    closing paren, mangling sum(x)::int into sum(xCAST() AS int)."""
+    pattern = re.compile(rf"::\s*({_PG_TYPE})")
+    while True:
+        m = pattern.search(query)
+        if not m:
+            return query
+        k = m.start() - 1
+        while k >= 0 and query[k].isspace():
+            k -= 1
+        if k < 0:
+            return query
+        if query[k] == ")":
+            depth, j = 0, k
+            while j >= 0:
+                if query[j] == ")":
+                    depth += 1
+                elif query[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            if j < 0:
+                return query
+            start = j
+            t = j - 1
+            while t >= 0 and (query[t].isalnum() or query[t] in "_."):
+                t -= 1
+            if t + 1 < j and re.match(r"[A-Za-z_]", query[t + 1:j]):
+                start = t + 1  # include the function name
+        elif query[k].isalnum() or query[k] in "_.\x00":
+            t = k
+            while t >= 0 and (query[t].isalnum() or query[t] in "_.\x00"):
+                t -= 1
+            start = t + 1
+        else:
+            return query
+        expr = query[start:k + 1]
+        query = (query[:start] + f"CAST({expr} AS {m.group(1)})"
+                 + query[m.end():])
 
 
 def to_spark_sql(query: str, dialect: Optional[str] = None) -> str:
     """Rewrite a user query for Spark. Applied regardless of the declared
-    dialect (the rewrites are no-ops on already-Spark SQL)."""
+    dialect (the rewrites are no-ops on already-Spark SQL). String
+    literals are masked for the duration, so no rewrite can mutate a
+    quoted value or be confused by quotes containing hyphens/commas."""
+    query, _lits = _mask_literals(query)
     out = _rewrite_percentile_cont(query)
     out = _rewrite_extract_epoch(out)
     if (dialect or "").lower() in ("postgres", "postgresql", "redshift", "duckdb"):
@@ -110,7 +185,7 @@ def to_spark_sql(query: str, dialect: Optional[str] = None) -> str:
     fn = _DIALECT_REWRITES.get((dialect or "").lower())
     if fn is not None:
         out = fn(out)
-    return out
+    return _unmask_literals(out, _lits)
 
 
 # ---------------------------------------------------------------------------
