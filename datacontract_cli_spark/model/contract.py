@@ -49,9 +49,9 @@ class QualityRule:
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "QualityRule":
         return QualityRule(
-            type=d.get("type"),
+            type=d.get("type") if isinstance(d.get("type"), str) else None,
             metric=d.get("metric"),
-            arguments=d.get("arguments"),
+            arguments=d.get("arguments") if isinstance(d.get("arguments"), dict) else None,
             description=d.get("description"),
             query=d.get("query"),
             dialect=d.get("dialect"),
@@ -63,14 +63,38 @@ class QualityRule:
             must_be_ge=d.get("mustBeGreaterOrEqualTo"),
             must_be_lt=d.get("mustBeLessThan"),
             must_be_le=d.get("mustBeLessOrEqualTo"),
-            must_be_between=d.get("mustBeBetween"),
-            must_not_be_between=d.get("mustNotBeBetween"),
+            must_be_between=d.get("mustBeBetween")
+            if isinstance(d.get("mustBeBetween"), list) else None,
+            must_not_be_between=d.get("mustNotBeBetween")
+            if isinstance(d.get("mustNotBeBetween"), list) else None,
             unit=d.get("unit"),
             severity=d.get("severity"),
             dimension=d.get("dimension"),
             id=d.get("id"),
-            tags=d.get("tags"),
+            tags=list(d["tags"]) if isinstance(d.get("tags"), list) else None,
         )
+
+
+def _dicts_in(v: Any, where: str) -> List[Dict[str, Any]]:
+    """Container-shape guard (ADVICE-1 bug class): a field that must hold a
+    list of mappings may arrive as a scalar/mapping in malformed YAML.
+    None -> []; list -> its dict elements (non-dicts skipped, matching
+    _list_at); anything else -> path-labelled ValueError, never a crash."""
+    if v is None:
+        return []
+    if not isinstance(v, list):
+        raise ValueError(
+            f"contract element '{where}' must be a list, got {type(v).__name__}")
+    return [x for x in v if isinstance(x, dict)]
+
+
+def _options_dict(v: Any, where: str) -> Dict[str, Any]:
+    if v is None:
+        return {}
+    if not isinstance(v, dict):
+        raise ValueError(
+            f"contract element '{where}' must be a mapping, got {type(v).__name__}")
+    return dict(v)
 
 
 @dataclass
@@ -103,14 +127,16 @@ class Property:
 
     @staticmethod
     def from_dict(d: Dict[str, Any]) -> "Property":
-        children = d.get("properties")
+        children = _dicts_in(d.get("properties"), "property.properties") \
+            if d.get("properties") is not None else None
         items = d.get("items")
-        options = dict(d.get("logicalTypeOptions") or {})
+        options = _options_dict(d.get("logicalTypeOptions"),
+                                "property.logicalTypeOptions")
         # ODCS customProperties list -> mapping; carried in options so
         # downstream consumers (jsonschema enum-from-customProperties,
         # reference jsonschema_exporter._get_config_value) can reach it
         cp = d.get("customProperties")
-        if cp:
+        if cp and isinstance(cp, list):
             options["customProperties"] = {
                 c.get("property"): c.get("value") for c in cp if isinstance(c, dict)
             }
@@ -131,7 +157,8 @@ class Property:
             options=options,
             properties=[Property.from_dict(c) for c in children] if children else None,
             items=Property.from_dict(items) if isinstance(items, dict) else None,
-            quality=[QualityRule.from_dict(q) for q in (d.get("quality") or [])],
+            quality=[QualityRule.from_dict(q)
+                     for q in _dicts_in(d.get("quality"), "property.quality")],
         )
 
 
@@ -159,8 +186,10 @@ class SchemaObject:
             logical_type=d.get("logicalType") or "table",
             physical_type=d.get("physicalType"),
             description=d.get("description") if isinstance(d.get("description"), str) else None,
-            properties=[Property.from_dict(p) for p in (d.get("properties") or [])],
-            quality=[QualityRule.from_dict(q) for q in (d.get("quality") or [])],
+            properties=[Property.from_dict(p)
+                        for p in _dicts_in(d.get("properties"), "schema.properties")],
+            quality=[QualityRule.from_dict(q)
+                     for q in _dicts_in(d.get("quality"), "schema.quality")],
         )
 
 
@@ -300,9 +329,12 @@ def _convert_legacy_field(name: str, f: Dict[str, Any]) -> Property:
         description=f.get("description") if isinstance(f.get("description"), str) else None,
         tags=list(f["tags"]) if isinstance(f.get("tags"), list) else None,
         options=options,
-        properties=[_convert_legacy_field(n, c) for n, c in (nested or {}).items()] or None,
+        properties=[_convert_legacy_field(n, c)
+                    for n, c in (nested if isinstance(nested, dict) else {}).items()
+                    if isinstance(c, dict)] or None,
         items=_convert_legacy_field("items", items) if isinstance(items, dict) else None,
-        quality=[QualityRule.from_dict(q) for q in (f.get("quality") or [])],
+        quality=[QualityRule.from_dict(q)
+                 for q in _dicts_in(f.get("quality"), f"field '{name}' quality")],
     )
 
 

@@ -596,7 +596,25 @@ def simhash_near_duplicates(
     # vote-aggregate tree into every branch — recomputing the per-token
     # hashing ~40x. At warehouse scale this is a materialized signature
     # table, exactly like the minhash signatures.
-    s = words_fn(_ensure_parallelism(df), id_col, text_col).persist()
+    #
+    # The 4 words pack into ONE long via 16-bit lanes (shiftleft, not
+    # multiply: ANSI-safe when w0's top bit lands on bit 63), so
+    # candidate pairs carry 8 bytes of fingerprint instead of the two
+    # 64-element bit arrays (~550 B/pair) they used to: hamming over the
+    # bit arrays == bit_count(fp_a XOR fp_b) exactly, because every
+    # fingerprint bit occupies a distinct lane position on both sides
+    # (md5's 15-bit words leave each lane's top bit 0 for a AND b, which
+    # XORs to 0). With 16-bit block keys the random-collision pair count
+    # grows ~quadratically in doc count, so at 10x scale the old plan
+    # shuffled ~8M × 550 B through dropDuplicates before filtering;
+    # now each block filters with codegen'd bit_count BEFORE any
+    # exchange and only true near-dup pairs reach the dedup shuffle.
+    fp = F.shiftleft(F.col("w0"), 48) \
+        .bitwiseOR(F.shiftleft(F.col("w1"), 32)) \
+        .bitwiseOR(F.shiftleft(F.col("w2"), 16)) \
+        .bitwiseOR(F.col("w3"))
+    s = words_fn(_ensure_parallelism(df), id_col, text_col).select(
+        "id", "w0", "w1", "w2", "w3", fp.alias("fp")).persist()
     s.count()
     cands = None
     for w in ("w0", "w1", "w2", "w3"):
@@ -605,18 +623,15 @@ def simhash_near_duplicates(
             .join(s.alias("b"), on=[F.col(f"a.{w}") == F.col(f"b.{w}"), F.col("a.id") < F.col("b.id")])
             .select(
                 F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.bits").alias("bits_a"), F.col("b.bits").alias("bits_b"),
+                F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+                .alias("hamming"),
             )
+            # hamming is a pure function of the pair, so filtering before
+            # the union/dedup is equivalent to the old filter-after-dedup
+            .filter(F.col("hamming") <= max_hamming)
         )
         cands = block if cands is None else cands.unionByName(block)
-    cands = cands.dropDuplicates(["id_a", "id_b"])
-    hamming = F.size(
-        F.filter(F.zip_with("bits_a", "bits_b", lambda x, y: (x != y).cast("int")),
-                 lambda v: v == 1)
-    )
-    out = cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
-    )
+    out = cands.dropDuplicates(["id_a", "id_b"])
     # Same scoped-persist discipline as minhash_candidates: materialize the
     # small pair set, release the fingerprint cache (round-2 leak fix).
     out = out.persist()
@@ -838,10 +853,14 @@ def connected_components(
     # stop after one round, so they keep the type-agnostic
     # changed-label join-count instead.
     from pyspark.sql import types as T
+    _label_dt = labels.schema["label"].dataType
+    # integral types ONLY: float/double labels would be rounded by the
+    # decimal(38,0) cast, so a label decrease that leaves the rounded sum
+    # unchanged (3.4 -> 2.6) would be declared converged prematurely;
+    # those routes go through the type-agnostic changed-label join-count
     numeric_labels = isinstance(
-        labels.schema["label"].dataType,
-        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-         T.FloatType, T.DoubleType, T.DecimalType))
+        _label_dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ) or (isinstance(_label_dt, T.DecimalType) and _label_dt.scale == 0)
 
     def _label_sum(frame: DataFrame):
         return frame.agg(

@@ -160,10 +160,32 @@ _MICROS_PER_DAY = 86_400_000_000
 TEMPORAL_UNITS = ("year", "month", "day", "hour")
 
 
+def _session_tzinfo():
+    """tzinfo of the active Spark session (spark.sql.session.timeZone),
+    falling back to UTC when no session is active or the zone is unknown."""
+    import datetime as _dt
+
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            name = spark.conf.get("spark.sql.session.timeZone")
+            if name:
+                if name.upper() in ("UTC", "GMT", "Z"):
+                    return _dt.timezone.utc
+                from zoneinfo import ZoneInfo
+
+                return ZoneInfo(name)
+    except Exception:
+        pass
+    return _dt.timezone.utc
+
+
 def _value_micros(value: Any) -> int:
     """Microseconds since epoch of a filter/row value for a timestamp[tz]
-    source: accepts datetime (naive = UTC, matching the writer's stats
-    canonicalization), ISO-8601 string, or a raw micros int."""
+    source: accepts datetime (naive = session time zone, matching how Spark
+    resolved the written instants), ISO-8601 string, or a raw micros int."""
     import datetime as _dt
 
     if isinstance(value, bool):
@@ -174,7 +196,13 @@ def _value_micros(value: Any) -> int:
         value = _dt.datetime.fromisoformat(value)
     if isinstance(value, _dt.datetime):
         if value.tzinfo is None:
-            value = value.replace(tzinfo=_dt.timezone.utc)
+            # naive filter values are interpreted in the SESSION time zone
+            # (written timestamptz partition values came from unix_micros of
+            # instants Spark resolved in the session tz; assuming UTC here
+            # would shift the day/hour ordinal and silently drop files in
+            # non-UTC sessions). get_spark() pins UTC, so this only differs
+            # for externally-created sessions.
+            value = value.replace(tzinfo=_session_tzinfo())
         epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
         return (value - epoch) // _dt.timedelta(microseconds=1)
     if isinstance(value, _dt.date):

@@ -37,7 +37,10 @@ def _as_double(df: DataFrame, col: str) -> Column:
     # DATE has no direct double cast in Spark; go through timestamp
     # (TIMESTAMP → DOUBLE is epoch seconds, order-preserving)
     dt = df.schema[col].dataType
-    if isinstance(dt, T.DateType):
+    # DATE and TIMESTAMP_NTZ have no direct double cast; both go through
+    # TIMESTAMP (epoch seconds, order-preserving — only rank buckets are
+    # needed here, not exact values)
+    if isinstance(dt, (T.DateType, T.TimestampNTZType)):
         return F.col(col).cast("timestamp").cast("double")
     return F.col(col).cast("double")
 

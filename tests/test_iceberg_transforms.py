@@ -428,3 +428,32 @@ def test_hour_of_date_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="invalid for date"):
         write_iceberg_table(df, str(tmp_path / "x"),
                             partition_by=["hour(d)"])
+
+
+def test_naive_filter_values_use_session_time_zone(spark):
+    """A naive datetime filter value must be interpreted in the SESSION
+    time zone, not assumed UTC: written timestamptz partition ordinals came
+    from instants Spark resolved in the session tz, so a UTC assumption
+    shifts the day/hour ordinal and silently prunes matching files in
+    non-UTC sessions (ADVICE r5)."""
+    from datacontract_cli_spark.sources.iceberg_transforms import (
+        _value_micros,
+        temporal_value,
+    )
+
+    naive = dt.datetime(2024, 1, 1, 1, 30)  # 01:30 local
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        us = _value_micros(naive)
+        # 01:30 EST == 06:30 UTC
+        assert us == int(dt.datetime(
+            2024, 1, 1, 6, 30, tzinfo=dt.timezone.utc).timestamp() * 1e6)
+        # day ordinal stays on 2024-01-01 (UTC-naive would also land there,
+        # but the hour ordinal moves by the 5h offset)
+        h_local = temporal_value(naive, "hour", "timestamptz")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        h_utc = temporal_value(naive, "hour", "timestamptz")
+        assert h_local - h_utc == 5
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -99,6 +99,21 @@ def test_connected_components_long_chain(spark):
     assert len(got) == n + 1
 
 
+def test_connected_components_double_ids_rounding_adversary(spark):
+    """Double node ids must NOT use the decimal-sum convergence fast path:
+    all these labels round to the same integer under decimal(38,0), so the
+    label sum is invariant across rounds even while labels are still
+    propagating — a sum-based test would declare convergence after round 1
+    with a 3-way split of one true component (ADVICE r5)."""
+    vals = [11.4, 11.2, 11.0, 10.8, 10.6]
+    pairs = spark.createDataFrame(
+        [(vals[i], vals[i + 1]) for i in range(len(vals) - 1)],
+        "id_a double, id_b double")
+    got = dedup.connected_components(pairs).collect()
+    assert {r["cluster_id"] for r in got} == {10.6}
+    assert len(got) == len(vals)
+
+
 def test_connected_components_string_ids_long_chain(spark):
     """Non-numeric node ids have no label sum — convergence must fall
     back to the changed-label join, and a chain still fully collapses

@@ -170,6 +170,48 @@ def test_dialect_rewrites_execute_on_spark(spark):
         assert check(rows), (q, rewritten, rows)
 
 
+def test_dialect_literal_masking_and_grouped_casts(spark):
+    """Round-5 dialect fixes (literal masking + paren-group/function
+    ``::type`` casts) must both rewrite AND execute on Spark:
+
+    - no rewrite may fire INSIDE a string literal (hyphenated dates must
+      not be split by the EXTRACT/minus scanner, ``now()``/``LEN(`` inside a
+      compared string must survive, '' escapes stay intact);
+    - ``sum(x)::int``, ``(a+b)::bigint`` and ``count(*)::numeric / 2``
+      must become CAST(...) over the whole group, not just the last token.
+    """
+    from datacontract_cli_spark.checks.dialect import to_spark_sql
+
+    df = spark.createDataFrame(
+        [("2024-06-01", 5), ("now()", 7)], "s string, x int")
+    df.createOrReplaceTempView("dlt_lit")
+
+    cases = [
+        # literals survive: hyphenated date compared as a string
+        ("SELECT count(*) AS n FROM dlt_lit WHERE s = '2024-06-01'",
+         "postgres", lambda r: r[0]["n"] == 1),
+        # literal containing now() / LEN( is not rewritten
+        ("SELECT count(*) AS n FROM dlt_lit WHERE s = 'now()'",
+         "tsql", lambda r: r[0]["n"] == 1),
+        # doubled-quote escape inside a literal survives masking
+        ("SELECT count(*) AS n FROM dlt_lit WHERE s <> 'it''s-a-test'",
+         "postgres", lambda r: r[0]["n"] == 2),
+        # function-call cast: whole call is the cast operand
+        ("SELECT sum(x)::int AS v FROM dlt_lit",
+         "postgres", lambda r: r[0]["v"] == 12),
+        # paren-group cast
+        ("SELECT (x + 1)::bigint AS v FROM dlt_lit WHERE s = 'now()'",
+         "postgres", lambda r: r[0]["v"] == 8),
+        # cast binds tighter than the following division
+        ("SELECT count(*)::numeric / 2 AS v FROM dlt_lit",
+         "postgres", lambda r: float(r[0]["v"]) == 1.0),
+    ]
+    for q, dialect, check in cases:
+        rewritten = to_spark_sql(q, dialect)
+        rows = spark.sql(rewritten).collect()
+        assert check(rows), (q, rewritten, rows)
+
+
 QUANTILE_CONTRACT = """
 id: quantile-rules
 version: 0.1.0

@@ -76,6 +76,19 @@ def test_zorder_date_column(spark, tmp_path):
     assert len(ld) < len(live)
 
 
+def test_zorder_timestamp_ntz_column(spark):
+    """TIMESTAMP_NTZ is whitelisted in _NUMERICISH but has no direct double
+    cast in Spark — it must route through timestamp like DATE, not raise
+    AnalysisException (ADVICE r5)."""
+    df = spark.range(200).selectExpr(
+        "id",
+        "timestampadd(HOUR, cast(id as int), "
+        "  cast('2024-01-01T00:00:00' as timestamp_ntz)) as t")
+    bounds = zorder_boundaries(df, ["t"], bits=2)
+    assert len(bounds["t"]) == 3
+    assert bounds["t"] == sorted(bounds["t"])
+
+
 def test_cluster_by_zorder_file_count_and_rows(spark):
     df = _xy(spark)
     out = cluster_by_zorder(df, ["x", "y"], target_files=16)
