@@ -839,6 +839,65 @@ def connected_components(
         # checkpoints; for a dedup batch job a retry is the usual answer.
         .localCheckpoint()
     )
+
+    # Small-graph fast path: the edge count is KNOWN here (the checkpoint
+    # materialized it), so when the whole edge set fits one task
+    # comfortably, a single-task union-find resolves components exactly —
+    # 2 jobs instead of O(log d) rounds x (3 joins + an action) each.
+    # Output is identical by construction (cluster_id = min id of the
+    # component). LSH-blocked pair sets are doc-frequency-capped, so even
+    # petabyte corpora often land here; graphs above the bound take the
+    # distributed label-propagation path below, unchanged. The bound is
+    # env-tunable: 5M edges ~ 100-200 MB + a dict-based union-find in one
+    # executor core, far below task memory.
+    import os as _os
+    small_bound = int(_os.environ.get("DCSPARK_CC_LOCAL_EDGES", "5000000"))
+    if edges.count() <= small_bound:
+        id_type = edges.schema["a"].dataType.simpleString()
+
+        def _union_find(batches):
+            import pandas as pd
+
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for pdf in batches:
+                for x, y in zip(pdf["a"], pdf["b"]):
+                    if x not in parent:
+                        parent[x] = x
+                    if y not in parent:
+                        parent[y] = y
+                    rx, ry = find(x), find(y)
+                    if rx != ry:
+                        parent[rx] = ry
+            comp_min: dict = {}
+            for node in parent:
+                r = find(node)
+                m = comp_min.get(r)
+                if m is None or node < m:
+                    comp_min[r] = node
+            nodes = list(parent)
+            yield pd.DataFrame({
+                "node": nodes,
+                "cluster_id": [comp_min[find(n)] for n in nodes],
+            })
+
+        result = (
+            edges.coalesce(1)
+            .mapInPandas(_union_find,
+                         f"node {id_type}, cluster_id {id_type}")
+            .persist()
+        )
+        result.count()
+        return result
+
     labels = (
         edges.select(F.col("a").alias("node")).distinct()
         .withColumn("label", F.col("node"))

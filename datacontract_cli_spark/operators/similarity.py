@@ -480,6 +480,13 @@ def embedding_near_duplicates(
             F.col(id_col).alias("id"),
             F.posexplode(buckets).alias("table", "__bucket__")
         )
+    # scoped persist (same discipline as the simhash/minhash signature
+    # tables): the self-join scans `assigned` twice, and without the cache
+    # each side re-runs the bucket assignment — for the arrow kernel that
+    # is a second full corpus pass through the Python workers. Rows are
+    # (id, int, long) × L per vector, payload-free.
+    assigned = assigned.persist()
+    assigned.count()
     cand = (
         assigned.alias("a")
         .join(
@@ -497,11 +504,57 @@ def embedding_near_duplicates(
         cand = F.broadcast(cand)
     va = df.select(F.col(id_col).alias("id_a"), vec.alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), vec.alias("vb"))
-    pairs = (
-        cand.join(va, "id_a").join(vb, "id_b")
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
-    )
-    return pairs.filter(F.col("cosine_sim") >= threshold)
+    joined = cand.join(va, "id_a").join(vb, "id_b")
+    if kernel == "arrow":
+        # vectorized scoring: one einsum per Arrow batch instead of the
+        # interpreted HOF fold (3 aggregates × dim lambda evaluations per
+        # candidate — measured 4.9s → the whole-pipeline dominant cost at
+        # ~20 candidates/vector). Same math as cosine(): dot/(|a||b|),
+        # 0-norm → NaN → fails the threshold, exactly like the expr lane.
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        ida_t = df.schema[id_col].dataType
+        score_schema = T.StructType([
+            T.StructField("id_a", ida_t), T.StructField("id_b", ida_t),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ])
+        thr = float(threshold)
+
+        def _score(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                A = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["va"]])
+                B = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
+                num = np.einsum("ij,ij->i", A, B)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cs = num / (np.linalg.norm(A, axis=1)
+                                * np.linalg.norm(B, axis=1))
+                keep = cs >= thr
+                if not keep.any():
+                    continue
+                yield pd.DataFrame({
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cosine_sim": cs[keep],
+                })
+
+        pairs = joined.mapInPandas(_score, score_schema)
+        out = pairs.persist()
+    else:
+        pairs = joined.select(
+            "id_a", "id_b",
+            cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        out = pairs.filter(F.col("cosine_sim") >= threshold).persist()
+    # materialize the (small) scored pair set so downstream consumers —
+    # notably connected_components' checkpoint — never re-execute the
+    # assignment + self-join pipeline, then release the signature cache
+    out.count()
+    assigned.unpersist()
+    return out
 
 
 def semantic_dedup(
@@ -536,6 +589,9 @@ def semantic_dedup(
         df, id_col=id_col, vec_col=vec_col, threshold=threshold, **lsh_kwargs
     )
     comps = connected_components(pairs)
+    # comps is materialized (persisted/checkpointed) by now — the scored
+    # pair cache embedding_near_duplicates left for us can be released
+    pairs.unpersist()
     losers = (
         comps.filter(F.col("node") != F.col("cluster_id"))
         .select(F.col("node").alias(id_col))

@@ -79,7 +79,20 @@ def test_interval_join_rejects_unknown_how(spark):
 # connected components
 # ---------------------------------------------------------------------------
 
-def test_connected_components_basic(spark):
+# both code paths must produce identical components: the single-task
+# union-find fast path (small edge sets) and the distributed label
+# propagation (forced via DCSPARK_CC_LOCAL_EDGES=0)
+_CC_PATHS = ["local", "distributed"]
+
+
+@pytest.fixture(params=_CC_PATHS)
+def cc_path(request, monkeypatch):
+    if request.param == "distributed":
+        monkeypatch.setenv("DCSPARK_CC_LOCAL_EDGES", "0")
+    return request.param
+
+
+def test_connected_components_basic(spark, cc_path):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
         "id_a long, id_b long")
@@ -89,7 +102,7 @@ def test_connected_components_basic(spark):
                    20: 20, 21: 20, 22: 20, 23: 20}
 
 
-def test_connected_components_long_chain(spark):
+def test_connected_components_long_chain(spark, cc_path):
     # a path graph exercises multi-round propagation
     n = 12
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n)],
@@ -99,12 +112,14 @@ def test_connected_components_long_chain(spark):
     assert len(got) == n + 1
 
 
-def test_connected_components_double_ids_rounding_adversary(spark):
+def test_connected_components_double_ids_rounding_adversary(spark, monkeypatch):
     """Double node ids must NOT use the decimal-sum convergence fast path:
     all these labels round to the same integer under decimal(38,0), so the
     label sum is invariant across rounds even while labels are still
     propagating — a sum-based test would declare convergence after round 1
-    with a 3-way split of one true component (ADVICE r5)."""
+    with a 3-way split of one true component (ADVICE r5). Forced onto the
+    distributed path, where the sum shortcut lives."""
+    monkeypatch.setenv("DCSPARK_CC_LOCAL_EDGES", "0")
     vals = [11.4, 11.2, 11.0, 10.8, 10.6]
     pairs = spark.createDataFrame(
         [(vals[i], vals[i + 1]) for i in range(len(vals) - 1)],
@@ -114,7 +129,7 @@ def test_connected_components_double_ids_rounding_adversary(spark):
     assert len(got) == len(vals)
 
 
-def test_connected_components_string_ids_long_chain(spark):
+def test_connected_components_string_ids_long_chain(spark, cc_path):
     """Non-numeric node ids have no label sum — convergence must fall
     back to the changed-label join, and a chain still fully collapses
     (a premature fixed-point would stop after distance 2)."""
