@@ -81,6 +81,14 @@ def dsir_importance(docs: DataFrame, target_cond: Column,
                          _bucket(F.col("w"), n_buckets, hash_family).alias("b"))
              .groupBy("id", "is_target", "b")
              .agg(F.count(F.lit(1)).alias("cnt")))
+    # scoped persist: the model fit AND the scoring pass both consume
+    # feats, and Catalyst does NOT reuse the exchange between the two
+    # branches (verified in the physical plan: two full scan → explode →
+    # hash → aggregate subtrees). Caching the aggregated features halves
+    # the heavy work; rows are (id, int, int, long) — the already-reduced
+    # per-(doc, bucket) table, which is what the shuffle carried anyway
+    # (MEMORY_AND_DISK, so oversized feats spill instead of OOM).
+    feats = feats.persist()
 
     counts = feats.groupBy("b").agg(
         F.sum("cnt").alias("raw_n"),
@@ -101,6 +109,12 @@ def dsir_importance(docs: DataFrame, target_cond: Column,
               .agg(F.sum("cnt").alias("n_words"),
                    F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 4)
                    .alias("log_weight")))
-    return (scored.orderBy(F.desc("log_weight"), F.asc("id"))
-            .limit(top_k)
-            .select(F.col("id").alias(id_col), "n_words", "log_weight"))
+    out = (scored.orderBy(F.desc("log_weight"), F.asc("id"))
+           .limit(top_k)
+           .select(F.col("id").alias(id_col), "n_words", "log_weight"))
+    # materialize the top-k rows, then release the feature cache (same
+    # scoped-persist discipline as the LSH signature tables)
+    out = out.persist()
+    out.count()
+    feats.unpersist()
+    return out
