@@ -1078,7 +1078,13 @@ def _q_quality_classifier(spark, sf):
     from datacontract_cli_spark.operators.classifier import quality_scores
 
     docs = _t(spark, sf, "documents")
-    s = quality_scores(docs, n_buckets=4096, seed=0)
+    import os
+
+    # arrow kernel: same md5 buckets, same fold order, same HALF_UP
+    # rounding — bit-identical scores (oracle-verified at 3 SFs), with the
+    # md5 work memoized per distinct word per task instead of per token
+    kernel = os.environ.get("DCSPARK_CLASSIFIER_KERNEL", "arrow")
+    s = quality_scores(docs, n_buckets=4096, seed=0, kernel=kernel)
     # n_tokens: size() is INT; DuckDB len() is BIGINT — align the type
     # family for the driver's type-sensitive hash
     return (s.withColumn("n_tokens", F.col("n_tokens").cast("long"))

@@ -75,8 +75,23 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", n_buckets: int = 4096,
                    seed: int = 0, bias: float = 0.0,
                    weights: Optional[Sequence[float]] = None,
-                   round_to: int = 6) -> DataFrame:
-    """(id, n_tokens, quality_score) for every document — one narrow pass."""
+                   round_to: int = 6,
+                   kernel: str = "expr") -> DataFrame:
+    """(id, n_tokens, quality_score) for every document — one narrow pass.
+
+    ``kernel="arrow"`` scores batches in a Python worker with a per-task
+    word→weight memo instead of the interpreted per-token md5 HOF fold —
+    still zero-shuffle (mapInPandas is narrow), and bit-identical by
+    construction: same ASCII ``\\s+`` split, same md5 bucket per distinct
+    word, the same sequential IEEE-double accumulation order as the HOF
+    fold, and Java's BigDecimal HALF_UP rounding replicated via
+    ``decimal`` over the shortest repr (Python and Java agree on shortest
+    round-trip decimal representations). The memo makes the cost scale
+    with DISTINCT words per task, not token count — the md5 work drops by
+    the corpus' token repetition factor."""
+    if kernel == "arrow":
+        return _quality_scores_arrow(docs, id_col, text_col, n_buckets,
+                                     seed, bias, weights, round_to)
     ws = _words(F.col(text_col))
     return docs.select(
         F.col(id_col),
@@ -84,6 +99,65 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id",
         F.round(classifier_score(F.col(text_col), n_buckets, seed, bias,
                                  weights), round_to).alias("quality_score"),
     )
+
+
+def _quality_scores_arrow(docs: DataFrame, id_col: str, text_col: str,
+                          n_buckets: int, seed: int, bias: float,
+                          weights: Optional[Sequence[float]],
+                          round_to: int) -> DataFrame:
+    import hashlib
+    import math
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    id_type = dict(docs.dtypes)[id_col]
+    wtab = list(map(float, weights)) if weights is not None else None
+    quant = Decimal(1).scaleb(-round_to)
+
+    def _weight_of(word: str) -> float:
+        b = int(hashlib.md5(word.encode("utf-8")).hexdigest()[:6], 16) \
+            % n_buckets
+        if wtab is not None:
+            return wtab[b]
+        return ((b * 2654435761 + 12345 + seed) % (1 << 20)) \
+            / float(1 << 20) - 0.5
+
+    # Java \s is ASCII-only [ \t\n\x0B\f\r]; Python's re.ASCII \s is the
+    # identical set, so the token streams match byte-for-byte
+    splitter = re.compile(r"\s+", re.ASCII)
+
+    def _score(batches):
+        memo: dict = {}
+        for pdf in batches:
+            n_toks, scores = [], []
+            for text in pdf[text_col]:
+                if text is None:
+                    n_toks.append(None)
+                    z = bias
+                else:
+                    toks = [w for w in splitter.split(text.lower()) if w]
+                    n_toks.append(len(toks))
+                    acc = 0.0
+                    for w in toks:
+                        wt = memo.get(w)
+                        if wt is None:
+                            wt = _weight_of(w)
+                            memo[w] = wt
+                        acc += wt  # same sequential fold order as the HOF
+                    z = (acc / len(toks) if toks else 0.0) + bias
+                s = 1.0 / (1.0 + math.exp(-z))
+                scores.append(float(
+                    Decimal(repr(s)).quantize(quant, ROUND_HALF_UP)))
+            yield pd.DataFrame({
+                "id": pdf[id_col], "n_tokens": pd.array(n_toks, "Int32"),
+                "quality_score": scores,
+            })
+
+    out = docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _score, f"id {id_type}, n_tokens int, quality_score double")
+    return out.select(F.col("id").alias(id_col), "n_tokens", "quality_score")
 
 
 def quality_gate(docs: DataFrame, threshold: float, id_col: str = "doc_id",

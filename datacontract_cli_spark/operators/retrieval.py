@@ -72,22 +72,23 @@ def bm25_topk(docs: DataFrame, query: Sequence[str], k: int = 10,
     base = (docs.select(F.col(id_col).alias("id"),
                         _words(F.col(text_col)).alias("ws"))
             .select("id", F.size("ws").alias("dl"), "ws"))
-    # job A — N and avgdl: one narrow agg, two inlined scalars
-    row = base.agg(F.count(F.lit(1)).alias("n"),
-                   F.avg("dl").alias("avgdl")).collect()[0]
-    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 1.0)
-
-    # job B — df(t): ≤ |q| rows; collected so idf becomes literals and the
-    # scoring plan needs no second corpus branch (see module docstring)
-    df_rows = (base.select("id", F.explode("ws").alias("w"))
-               .filter(F.col("w").isin(terms))
-               .groupBy("w")
-               .agg(F.count_distinct("id").alias("df"))
-               .collect())
+    # job A+B merged — N, avgdl AND df(t) per term in ONE corpus scan
+    # (the old shape paid a second full scan + token explode + shuffle for
+    # the df aggregate; df(t) is just a count of docs whose token array
+    # contains t, an array_contains count-if per term, narrow and
+    # exchange-free). Collected so idf becomes literals and the scoring
+    # plan needs no second corpus branch (see module docstring).
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[F.count(F.when(F.array_contains("ws", t), 1)).alias(f"df_{i}")
+          for i, t in enumerate(terms)],
+    ).collect()[0]
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"] or 1.0)
     idf = {
-        r["w"]: math.log(1.0 + (float(n_docs) - r["df"] + 0.5)
-                         / (r["df"] + 0.5))
-        for r in df_rows
+        t: math.log(1.0 + (float(n_docs) - stats[f"df_{i}"] + 0.5)
+                    / (stats[f"df_{i}"] + 0.5))
+        for i, t in enumerate(terms) if stats[f"df_{i}"] > 0
     }
     if not idf:
         # no query term occurs anywhere: empty result, stable schema
@@ -95,8 +96,14 @@ def bm25_topk(docs: DataFrame, query: Sequence[str], k: int = 10,
                             F.lit(0).cast("long").alias("n_terms_matched"))
                 .limit(0))
 
-    tf = (base.select("id", "dl", F.explode("ws").alias("w"))
-          .filter(F.col("w").isin(sorted(idf)))
+    # filter the token ARRAY before exploding: the generator then emits
+    # only query-term hits instead of every corpus token (identical
+    # multiset — filter∘explode == explode∘filter)
+    q_terms = F.array(*[F.lit(t) for t in sorted(idf)])
+    tf = (base.select(
+              "id", "dl",
+              F.explode(F.filter("ws", lambda w: F.array_contains(
+                  q_terms, w))).alias("w"))
           .groupBy("id", "dl", "w")
           .agg(F.count(F.lit(1)).alias("tf")))
     idf_col = F.lit(0.0)

@@ -123,6 +123,31 @@ def test_classifier_score_matches_python_reference(spark):
         assert out[r["doc_id"]] == pytest.approx(_py_score(r["text"]), abs=1e-6)
 
 
+def test_classifier_arrow_kernel_bit_identical(spark):
+    """The memoized arrow kernel must reproduce the expr lane BIT-exactly
+    (same md5 buckets, same sequential fold order, same HALF_UP rounding)
+    — including null text, empty text, and whitespace-only edge rows."""
+    rows = [Row(doc_id=1, text="alpha beta gamma alpha"),
+            Row(doc_id=2, text=None),
+            Row(doc_id=3, text="   "),
+            Row(doc_id=4, text=""),
+            Row(doc_id=5, text="a\tb\nc\x0bd\fe\rf  g"),
+            Row(doc_id=6, text="Sloane's UPPER lower 42 42 42")]
+    df = spark.createDataFrame(rows)
+    a = {r["doc_id"]: (r["n_tokens"], r["quality_score"])
+         for r in quality_scores(df, kernel="expr").collect()}
+    b = {r["doc_id"]: (r["n_tokens"], r["quality_score"])
+         for r in quality_scores(df, kernel="arrow").collect()}
+    assert a == b
+    # trained-weights path too
+    w = [0.25 * ((i % 7) - 3) for i in range(4096)]
+    aw = {r["doc_id"]: r["quality_score"]
+          for r in quality_scores(df, weights=w, kernel="expr").collect()}
+    bw = {r["doc_id"]: r["quality_score"]
+          for r in quality_scores(df, weights=w, kernel="arrow").collect()}
+    assert aw == bw
+
+
 def test_classifier_empty_text_scores_sigmoid_bias(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="   ")])
     row = quality_scores(df, bias=1.0).collect()[0]
