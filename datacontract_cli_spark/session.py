@@ -43,7 +43,12 @@ def get_spark(
         # ~16g the VM's lazy page faulting + GC of a mostly-empty heap caused
         # multi-second outliers at 32 threads (measured: 48g heap = 2-50s per
         # identical query, 16g = stable ~1s)
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # ReservedCodeCacheSize: a long-lived session compiling many
+        # distinct queries (the bench runs ~50) generates enough bytecode
+        # to thrash the JVM's default 240 MB code cache — flushing evicts
+        # hot compiled methods and queries re-run interpreted/deoptimized
+        .config("spark.driver.extraJavaOptions",
+                "-XX:+UseParallelGC -XX:ReservedCodeCacheSize=512m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
