@@ -301,8 +301,11 @@ def minhash_candidates(
     # per document. At warehouse scale this is a persisted signatures table.
     # Scoped: unpersisted below once the (small) pair set is materialized —
     # a leaked signature cache per call was the round-2 warm-bench regression.
+    # No eager count: persist() alone installs the InMemoryRelation (which
+    # is what blocks projection collapse from inlining the kernel), and the
+    # banded join's first shuffle-map stage fills the cache for the second
+    # side — one fewer driver job and one fewer full pass per call.
     sig = sig.persist()
-    sig.count()
     # one row per (doc, band); the bucket is a hash of that band's signature
     # slice — a single small expression, so the optimized plan stays compact
     band_key = F.array_join(
@@ -322,6 +325,12 @@ def minhash_candidates(
             "bucket",
             band_key if kernel == "md5" else F.xxhash64(band_key, F.col("band")),
         )
+        # the self-join needs ONLY (id, band, bucket): keeping the 64-long
+        # signature array out of the banded frame keeps the join and the
+        # dropDuplicates exchange payload-free (~16 B/row instead of
+        # ~0.5 KB); signatures re-attach from the CACHED sig table after
+        # the dedup, so agreement is computed once per unique pair
+        .select("id", "band", "bucket")
     )
 
     left = banded.alias("a")
@@ -338,8 +347,6 @@ def minhash_candidates(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -349,8 +356,13 @@ def minhash_candidates(
             lambda v: v == 1,
         )
     )
-    out = pairs.select(
-        "id_a", "id_b", (agree / F.lit(num_hashes)).alias("est_jaccard")
+    out = (
+        pairs.join(sig.select(F.col("id").alias("id_a"),
+                              F.col("sig").alias("sig_a")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"),
+                         F.col("sig").alias("sig_b")), "id_b")
+        .select("id_a", "id_b",
+                (agree / F.lit(num_hashes)).alias("est_jaccard"))
     )
     if threshold is not None:
         # filtering BEFORE the persist means the frame the caller receives
@@ -613,9 +625,11 @@ def simhash_near_duplicates(
         .bitwiseOR(F.shiftleft(F.col("w1"), 32)) \
         .bitwiseOR(F.shiftleft(F.col("w2"), 16)) \
         .bitwiseOR(F.col("w3"))
+    # no eager count: persist() installs the cache boundary that stops
+    # projection collapse; the first block join's shuffle-map stage
+    # materializes it for the remaining seven scans
     s = words_fn(_ensure_parallelism(df), id_col, text_col).select(
         "id", "w0", "w1", "w2", "w3", fp.alias("fp")).persist()
-    s.count()
     cands = None
     for w in ("w0", "w1", "w2", "w3"):
         block = (

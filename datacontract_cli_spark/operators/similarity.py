@@ -416,7 +416,11 @@ def embedding_near_duplicates(
     joins — the 100 TB base table is scanned, never shuffled. Set it False
     when the candidate set itself is too large to broadcast; AQE then picks
     the join strategy."""
-    if dim is None:
+    if dim is None and kernel != "arrow":
+        # the expr path builds per-plane Column trees, so it needs the
+        # dimension at plan time; the arrow kernel derives it from the
+        # first batch instead (the plane matrix is a deterministic
+        # function of (dim, seed)), saving one driver job per call
         dim = len(df.select(vec_col).first()[0])
     vec = F.col(vec_col).cast("array<double>")
     if kernel == "arrow":
@@ -431,12 +435,19 @@ def embedding_near_duplicates(
         import pandas as pd
         from pyspark.sql import types as T
 
-        planes = np.stack([
-            RandomHyperplaneLSH(dim, nbits=nbits, seed=seed + t).planes
-            for t in range(num_tables)
-        ]).reshape(num_tables * nbits, dim)
         weights = (np.uint64(1) << np.arange(nbits, dtype=np.uint64)) \
             .astype(np.int64)
+
+        def _planes_for(d: int):
+            # deterministic in (d, seed): every task derives the identical
+            # matrix, so building it lazily from the first valid vector
+            # (dim=None) is equivalent to the driver-side sniff job
+            return np.stack([
+                RandomHyperplaneLSH(d, nbits=nbits, seed=seed + t).planes
+                for t in range(num_tables)
+            ]).reshape(num_tables * nbits, d)
+
+        planes = _planes_for(dim) if dim is not None else None
         id_type = df.schema[id_col].dataType
         out_schema = T.StructType([
             T.StructField("id", id_type),
@@ -445,20 +456,30 @@ def embedding_near_duplicates(
         ])
 
         def _assign(batches):
+            p = planes
+            d = dim
             for pdf in batches:
+                if d is None:
+                    first = next((v for v in pdf[vec_col]
+                                  if v is not None and len(v) > 0), None)
+                    if first is None:
+                        continue
+                    d = len(first)
+                if p is None:
+                    p = _planes_for(d)
                 # null / wrong-length vectors get NO bucket row — the expr
                 # path maps them to a null bucket that never equi-joins,
                 # so dropping them here is behavior-identical (and a
                 # ragged batch would otherwise break the matmul)
                 ok = pdf[vec_col].map(
-                    lambda v: v is not None and len(v) == dim)
+                    lambda v: v is not None and len(v) == d)
                 pdf = pdf[ok]
                 n = len(pdf)
                 if n == 0:
                     continue
                 X = np.asarray(
                     [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-                bits = (X @ planes.T) > 0
+                bits = (X @ p.T) > 0
                 bucket = (
                     bits.reshape(n, num_tables, nbits) * weights
                 ).sum(axis=2).astype(np.int64)
@@ -484,9 +505,11 @@ def embedding_near_duplicates(
     # tables): the self-join scans `assigned` twice, and without the cache
     # each side re-runs the bucket assignment — for the arrow kernel that
     # is a second full corpus pass through the Python workers. Rows are
-    # (id, int, long) × L per vector, payload-free.
+    # (id, int, long) × L per vector, payload-free. No eager count: the
+    # join's first shuffle-map stage materializes the cache, and the
+    # second side reads it (stages execute sequentially within the job) —
+    # an extra driver job + full pass saved per call.
     assigned = assigned.persist()
-    assigned.count()
     cand = (
         assigned.alias("a")
         .join(
