@@ -1008,11 +1008,18 @@ def _q_dsir_weights(spark, sf):
     """DSIR importance ranking (Xie et al. 2023): top-20 documents most
     like the lang='en' target under hashed unigram LMs; md5 bucket family
     so the oracle reproduces bucket ids (production: xxhash64)."""
+    import os
+
     from datacontract_cli_spark.operators.dsir import dsir_importance
 
     docs = _t(spark, sf, "documents")
+    # arrow kernel: identical md5 buckets and integer counts computed
+    # narrowly per document (oracle-verified at 3 SFs) — no token explode,
+    # no wide (id, bucket) shuffle
+    kernel = os.environ.get("DCSPARK_DSIR_KERNEL", "arrow")
     return dsir_importance(docs, F.col("lang") == "en",
-                           n_buckets=4096, smoothing=0.5, top_k=20)
+                           n_buckets=4096, smoothing=0.5, top_k=20,
+                           kernel=kernel)
 
 
 def _q_turn_contiguity(spark, sf):

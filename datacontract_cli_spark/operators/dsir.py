@@ -55,32 +55,100 @@ def _bucket(col: Column, n_buckets: int, hash_family: str) -> Column:
     raise ValueError(f"unknown hash_family {hash_family!r}")
 
 
+def _dsir_feats_arrow(docs: DataFrame, target_cond: Column, id_col: str,
+                      text_col: str, n_buckets: int) -> DataFrame:
+    """Per-(doc, bucket) md5 token counts computed NARROWLY in an Arrow
+    kernel: each document is one input row, so its complete bucket counts
+    are known inside the batch — no token explode, no wide (id, bucket)
+    aggregation at all. Tokenization is bit-compatible with ``_words``
+    (lower → ASCII \\s+ collapse → trim spaces → split on ' ' → drop
+    empties) and the bucket is the identical md5 prefix; counts are
+    integers, so the output equals the explode+groupBy lane exactly. A
+    per-task word→bucket memo caps md5 work at distinct-words-per-task
+    (bounded at 1M entries — overflow words hash directly)."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    id_type = dict(docs.dtypes)[id_col]
+    splitter = re.compile(r"\s+", re.ASCII)
+
+    def _feats(batches):
+        memo: dict = {}
+
+        def bucket_of(w: str) -> int:
+            b = memo.get(w)
+            if b is None:
+                b = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:6], 16) \
+                    % n_buckets
+                if len(memo) < 1_000_000:
+                    memo[w] = b
+            return b
+
+        for pdf in batches:
+            ids, tgts, bs, cnts = [], [], [], []
+            for doc_id, tgt, text in zip(pdf["id"], pdf["is_target"],
+                                         pdf[text_col]):
+                if text is None:
+                    continue
+                counts: dict = {}
+                for w in splitter.sub(" ", text.lower()).strip(" ") \
+                        .split(" "):
+                    if w:
+                        counts[w] = counts.get(w, 0) + 1
+                per_bucket: dict = {}
+                for w, c in counts.items():
+                    b = bucket_of(w)
+                    per_bucket[b] = per_bucket.get(b, 0) + c
+                for b, c in per_bucket.items():
+                    ids.append(doc_id)
+                    tgts.append(tgt)
+                    bs.append(b)
+                    cnts.append(c)
+            if ids:
+                yield pd.DataFrame({"id": ids, "is_target": tgts,
+                                    "b": bs, "cnt": cnts})
+
+    return docs.select(
+        F.col(id_col).alias("id"),
+        target_cond.cast("int").alias("is_target"),
+        F.col(text_col),
+    ).mapInPandas(_feats,
+                  f"id {id_type}, is_target int, b long, cnt long")
+
+
 def dsir_importance(docs: DataFrame, target_cond: Column,
                     id_col: str = "doc_id", text_col: str = "text",
                     n_buckets: int = 4096, smoothing: float = 0.5,
                     top_k: int = 20,
-                    hash_family: str = "md5") -> DataFrame:
+                    hash_family: str = "md5",
+                    kernel: str = "expr") -> DataFrame:
     """Top-k most target-like documents by DSIR log importance weight.
 
     ``target_cond`` marks the rows that define the target distribution
     (they are still scored — the weight says how target-like a document
     is, not which set it came from). Returns (id, n_words, log_weight)
-    ordered by log_weight desc, id asc.
+    ordered by log_weight desc, id asc. ``kernel="arrow"`` (md5 family
+    only) computes the feature table narrowly in an Arrow kernel — same
+    integer counts, no token explode, no wide (id, bucket) shuffle.
     """
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        target_cond.cast("int").alias("is_target"),
-        F.explode(_words(F.col(text_col))).alias("w"),
-    ).filter(F.col("w") != "")
-    # per-(doc, bucket) occurrence counts: the explode happens ONCE — both
-    # the model fit and the scoring pass consume this frame, and because
-    # they share the identical subtree the grouped exchange is reused when
-    # the two sides execute in one query (is_target is constant per doc,
-    # so adding it to the key changes nothing)
-    feats = (toks.select("id", "is_target",
-                         _bucket(F.col("w"), n_buckets, hash_family).alias("b"))
-             .groupBy("id", "is_target", "b")
-             .agg(F.count(F.lit(1)).alias("cnt")))
+    if kernel == "arrow" and hash_family == "md5":
+        feats = _dsir_feats_arrow(docs, target_cond, id_col, text_col,
+                                  n_buckets)
+    else:
+        toks = docs.select(
+            F.col(id_col).alias("id"),
+            target_cond.cast("int").alias("is_target"),
+            F.explode(_words(F.col(text_col))).alias("w"),
+        ).filter(F.col("w") != "")
+        # per-(doc, bucket) occurrence counts: the explode happens ONCE —
+        # both the model fit and the scoring pass consume this frame
+        feats = (toks.select(
+                     "id", "is_target",
+                     _bucket(F.col("w"), n_buckets, hash_family).alias("b"))
+                 .groupBy("id", "is_target", "b")
+                 .agg(F.count(F.lit(1)).alias("cnt")))
     # scoped persist: the model fit AND the scoring pass both consume
     # feats, and Catalyst does NOT reuse the exchange between the two
     # branches (verified in the physical plan: two full scan → explode →

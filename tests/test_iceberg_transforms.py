@@ -258,13 +258,26 @@ def test_temporal_column_matches_scalar(spark):
                 temporal_column("d", unit, "date").alias("c")).collect()
             for t, r in zip(stamps, rows):
                 assert r.c == temporal_value(t.date(), unit, "date")
-        # timestamptz values are instants: the transform must not move
-        # when the session renders in another zone
+        # timestamptz values are instants: the COLUMN transform must not
+        # move when the session renders in another zone (the stored
+        # instants were fixed at creation time under UTC) ...
+        utc_expected = [temporal_value(
+            t.replace(tzinfo=dt.timezone.utc), "day", "timestamptz")
+            for t in stamps]
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
         shifted = df.select(
             temporal_column("tz", "day", "timestamptz").alias("a")).collect()
-        for t, r in zip(stamps, shifted):
-            assert r.a == temporal_value(t, "day", "timestamptz")
+        for exp, r in zip(utc_expected, shifted):
+            assert r.a == exp
+        # ... while a NAIVE planner-side filter value resolves in the
+        # SESSION zone (ADVICE r5): Spark interprets naive literals in
+        # comparisons against timestamptz in the session zone, so the
+        # pruning ordinal must follow the same rule
+        from zoneinfo import ZoneInfo
+        for t in stamps:
+            ny = t.replace(tzinfo=ZoneInfo("America/New_York"))
+            assert temporal_value(t, "day", "timestamptz") \
+                == temporal_value(ny, "day", "timestamptz")
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
 

@@ -103,6 +103,27 @@ def test_dsir_md5_and_xxhash_families_agree_on_ranking(spark):
     assert set(a) <= set(range(8)) and set(b) <= set(range(8))
 
 
+def test_dsir_arrow_kernel_bit_identical(spark):
+    """The narrow arrow feature kernel must reproduce the explode+groupBy
+    md5 lane BIT-exactly — same tokenization (lower → ASCII whitespace
+    collapse → trim → split), same md5 buckets, same integer counts —
+    including null text, empty text, repeated words, and multi-whitespace
+    edge rows."""
+    rows = [Row(doc_id=1, lang="en", text="alpha beta  alpha\tbeta gamma"),
+            Row(doc_id=2, lang="de", text=None),
+            Row(doc_id=3, lang="en", text="   "),
+            Row(doc_id=4, lang="zz", text=""),
+            Row(doc_id=5, lang="en", text="a\x0bb\fc\r\nd  UPPER upper")]
+    df = spark.createDataFrame(rows)
+    a = [tuple(r) for r in dsir_importance(
+        df, F.col("lang") == "en", n_buckets=64, top_k=10,
+        kernel="expr").collect()]
+    b = [tuple(r) for r in dsir_importance(
+        df, F.col("lang") == "en", n_buckets=64, top_k=10,
+        kernel="arrow").collect()]
+    assert a == b and len(a) > 0
+
+
 def test_dsir_rejects_unknown_hash_family(spark):
     df = spark.createDataFrame([Row(doc_id=1, lang="en", text="a b")])
     with pytest.raises(ValueError):
