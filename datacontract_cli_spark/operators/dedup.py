@@ -626,25 +626,32 @@ def simhash_near_duplicates(
         .bitwiseOR(F.shiftleft(F.col("w2"), 16)) \
         .bitwiseOR(F.col("w3"))
     # no eager count: persist() installs the cache boundary that stops
-    # projection collapse; the first block join's shuffle-map stage
-    # materializes it for the remaining seven scans
+    # projection collapse; the first join stage materializes it
     s = words_fn(_ensure_parallelism(df), id_col, text_col).select(
         "id", "w0", "w1", "w2", "w3", fp.alias("fp")).persist()
-    cands = None
-    for w in ("w0", "w1", "w2", "w3"):
-        block = (
-            s.alias("a")
-            .join(s.alias("b"), on=[F.col(f"a.{w}") == F.col(f"b.{w}"), F.col("a.id") < F.col("b.id")])
-            .select(
-                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
-                .alias("hamming"),
-            )
-            # hamming is a pure function of the pair, so filtering before
-            # the union/dedup is equivalent to the old filter-after-dedup
-            .filter(F.col("hamming") <= max_hamming)
+    # ONE banded self-join instead of four block joins (the minhash
+    # shape): posexplode the 4 words to (id, fp, block, wval) and join on
+    # (block, wval) equality — the pair set is identical to the union of
+    # the four per-word joins, with a quarter of the codegen stages and
+    # two scans of the cached signature table instead of eight
+    banded = s.select(
+        "id", "fp",
+        F.posexplode(F.array("w0", "w1", "w2", "w3")).alias("blk", "wv"))
+    cands = (
+        banded.alias("a")
+        .join(banded.alias("b"),
+              on=[F.col("a.blk") == F.col("b.blk"),
+                  F.col("a.wv") == F.col("b.wv"),
+                  F.col("a.id") < F.col("b.id")])
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+            .alias("hamming"),
         )
-        cands = block if cands is None else cands.unionByName(block)
+        # hamming is a pure function of the pair, so filtering before
+        # the dedup is equivalent to the old filter-after-dedup
+        .filter(F.col("hamming") <= max_hamming)
+    )
     out = cands.dropDuplicates(["id_a", "id_b"])
     # Same scoped-persist discipline as minhash_candidates: materialize the
     # small pair set, release the fingerprint cache (round-2 leak fix).
