@@ -181,7 +181,10 @@ def test_loader_never_crashes_on_fuzzed_documents():
         "metric", "property", "value", "unit", "element", "pattern", "enum",
         "minimum", "physicalType", "customProperties", "threshold",
         "dataContractSpecification", "retention", "freshness",
-        "timestampField", "period", "mustBe", "arguments"])
+        "timestampField", "period", "mustBe", "arguments",
+        # r6: container fields drawn explicitly so wrong-typed values land
+        # at every nesting level (the r5 crash was found only by luck)
+        "tags", "config", "team", "mustBeBetween", "description"])
     vals = st.recursive(
         st.one_of(st.none(), st.booleans(), st.integers(-5, 5),
                   st.sampled_from(["x", "P1Y", "25h", "table", "string",
@@ -204,3 +207,40 @@ def test_loader_never_crashes_on_fuzzed_documents():
             pass  # clean rejection
 
     run()
+
+    # r6: scalar-at-every-container-position adversaries, run explicitly —
+    # each of these container fields must reject (or ignore) a scalar with
+    # a clean ValueError/TypeError, never an AttributeError crash
+    scalars = ["x", 3, True, None]
+    shells = [
+        lambda v: {"schema": v},
+        lambda v: {"schema": [v]},
+        lambda v: {"schema": [{"properties": v}]},
+        lambda v: {"schema": [{"properties": [{"properties": v}]}]},
+        lambda v: {"schema": [{"properties": [{"items": v}]}]},
+        lambda v: {"schema": [{"properties": [{"quality": v}]}]},
+        lambda v: {"schema": [{"properties": [{"logicalTypeOptions": v}]}]},
+        lambda v: {"schema": [{"properties": [{"customProperties": v}]}]},
+        lambda v: {"schema": [{"properties": [{"tags": v}]}]},
+        lambda v: {"schema": [{"quality": [{"arguments": v,
+                                            "mustBeBetween": v,
+                                            "tags": v}]}]},
+        lambda v: {"servers": v},
+        lambda v: {"servers": [v]},
+        lambda v: {"slaProperties": v},
+        lambda v: {"models": v},
+        lambda v: {"models": {"m": v}},
+        lambda v: {"models": {"m": {"fields": v}}},
+        lambda v: {"models": {"m": {"fields": {"f": v}}}},
+        lambda v: {"models": {"m": {"fields": {"f": {"fields": v}}}}},
+        lambda v: {"models": {"m": {"fields": {"f": {"quality": v}}}}},
+        lambda v: {"servicelevels": v},
+        lambda v: {"servicelevels": {"freshness": v}},
+        lambda v: {"info": v},
+    ]
+    for shell in shells:
+        for s in scalars:
+            try:
+                compile_checks(load_contract_str(yaml.safe_dump(shell(s))))
+            except (ValueError, TypeError):
+                pass
