@@ -478,7 +478,8 @@ def simhash_words(df: DataFrame, id_col: str, text_col: str = "text") -> DataFra
 
 
 def _simhash_words_arrow(df: DataFrame, id_col: str,
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         with_bits: bool = True) -> DataFrame:
     """Arrow-batched 64-bit SimHash (same output shape as
     :func:`simhash_words`, different hash family — pandas siphash instead
     of xxhash64). Fully vectorized across the batch: one flat token hash
@@ -542,14 +543,20 @@ def _simhash_words_arrow(df: DataFrame, id_col: str,
             for wi in range(4):
                 for b in range(16):
                     w[:, wi] = w[:, wi] * 2 + bits[:, wi * 16 + b]
-            yield pd.DataFrame({
-                "id": pdf[id_col], "bits": list(bits),
-                "w0": w[:, 0], "w1": w[:, 1], "w2": w[:, 2], "w3": w[:, 3],
-            })
+            out = {"id": pdf[id_col]}
+            if with_bits:
+                # 50k-row batches make this 50k small numpy objects —
+                # only materialize the bit array when the caller needs it
+                # (the near-dup path works from the packed words alone)
+                out["bits"] = list(bits)
+            out.update({"w0": w[:, 0], "w1": w[:, 1],
+                        "w2": w[:, 2], "w3": w[:, 3]})
+            yield pd.DataFrame(out)
 
+    bits_field = "bits array<int>, " if with_bits else ""
     return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
         kernel,
-        f"id {dict(df.dtypes)[id_col]}, bits array<int>, "
+        f"id {dict(df.dtypes)[id_col]}, {bits_field}"
         "w0 long, w1 long, w2 long, w3 long")
 
 
@@ -626,8 +633,16 @@ def simhash_near_duplicates(
         .bitwiseOR(F.shiftleft(F.col("w2"), 16)) \
         .bitwiseOR(F.col("w3"))
     # no eager count: persist() installs the cache boundary that stops
-    # projection collapse; the first join stage materializes it
-    s = words_fn(_ensure_parallelism(df), id_col, text_col).select(
+    # projection collapse; the first join stage materializes it. The
+    # arrow kernel skips emitting the bit array entirely — Catalyst
+    # prunes it from the JVM word functions, but a Python node's output
+    # schema is opaque to pruning, so the flag does it at the source.
+    if hash_family == "arrow":
+        words = _simhash_words_arrow(_ensure_parallelism(df), id_col,
+                                     text_col, with_bits=False)
+    else:
+        words = words_fn(_ensure_parallelism(df), id_col, text_col)
+    s = words.select(
         "id", "w0", "w1", "w2", "w3", fp.alias("fp")).persist()
     # ONE banded self-join instead of four block joins (the minhash
     # shape): posexplode the 4 words to (id, fp, block, wval) and join on
